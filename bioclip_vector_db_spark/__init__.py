@@ -1,0 +1,30 @@
+"""bioclip_vector_db_spark — a PySpark-native analytics engine with the query
+and data-processing capabilities of Imageomics/bioclip-vector-db.
+
+The reference system (see /root/reference) is a vector database for
+nearest-neighbor retrieval over BioCLIP image embeddings: an offline indexing
+pipeline (embed -> k-means partition -> partitioned store + id/metadata
+sidecar) and an online two-tier scatter-gather top-k search.
+
+This package re-expresses every one of those capabilities as declarative
+Spark DataFrame pipelines (SURVEY.md section 2 is the operator inventory):
+
+- ``sources``    — table catalog over the parquet lakehouse (T1-T5 analogs).
+- ``functions``  — columnar expression helpers: vector math (cosine/dot/
+                   normalize), taxon-tag parsing, text analysis, hashing.
+- ``operators``  — the dataflow operators: KNN search (O22-O28), indexing
+                   (O17-O20), dedup (O12, X1-X2), relational utilities
+                   (O14, O15, O25-O29), text/quality analysis (X5).
+- ``plans``      — the query registry that backs ``__spark_entry__.py``:
+                   every declared query + its DuckDB oracle SQL twin.
+- ``streaming``  — Structured Streaming operators over the events table (X7).
+- ``multimodal`` — binary-column (image/audio) plumbing with stubbed decode.
+
+Design stance: DataFrame/SQL first; Catalyst does pushdown/pruning/join
+selection; Python appears only in Arrow-batched pandas UDFs on genuinely
+non-relational kernels. Everything is built for horizontal scale: broadcast
+the small side, partition-prune the big side, map-side-combine aggregations,
+and two-phase top-k (WindowGroupLimit) for ranking.
+"""
+
+__version__ = "0.1.0"

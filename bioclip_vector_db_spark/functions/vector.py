@@ -1,0 +1,67 @@
+"""Columnar vector math — Catalyst higher-order functions, no Python UDFs.
+
+The reference computes inner products inside FAISS ``IndexFlatIP``
+(reference: src/bioclip_vector_db/query/neighborhood_server.py:163-170) over
+L2-normalized embeddings (vector_db.py:112-114), so inner product == cosine
+similarity. Here the same kernels are Catalyst expressions (``zip_with`` +
+``aggregate``) that run inside whole-stage codegen — JVM-side, no
+serialization boundary, and they scale with the scan.
+
+Numeric-parity convention (used by every declared query and its DuckDB
+oracle): compute in DOUBLE, round to 9 decimals BEFORE any ranking, and
+tiebreak ranks by id — so Spark and the oracle order identically despite
+engine-level floating-point differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Decimal places for cross-engine float parity (see module docstring).
+PARITY_SCALE = 9
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Inner product of two ARRAY<numeric> columns, accumulated in DOUBLE.
+
+    A sequential fold, like the reference's flat-IP scan — but codegen'd and
+    vectorized by the parquet reader rather than looping in Python.
+    """
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_distance(a: Column, b: Column, *, rounded: bool = True) -> Column:
+    """``1 - cosine_similarity`` for L2-normalized vectors; ascending = closer.
+
+    This is the Chroma-path semantics the reference intends
+    (storage_factory.py:33 uses ip space where Chroma returns ``1 - ip``);
+    SURVEY.md section 1.4 documents the deviation from the literal FAISS-path
+    sort order.
+    """
+    d = F.lit(1.0) - dot_product(a, b)
+    return F.round(d, PARITY_SCALE) if rounded else d
+
+
+def l2_norm(v: Column) -> Column:
+    """Euclidean norm of an ARRAY<numeric> column."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v.cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def l2_normalize(v: Column) -> Column:
+    """Scale a vector to unit norm (reference: vector_db.py:112-114
+    ``normalize=True`` on every embedding). Zero vectors pass through
+    unchanged instead of dividing by zero."""
+    vd = v.cast("array<double>")
+    norm = l2_norm(v)
+    return F.when(norm == 0.0, vd).otherwise(F.transform(vd, lambda x: x / norm))

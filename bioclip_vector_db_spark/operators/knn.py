@@ -1,0 +1,484 @@
+"""Nearest-neighbor search operators — the reference's serving path, Spark-first.
+
+Reference semantics re-expressed (file:line in /root/reference):
+- O22 leader routing: top-``nprobe`` centroids per query
+  (src/bioclip_vector_db/query/neighborhood_server.py:181-185,200-203).
+- O23 partition pruning: only routed partitions are scanned
+  (neighborhood_server.py:208-225) -> a ``partition_id`` equi-join that
+  Catalyst turns into partition pruning on a partitioned corpus.
+- O24 local exact top-n inner-product search per probed partition
+  (neighborhood_server.py:163-170).
+- O25 id remap: (partition_id, faiss_id) -> original_id — a hash join
+  replacing SQLite point lookups (neighborhood_server.py:172-179).
+- O27/O28 merge: union + ORDER BY distance + global LIMIT
+  (neighborhood_server.py:297-301, client/nearest_neighbor_client.py:62-72).
+- X3 batch KNN join: the whole pipeline lifted from one query vector to a
+  query *table* — the form that actually scales on a cluster.
+
+Scale notes (local[32] tests, 1000-executor design):
+- The query set and centroid table are broadcast; the corpus is never
+  shuffled before scoring — scoring runs map-side inside the scan.
+- Top-k per query uses ``row_number() <= k``; Spark >= 3.5 rewrites this to
+  WindowGroupLimit, which takes the per-partition top-k BEFORE the shuffle,
+  so shuffle volume is O(#queries * k * #partitions), not O(corpus).
+- ``distance = round(1 - dot, 9)`` computed in DOUBLE before ranking, ties
+  broken by neighbor id -> identical ordering in Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_distance, dot_product, l2_normalize
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Library API (arbitrary DataFrames)
+# ---------------------------------------------------------------------------
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    corpus_id_col: str = "vec_id",
+    corpus_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k cosine join: every query vs every corpus row.
+
+    The Spark restatement of the reference's flat-IP search (O24) with
+    ``nlist = 1``. The query side is broadcast (it is the small side by
+    construction); scoring happens inside the corpus scan, and the window
+    top-k is group-limited before the shuffle.
+
+    Returns ``(query_id, neighbor_id, distance, rank)``.
+    """
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = corpus.join(q).select(
+        F.col(query_id_col),
+        F.col(corpus_id_col).alias("neighbor_id"),
+        cosine_distance(F.col(query_vec_col), F.col(corpus_vec_col)).alias("distance"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def route_queries(queries: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+    """O22: pick the ``nprobe`` nearest centroids per query vector.
+
+    ``centroids`` is ``(partition_id, centroid)`` — tiny (nlist rows), always
+    broadcast. Returns ``(query_id, qv, partition_id, probe_rank)``.
+    """
+    scored = queries.join(F.broadcast(centroids)).withColumn(
+        "centroid_distance", cosine_distance(F.col("qv"), F.col("centroid"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_distance").asc(), F.col("partition_id").asc()
+    )
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qv", "partition_id", "probe_rank")
+    )
+
+
+def assign_partitions(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """O19: nearest-centroid (k=1) assignment of every corpus vector.
+
+    Broadcast-join against the centroid table + argmin — the scalable form of
+    FAISS ``quantizer.search(v, 1)`` (faiss_utils.py:106-118). On a real
+    lakehouse this output is materialized via ``write.partitionBy``, making
+    O23's pruning a storage-level operation.
+    """
+    scored = vectors.join(F.broadcast(centroids)).withColumn(
+        "centroid_distance", cosine_distance(F.col("embedding"), F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("centroid_distance").asc(), F.col("partition_id").asc()
+    )
+    return (
+        scored.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") == 1)
+        .drop("arank", "centroid", "centroid_distance")
+    )
+
+
+def ivf_search(
+    queries: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    *,
+    nprobe: int = 3,
+    top_n: int = 10,
+    global_limit: int = 100,
+) -> DataFrame:
+    """Two-tier scatter-gather search: O22 routing -> O23 pruning -> O24
+    per-partition top-n -> O27/O28 merge with a global per-query limit.
+
+    ``corpus_assigned`` must carry ``(vec_id, embedding, partition_id)``.
+    ``top_n`` is neighbors PER PROBED PARTITION (the reference's semantics,
+    neighborhood_server.py:312); the merge keeps ``global_limit`` per query.
+    """
+    routed = route_queries(queries, centroids, nprobe)
+    # O23: equi-join on partition_id == partition pruning against a
+    # partitionBy(partition_id) layout; only probed partitions are scanned.
+    candidates = corpus_assigned.join(
+        F.broadcast(routed.select("query_id", "qv", "partition_id")), "partition_id"
+    )
+    scored = candidates.select(
+        "query_id",
+        "partition_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_distance(F.col("qv"), F.col("embedding")).alias("distance"),
+    )
+    w_local = Window.partitionBy("query_id", "partition_id").orderBy(
+        F.col("distance").asc(), F.col("neighbor_id").asc()
+    )
+    local_topn = scored.withColumn("local_rank", F.row_number().over(w_local)).filter(
+        F.col("local_rank") <= top_n
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local_topn.withColumn("rank", F.row_number().over(w_global).cast("bigint"))
+        .filter(F.col("rank") <= global_limit)
+        .select("query_id", "neighbor_id", "partition_id", "distance", "rank")
+    )
+
+
+def similarity_self_join(vectors: DataFrame, threshold: float) -> DataFrame:
+    """X4: all pairs (a, b) with cosine similarity above ``threshold``.
+
+    Emits each unordered pair once (``a < b``). At scale this must be run
+    within blocking buckets (see operators.dedup / operators.ann) — the raw
+    self-cross-join is quadratic and only used on bounded slices.
+    """
+    a = vectors.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")
+    )
+    b = vectors.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("similarity", F.round(dot_product(F.col("a_vec"), F.col("b_vec")), 9))
+        .filter(F.col("similarity") > threshold)
+        .select("a_id", "b_id", "similarity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixture centroids (FIXTURES.md part B): per-label mean, re-normalized.
+# Deterministic and DuckDB-expressible, standing in for the trained
+# k-means leader index (T3) in [Q] queries.
+# ---------------------------------------------------------------------------
+
+
+def fixture_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(partition_id, centroid) — per-label mean of embeddings, re-normalized.
+
+    Element-wise mean via posexplode + groupBy(label, pos): shuffles
+    (nlist x dim) aggregation keys with map-side partial aggregation —
+    scales linearly with the corpus, never collects vectors into one list.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    means = pos.groupBy("label", "pos").agg(F.avg("val").alias("v"))
+    cent = (
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            F.col("label").cast("int").alias("partition_id"),
+            F.expr("transform(pv, x -> x.v)").alias("centroid"),
+        )
+    )
+    return cent.select("partition_id", l2_normalize(F.col("centroid")).alias("centroid"))
+
+
+#: DuckDB CTE mirroring fixture_centroids — composed into oracle SQL below.
+CENTROIDS_CTE = """
+cent_pos AS (
+    SELECT label,
+           unnest(generate_series(1, len(embedding))) AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+),
+cent_means AS (
+    SELECT label, pos, avg(val::DOUBLE) AS v
+    FROM cent_pos GROUP BY label, pos
+),
+cent_raw AS (
+    SELECT label::INT AS partition_id, list(v ORDER BY pos) AS centroid
+    FROM cent_means GROUP BY label
+),
+centroids AS (
+    SELECT partition_id,
+           list_transform(centroid, x -> x / sqrt(list_dot_product(centroid, centroid))) AS centroid
+    FROM cent_raw
+)
+"""
+
+
+def _fixture_queries(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_bruteforce",
+    oracle="""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+    SELECT q.query_id,
+           e.vec_id AS neighbor_id,
+           round(1.0 - list_dot_product(q.qv, e.embedding::DOUBLE[]), 9) AS distance
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id >= 5
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, distance, rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: exact top-10 cosine KNN, 5 query vectors vs the rest
+    of the corpus (O24+O27+O28 with nlist=1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _fixture_queries(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return knn_join(queries, corpus, k=10)
+
+
+@register(
+    "leader_routing",
+    oracle=f"""
+WITH {CENTROIDS_CTE.strip().lstrip()},
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+    SELECT q.query_id, c.partition_id,
+           round(1.0 - list_dot_product(q.qv, c.centroid), 9) AS centroid_distance
+    FROM q CROSS JOIN centroids c
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY centroid_distance, partition_id) AS probe_rank
+    FROM scored
+)
+SELECT query_id, partition_id, centroid_distance, probe_rank
+FROM ranked WHERE probe_rank <= 3
+""",
+)
+def q_leader_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O22: top-nprobe(=3) centroid routing for 5 query vectors."""
+    queries = _fixture_queries(spark, sf_dir)
+    cent = fixture_centroids(spark, sf_dir)
+    scored = queries.join(F.broadcast(cent)).select(
+        "query_id",
+        "partition_id",
+        cosine_distance(F.col("qv"), F.col("centroid")).alias("centroid_distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_distance").asc(), F.col("partition_id").asc()
+    )
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("probe_rank") <= 3)
+    )
+
+
+@register(
+    "partition_assignment",
+    oracle=f"""
+WITH {CENTROIDS_CTE.strip()},
+scored AS (
+    SELECT e.vec_id, c.partition_id,
+           round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9) AS d
+    FROM embeddings e CROSS JOIN centroids c
+),
+ranked AS (
+    SELECT vec_id, partition_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, partition_id) AS r
+    FROM scored
+)
+SELECT vec_id, partition_id FROM ranked WHERE r = 1
+""",
+)
+def q_partition_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19: nearest-centroid partition assignment for the whole corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = fixture_centroids(spark, sf_dir)
+    return assign_partitions(emb, cent).select("vec_id", "partition_id")
+
+
+@register(
+    "ivf_search",
+    oracle=f"""
+WITH {CENTROIDS_CTE.strip()},
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+assign_scored AS (
+    SELECT e.vec_id, e.embedding, c.partition_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9),
+                        c.partition_id) AS r
+    FROM embeddings e CROSS JOIN centroids c
+),
+corpus AS (
+    SELECT vec_id, embedding, partition_id FROM assign_scored WHERE r = 1
+),
+routed AS (
+    SELECT query_id, qv, partition_id FROM (
+        SELECT q.query_id, q.qv, c.partition_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(1.0 - list_dot_product(q.qv, c.centroid), 9),
+                            c.partition_id) AS probe_rank
+        FROM q CROSS JOIN centroids c
+    ) WHERE probe_rank <= 3
+),
+scored AS (
+    SELECT r.query_id, co.partition_id, co.vec_id AS neighbor_id,
+           round(1.0 - list_dot_product(r.qv, co.embedding::DOUBLE[]), 9) AS distance
+    FROM routed r JOIN corpus co ON r.partition_id = co.partition_id
+),
+local_topn AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id, partition_id
+            ORDER BY distance, neighbor_id) AS local_rank
+        FROM scored
+    ) WHERE local_rank <= 10
+)
+SELECT query_id, neighbor_id, partition_id, distance, rank FROM (
+    SELECT query_id, neighbor_id, partition_id, distance,
+           row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rank
+    FROM local_topn
+) WHERE rank <= 100
+""",
+)
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-tier scatter-gather search (O22+O23+O24+O27+O28):
+    nprobe=3, top_n=10 per partition, global limit 100."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _fixture_queries(spark, sf_dir)
+    cent = fixture_centroids(spark, sf_dir)
+    corpus = assign_partitions(emb, cent)
+    return ivf_search(queries, corpus, cent, nprobe=3, top_n=10, global_limit=100)
+
+
+@register(
+    "knn_batch_join",
+    oracle="""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id % 25 = 0
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(1.0 - list_dot_product(q.qv, e.embedding::DOUBLE[]), 9) AS distance
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, distance, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_knn_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: batch KNN join — a query TABLE (every 25th vector) against the
+    corpus, excluding self-matches; top-5 each."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_distance(F.col("qv"), F.col("embedding")).alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= 5
+    )
+
+
+@register(
+    "similarity_threshold_join",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.vec, b.vec), 9) AS similarity
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.vec, b.vec), 9) > 0.3
+""",
+)
+def q_similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: pairwise similarity self-join with threshold 0.3 on a bounded
+    slice (vec_id < 200)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return similarity_self_join(emb, 0.3)
+
+
+@register(
+    "health_aggregates",
+    oracle=f"""
+WITH {CENTROIDS_CTE.strip()},
+assign_scored AS (
+    SELECT e.vec_id, len(e.embedding) AS dim, c.partition_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9),
+                        c.partition_id) AS r
+    FROM embeddings e CROSS JOIN centroids c
+),
+corpus AS (SELECT * FROM assign_scored WHERE r = 1)
+SELECT partition_id,
+       count(*) AS n_vectors,
+       count(DISTINCT dim) AS n_dims
+FROM corpus GROUP BY partition_id
+""",
+)
+def q_health_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O29: per-partition vector counts + dimension-consistency check
+    (neighborhood_server.py:228-241)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = fixture_centroids(spark, sf_dir)
+    corpus = assign_partitions(emb, cent).withColumn("dim", F.size("embedding"))
+    return corpus.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("dim").alias("n_dims"),
+    )

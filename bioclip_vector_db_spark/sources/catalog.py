@@ -1,0 +1,43 @@
+"""Table catalog over the parquet lakehouse.
+
+The reference scans Hugging Face datasets / WebDataset tar shards
+(reference: src/bioclip_vector_db/vector_db.py:63-86, O1/O2 in SURVEY.md);
+here every table is a parquet source read declaratively so Catalyst gets
+predicate pushdown, column pruning, and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: All driver-fixture tables (TESTDATA.md) — TPC-H-ish star schema plus
+#: events (stream analog), documents (text corpus), embeddings (vector corpus).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Scans stay columnar + prunable."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views so operators can be written in SQL."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,99 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registered query on Spark and its DuckDB oracle side-by-side,
+compares row count, column names, and values (rows sorted canonically,
+floats compared both exactly and with tolerance so we can see how much
+rounding headroom the parity convention has).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bioclip_vector_db_spark.session import get_spark  # noqa: E402
+from bioclip_vector_db_spark.sources.catalog import TABLES  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def compare(name, spark_df, duck_rows, duck_cols):
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    sc, sr = canon(s_rows, s_cols)
+    dc, dr = canon(duck_rows, duck_cols)
+    problems = []
+    if sc != [c.lower() for c in dc] and sc != dc:
+        problems.append(f"columns differ: spark={sc} duck={dc}")
+    if len(sr) != len(dr):
+        problems.append(f"rowcount differ: spark={len(sr)} duck={len(dr)}")
+    exact = True
+    max_float_diff = 0.0
+    if not problems:
+        for a, b in zip(sr, dr):
+            for x, y in zip(a, b):
+                if isinstance(x, float) and isinstance(y, float):
+                    if math.isnan(x) and math.isnan(y):
+                        continue
+                    d = abs(x - y)
+                    max_float_diff = max(max_float_diff, d)
+                    if x != y:
+                        exact = False
+                elif x != y:
+                    problems.append(f"value mismatch: {x!r} != {y!r} in row {a} vs {b}")
+                    break
+            if problems:
+                break
+    status = "OK" if not problems and exact else ("FLOAT-DRIFT" if not problems else "FAIL")
+    print(f"{name:32s} {status:12s} rows={len(sr)} max_float_diff={max_float_diff:.3e}")
+    for p in problems[:3]:
+        print(f"    {p}")
+    return not problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    ok = True
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            if name not in oracles:
+                n = sdf.count()
+                print(f"{name:32s} {'ROWS-ONLY':12s} rows={n}")
+                continue
+            rel = con.sql(oracles[name])
+            ok &= compare(name, sdf, rel.fetchall(), rel.columns)
+        except Exception as e:
+            ok = False
+            print(f"{name:32s} ERROR        {type(e).__name__}: {e}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
