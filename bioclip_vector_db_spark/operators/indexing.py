@@ -1,0 +1,312 @@
+"""Offline indexing pipeline — the reference's ingest/build path, Spark-first.
+
+Reference semantics re-expressed (file:line in /root/reference):
+- O11 id derivation: HF ``__key__`` or stringified row index
+  (src/bioclip_vector_db/vector_db.py:88-100).
+- O12 existence-check dedup before insert (vector_db.py:124-132) ->
+  left anti join (the scalable form; the reference does per-row lookups).
+- O13 null/error filter (vector_db.py:135-137).
+- O14 JSON metadata encode/decode (metadata_storage.py:85,147,169).
+- O17/O18 k-means coarse quantizer training: nlist = floor(10*sqrt(N)),
+  train on a ~50*nlist sample (storage_impl.py:78-89,103-105,152-156) ->
+  pyspark.ml.KMeans fit-then-transform. Unlike the reference's buffer-based
+  trainer, no records are dropped when training triggers (SURVEY.md §1.4).
+- O19 nearest-centroid assignment (faiss_utils.py:106-118).
+- O20 per-partition dense faiss_id (faiss_utils.py:45,113-115) ->
+  ``row_number() OVER (PARTITION BY partition_id ORDER BY vec_id) - 1``
+  (explicit tiebreak; the reference uses arrival order, which Spark has no
+  notion of).
+- O6 id_mapping sink (metadata_storage.py:68-101) -> one partitioned table.
+- O25/O26 id remap + metadata lookups (neighborhood_server.py:172-179,
+  metadata_storage.py:103-199) -> hash joins; implements the reference's
+  unimplemented ``batch_get_original_id`` stub (metadata_storage.py:175-177).
+
+Scale: the whole build is one job — scan -> (embed UDF) -> broadcast-join
+centroids -> window faiss_id -> write.partitionBy(partition_id). The only
+shuffles are the k-means fit sample and the per-partition window; the
+id_mapping sidecar is co-partitioned with the vectors so O25 remaps are
+shuffle-free joins at serve time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+from .knn import CENTROIDS_CTE, assign_partitions, fixture_centroids
+
+# ---------------------------------------------------------------------------
+# Library API
+# ---------------------------------------------------------------------------
+
+
+def derive_nlist(dataset_size: int) -> int:
+    """nlist = floor(10*sqrt(N)) — the reference's 4sqrt(N)..16sqrt(N) rule
+    (storage_impl.py:78-82)."""
+    return max(1, int(10 * dataset_size**0.5))
+
+
+def train_kmeans_centroids(
+    vectors: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """O17/O18: fit k-means on a sample, return ``(partition_id, centroid)``.
+
+    The reference trains on the first 50*nlist records (a prefix — its own
+    TODO admits a shuffle is missing, vector_db.py:73); we use a seeded
+    random sample, which is the statistically sound version. Cosine distance
+    matches the reference's inner-product space over normalized vectors.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = vectors if train_fraction is None else vectors.sample(train_fraction, seed=seed)
+    feats = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, distanceMeasure="cosine").fit(feats)
+    spark = vectors.sparkSession
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(
+        centers,
+        T.StructType(
+            [
+                T.StructField("partition_id", T.IntegerType(), False),
+                T.StructField("centroid", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+
+
+def with_faiss_ids(assigned: DataFrame, order_col: str = "vec_id") -> DataFrame:
+    """O20: dense 0-based id within each partition, deterministic tiebreak."""
+    w = Window.partitionBy("partition_id").orderBy(F.col(order_col).asc())
+    return assigned.withColumn("faiss_id", (F.row_number().over(w) - 1).cast("bigint"))
+
+
+def build_id_mapping(assigned: DataFrame) -> DataFrame:
+    """O6/T4: the id/metadata sidecar table
+    ``(partition_id, faiss_id, original_id, metadata)``.
+
+    ``metadata`` is a JSON string like the reference's BLOB
+    (metadata_storage.py:85); ``created_at`` is added at write time via
+    ``current_timestamp()`` and excluded here for determinism.
+    """
+    return with_faiss_ids(assigned).select(
+        "partition_id",
+        "faiss_id",
+        F.col("vec_id").cast("string").alias("original_id"),
+        F.to_json(F.struct("label")).alias("metadata"),
+    )
+
+
+def build_index(
+    vectors: DataFrame,
+    output_dir: str,
+    *,
+    k: int | None = None,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """The full offline build (entry point 1, SURVEY.md §3.1) as one job:
+    train -> assign -> faiss ids -> partitioned writes.
+
+    Writes three tables under ``output_dir``: ``corpus`` (partitioned by
+    partition_id — the IVF layout; O3/O4), ``centroids`` (the leader index;
+    O5), ``id_mapping`` (the sidecar; O6). Returns the DataFrames.
+    """
+    n = vectors.count()
+    k = k or derive_nlist(n)
+    cent = train_kmeans_centroids(vectors, k, seed=seed)
+    assigned = assign_partitions(vectors, cent)
+    corpus = with_faiss_ids(assigned)
+    id_mapping = corpus.select(
+        "partition_id",
+        "faiss_id",
+        F.col("vec_id").cast("string").alias("original_id"),
+        F.to_json(F.struct("label")).alias("metadata"),
+        F.current_timestamp().alias("created_at"),
+    )
+    corpus.write.mode("overwrite").partitionBy("partition_id").parquet(f"{output_dir}/corpus")
+    cent.write.mode("overwrite").parquet(f"{output_dir}/centroids")
+    id_mapping.write.mode("overwrite").partitionBy("partition_id").parquet(
+        f"{output_dir}/id_mapping"
+    )
+    return {"corpus": corpus, "centroids": cent, "id_mapping": id_mapping}
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE: corpus with partition assignment + id_mapping
+# ---------------------------------------------------------------------------
+
+ASSIGNED_CTE = f"""
+{CENTROIDS_CTE.strip()},
+assign_scored AS (
+    SELECT e.vec_id, e.embedding, e.label, c.partition_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9),
+                        c.partition_id) AS r
+    FROM embeddings e CROSS JOIN centroids c
+),
+corpus AS (
+    SELECT vec_id, embedding, label, partition_id FROM assign_scored WHERE r = 1
+),
+id_mapping AS (
+    SELECT partition_id,
+           (row_number() OVER (PARTITION BY partition_id ORDER BY vec_id) - 1)::BIGINT AS faiss_id,
+           vec_id::VARCHAR AS original_id,
+           to_json(struct_pack(label := label)) AS metadata,
+           vec_id, label
+    FROM corpus
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Declared queries + oracles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "id_mapping_build",
+    oracle=f"""
+WITH {ASSIGNED_CTE.strip()}
+SELECT partition_id, faiss_id, original_id, metadata FROM id_mapping
+""",
+)
+def q_id_mapping_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6+O19+O20: build the id/metadata sidecar for the whole corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = fixture_centroids(spark, sf_dir)
+    return build_id_mapping(assign_partitions(emb, cent))
+
+
+@register(
+    "id_remap_join",
+    oracle=f"""
+WITH {ASSIGNED_CTE.strip()},
+hits AS (
+    SELECT partition_id, faiss_id FROM id_mapping WHERE vec_id % 50 = 0
+)
+SELECT h.partition_id, h.faiss_id, m.original_id,
+       json_extract(m.metadata, '$.label')::INT AS label
+FROM hits h JOIN id_mapping m
+  ON h.partition_id = m.partition_id AND h.faiss_id = m.faiss_id
+""",
+)
+def q_id_remap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25: remap (partition_id, faiss_id) hits to original ids + metadata —
+    the hash-join replacement for SQLite point lookups in a loop, and the
+    batch lookup the reference stubbed (metadata_storage.py:175-177)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = fixture_centroids(spark, sf_dir)
+    full = build_id_mapping(assign_partitions(emb, cent))
+    hits = full.filter(F.col("original_id").cast("bigint") % 50 == 0).select(
+        "partition_id", "faiss_id"
+    )
+    return hits.join(full, ["partition_id", "faiss_id"]).select(
+        "partition_id",
+        "faiss_id",
+        "original_id",
+        F.get_json_object("metadata", "$.label").cast("int").alias("label"),
+    )
+
+
+@register(
+    "metadata_lookup",
+    oracle=f"""
+WITH {ASSIGNED_CTE.strip()}
+SELECT original_id, partition_id, faiss_id,
+       json_extract(metadata, '$.label')::INT AS label
+FROM id_mapping
+WHERE original_id IN ('1', '42', '137', '256', '499')
+""",
+)
+def q_metadata_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O26: metadata + faiss_id point lookups by original_id — both of the
+    reference's shadowed get_metadata variants as one keyed query
+    (metadata_storage.py:127-199)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = fixture_centroids(spark, sf_dir)
+    full = build_id_mapping(assign_partitions(emb, cent))
+    return full.filter(F.col("original_id").isin("1", "42", "137", "256", "499")).select(
+        "original_id",
+        "partition_id",
+        "faiss_id",
+        F.get_json_object("metadata", "$.label").cast("int").alias("label"),
+    )
+
+
+@register(
+    "dedup_anti_join",
+    oracle="""
+WITH existing AS (SELECT vec_id FROM embeddings WHERE vec_id < 400),
+incoming AS (SELECT vec_id, label FROM embeddings WHERE vec_id >= 300)
+SELECT i.vec_id, i.label
+FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.vec_id = i.vec_id)
+""",
+)
+def q_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12: upsert guard — only records whose id is not already stored
+    survive (vector_db.py:124-132), as one left anti join instead of
+    per-record existence checks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    existing = emb.filter(F.col("vec_id") < 400).select("vec_id")
+    incoming = emb.filter(F.col("vec_id") >= 300).select("vec_id", "label")
+    return incoming.join(existing, "vec_id", "left_anti")
+
+
+@register(
+    "id_derivation_null_filter",
+    oracle="""
+WITH derived AS (
+    SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id::VARCHAR END AS id,
+           CASE WHEN length(text) = 0 THEN NULL ELSE text END AS payload,
+           lang
+    FROM documents
+)
+SELECT id, lang FROM derived
+WHERE id IS NOT NULL AND payload IS NOT NULL
+""",
+)
+def q_id_derivation_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11+O13: derive string ids (stringified index / key column), null out
+    failures, and drop them — the reference skips records whose id or
+    embedding came back None (vector_db.py:88-100,134-137)."""
+    docs = load_table(spark, sf_dir, "documents")
+    derived = docs.select(
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("doc_id").cast("string"))
+        .alias("id"),
+        F.when(F.length("text") == 0, F.lit(None)).otherwise(F.col("text")).alias("payload"),
+        "lang",
+    )
+    return derived.filter(F.col("id").isNotNull() & F.col("payload").isNotNull()).select(
+        "id", "lang"
+    )
+
+
+@register("kmeans_train")
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17/O18 [W]: fit the k-means coarse quantizer (k=10, seed=42) and
+    return the leader/centroid table. Rows-only check — k-means centers are
+    not SQL-reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return train_kmeans_centroids(emb, k=10, seed=42)
+
+
+@register("kmeans_assignment_balance")
+def q_kmeans_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18+O19 [W]: per-partition counts under trained (not fixture)
+    centroids — the distribution the partitioned write would produce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = train_kmeans_centroids(emb, k=10, seed=42)
+    assigned = assign_partitions(emb, cent)
+    return assigned.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -1,0 +1,128 @@
+"""Relational utility operators from the reference's ingest/serve plumbing.
+
+- O14 JSON encode/decode of metadata (metadata_storage.py:85,147,169).
+- O15 partition-spec range expansion: ``"1,2,5-10"`` -> sorted distinct ints
+  (neighborhood_server.py:353-365).
+- O27/O28 merge semantics over pre-scored per-server result sets
+  (nearest_neighbor_client.py:62-72): union + global ORDER BY + LIMIT,
+  which Spark executes as TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Library API
+# ---------------------------------------------------------------------------
+
+
+def expand_partition_spec(spec: str) -> list[int]:
+    """Driver-side O15: ``"1,2,5-10"`` -> ``[1, 2, 5, 6, ..., 10]``
+    (sorted, deduped) — mirrors neighborhood_server.py:353-365."""
+    out: set[int] = set()
+    for token in spec.split(","):
+        token = token.strip()
+        if not token:
+            continue
+        if "-" in token:
+            lo, hi = token.split("-", 1)
+            out.update(range(int(lo), int(hi) + 1))
+        else:
+            out.add(int(token))
+    return sorted(out)
+
+
+def expand_partition_spec_df(spark: SparkSession, spec: str) -> DataFrame:
+    """Columnar O15 — the same expansion as a DataFrame expression
+    (split -> sequence -> explode -> distinct -> sort), usable inline in a
+    join against the partition column."""
+    return (
+        spark.createDataFrame([(spec,)], "spec string")
+        .select(F.explode(F.split("spec", ",")).alias("token"))
+        .select(F.trim("token").alias("token"))
+        .filter(F.length("token") > 0)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.get(F.split("token", "-"), 0).cast("int"),
+                    F.coalesce(
+                        F.get(F.split("token", "-"), 1).cast("int"),
+                        F.get(F.split("token", "-"), 0).cast("int"),
+                    ),
+                )
+            ).alias("partition_id")
+        )
+        .distinct()
+        .orderBy("partition_id")
+    )
+
+
+def merge_global_topk(results: list[DataFrame], limit: int = 100) -> DataFrame:
+    """O28: merge per-server result sets ``(id, distance)`` — union all,
+    ascending distance, global limit (nearest_neighbor_client.py:62-72)."""
+    merged = results[0]
+    for r in results[1:]:
+        merged = merged.unionByName(r)
+    return merged.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(limit)
+
+
+# ---------------------------------------------------------------------------
+# Declared queries + oracles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_metadata_roundtrip",
+    oracle="""
+SELECT event_id,
+       json_extract(props, '$.k')::INT AS k,
+       to_json(struct_pack(event_type := event_type,
+                           k := json_extract(props, '$.k')::INT)) AS reencoded
+FROM events
+WHERE event_id % 100 = 0
+""",
+)
+def q_json_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14: decode a JSON metadata field, then re-encode an enriched struct —
+    the reference's json.loads/json.dumps cycle as Catalyst expressions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+            )
+        ).alias("reencoded"),
+    )
+
+
+@register(
+    "partition_range_expansion",
+    oracle="""
+WITH tokens AS (
+    SELECT trim(t) AS token
+    FROM unnest(string_split('1,2,5-10,3,5', ',')) AS u(t)
+),
+expanded AS (
+    SELECT unnest(generate_series(
+        string_split(token, '-')[1]::INT,
+        coalesce(try_cast(string_split(token, '-')[2] AS INT),
+                 string_split(token, '-')[1]::INT)
+    )) AS partition_id
+    FROM tokens WHERE length(token) > 0
+)
+SELECT DISTINCT partition_id FROM expanded ORDER BY partition_id
+""",
+)
+def q_partition_range_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15: expand the server CLI's partition spec '1,2,5-10,3,5' into a
+    sorted deduped partition-id table."""
+    return expand_partition_spec_df(spark, "1,2,5-10,3,5")

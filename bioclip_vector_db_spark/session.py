@@ -37,6 +37,10 @@ def get_spark(app_name: str = "bioclip_vector_db_spark", cpus: int | None = None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read as BIGINT nanos and convert explicitly
+        # (functions in streaming/events.py derive micros from it).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
