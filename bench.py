@@ -26,8 +26,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     spark = get_spark("bench")
     qs = entry_mod.queries()
-    # Warm the JVM + parquet footer caches once with the cheapest query.
     names = sorted(qs)
+    # Warm the JVM, codegen, and parquet footer caches with one untimed
+    # throwaway run so the alphabetically-first timed query doesn't silently
+    # absorb startup cost (per-query deltas stay attributable across rounds).
+    warm = qs[names[0]](spark, SF_DIR)
+    warm.count()
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

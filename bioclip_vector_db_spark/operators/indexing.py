@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
-from .knn import CENTROIDS_CTE, assign_partitions, fixture_centroids
+from .knn import CENTROIDS_CTE, assign_partitions, assigned_corpus, fixture_centroids
 
 # ---------------------------------------------------------------------------
 # Library API
@@ -182,9 +182,7 @@ SELECT partition_id, faiss_id, original_id, metadata FROM id_mapping
 )
 def q_id_mapping_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6+O19+O20: build the id/metadata sidecar for the whole corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = fixture_centroids(spark, sf_dir)
-    return build_id_mapping(assign_partitions(emb, cent))
+    return build_id_mapping(assigned_corpus(spark, sf_dir))
 
 
 @register(
@@ -204,9 +202,7 @@ def q_id_remap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O25: remap (partition_id, faiss_id) hits to original ids + metadata —
     the hash-join replacement for SQLite point lookups in a loop, and the
     batch lookup the reference stubbed (metadata_storage.py:175-177)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = fixture_centroids(spark, sf_dir)
-    full = build_id_mapping(assign_partitions(emb, cent))
+    full = build_id_mapping(assigned_corpus(spark, sf_dir))
     hits = full.filter(F.col("original_id").cast("bigint") % 50 == 0).select(
         "partition_id", "faiss_id"
     )
@@ -232,9 +228,7 @@ def q_metadata_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O26: metadata + faiss_id point lookups by original_id — both of the
     reference's shadowed get_metadata variants as one keyed query
     (metadata_storage.py:127-199)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = fixture_centroids(spark, sf_dir)
-    full = build_id_mapping(assign_partitions(emb, cent))
+    full = build_id_mapping(assigned_corpus(spark, sf_dir))
     return full.filter(F.col("original_id").isin("1", "42", "137", "256", "499")).select(
         "original_id",
         "partition_id",
@@ -296,17 +290,42 @@ def q_id_derivation_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("kmeans_train")
 def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O17/O18 [W]: fit the k-means coarse quantizer (k=10, seed=42) and
-    return the leader/centroid table. Rows-only check — k-means centers are
-    not SQL-reproducible."""
+    return a hashable projection of the leader/centroid table — partition id,
+    dimensionality, and rounded L2 norm. Rows-only check: k-means centers are
+    not SQL-reproducible, and raw array columns are not canonicalizable by
+    the driver's pandas-based hasher."""
+    from ..functions.vector import l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return train_kmeans_centroids(emb, k=10, seed=42)
+    cent = train_kmeans_centroids(emb, k=10, seed=42)
+    return cent.select(
+        "partition_id",
+        F.size("centroid").cast("int").alias("dim"),
+        F.round(l2_norm(F.col("centroid")), 6).alias("norm"),
+    )
 
 
-@register("kmeans_assignment_balance")
+@register(
+    "kmeans_assignment_balance",
+    oracle="""
+SELECT count(*)::BIGINT AS total_vectors,
+       count(*)::BIGINT AS valid_assignments,
+       10 AS k
+FROM embeddings
+""",
+)
 def q_kmeans_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O18+O19 [W]: per-partition counts under trained (not fixture)
-    centroids — the distribution the partitioned write would produce."""
+    """O18+O19 [Q-invariant]: assignment under TRAINED (not fixture)
+    centroids, reduced to SQL-checkable invariants — every vector gets
+    exactly one assignment and every partition id is in [0, k). The raw
+    per-partition counts are seed-dependent and have no SQL oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = train_kmeans_centroids(emb, k=10, seed=42)
     assigned = assign_partitions(emb, cent)
-    return assigned.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return assigned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_vectors"),
+        F.sum(F.when(F.col("partition_id").between(0, 9), 1).otherwise(0))
+        .cast("bigint")
+        .alias("valid_assignments"),
+        F.lit(10).cast("int").alias("k"),
+    )

@@ -93,21 +93,43 @@ def route_queries(queries: DataFrame, centroids: DataFrame, nprobe: int) -> Data
 def assign_partitions(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """O19: nearest-centroid (k=1) assignment of every corpus vector.
 
-    Broadcast-join against the centroid table + argmin — the scalable form of
-    FAISS ``quantizer.search(v, 1)`` (faiss_utils.py:106-118). On a real
-    lakehouse this output is materialized via ``write.partitionBy``, making
-    O23's pruning a storage-level operation.
+    Map-side argmin — the scalable form of FAISS ``quantizer.search(v, 1)``
+    (faiss_utils.py:106-118). The centroid table is collapsed to ONE row
+    holding an array of (pid, centroid) structs, broadcast, and folded over
+    per vector with ``aggregate``: no row expansion (the old join+window form
+    materialized N x nlist scored rows through a BroadcastNestedLoopJoin),
+    no window, no shuffle — each vector is scored and assigned inside the
+    scan, inside whole-stage codegen. At the reference's design point
+    (N=10M, nlist=31,622 — storage_impl.py:78-82) this is the difference
+    between 3x10^11 intermediate rows and zero.
+
+    Ties broken toward the smallest partition_id (the struct array is sorted
+    by pid and strict ``<`` keeps the first), matching the oracle's
+    ``ORDER BY distance, partition_id`` convention. Distances are rounded to
+    PARITY_SCALE before comparison so Spark and DuckDB pick identical
+    winners.
+
+    On a real lakehouse this output is materialized via
+    ``write.partitionBy``, making O23's pruning a storage-level operation.
     """
-    scored = vectors.join(F.broadcast(centroids)).withColumn(
-        "centroid_distance", cosine_distance(F.col("embedding"), F.col("centroid"))
+    cents = centroids.groupBy().agg(
+        F.collect_list(
+            F.struct(F.col("partition_id").alias("pid"), F.col("centroid").alias("c"))
+        ).alias("_cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("centroid_distance").asc(), F.col("partition_id").asc()
+    emb = F.col("embedding").cast("array<double>")
+    # array_min over (d, pid) structs = lexicographic min = argmin with the
+    # smallest-pid tiebreak, one distance evaluation per centroid.
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda x: F.struct(cosine_distance(emb, x["c"]).alias("d"), x["pid"].alias("pid")),
+        )
     )
     return (
-        scored.withColumn("arank", F.row_number().over(w))
-        .filter(F.col("arank") == 1)
-        .drop("arank", "centroid", "centroid_distance")
+        vectors.join(F.broadcast(cents))
+        .withColumn("partition_id", best["pid"])
+        .drop("_cents")
     )
 
 
@@ -183,13 +205,51 @@ def similarity_self_join(vectors: DataFrame, threshold: float) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Per-(session, sf_dir) cache of derived tables that many queries share
+#: (centroids + assigned corpus). On a real deployment these are materialized
+#: tables written once by the index build (O5, build_index); recomputing a
+#: posexplode-aggregate per query is pure waste. Persisted MEMORY_AND_DISK:
+#: centroids are nlist x dim (tiny), the assigned corpus is corpus-sized but
+#: column-pruned to (vec_id, embedding, label, partition_id).
+_DERIVED_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, what)
+    df = _DERIVED_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _DERIVED_CACHE[key] = df
+    return df
+
+
 def fixture_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(partition_id, centroid) — per-label mean of embeddings, re-normalized.
 
     Element-wise mean via posexplode + groupBy(label, pos): shuffles
     (nlist x dim) aggregation keys with map-side partial aggregation —
     scales linearly with the corpus, never collects vectors into one list.
+    Cached per (session, sf_dir) — see _DERIVED_CACHE.
     """
+    return _cached(spark, sf_dir, "centroids", lambda: _fixture_centroids(spark, sf_dir))
+
+
+def assigned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings corpus with its nearest-centroid ``partition_id`` —
+    the in-memory analog of the ``write.partitionBy`` IVF layout (T2+O19),
+    cached per (session, sf_dir) so the six queries built on it don't each
+    redo the assignment scan."""
+    return _cached(
+        spark,
+        sf_dir,
+        "assigned",
+        lambda: assign_partitions(
+            load_table(spark, sf_dir, "embeddings"), fixture_centroids(spark, sf_dir)
+        ),
+    )
+
+
+def _fixture_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pos = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
@@ -333,9 +393,7 @@ SELECT vec_id, partition_id FROM ranked WHERE r = 1
 )
 def q_partition_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O19: nearest-centroid partition assignment for the whole corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = fixture_centroids(spark, sf_dir)
-    return assign_partitions(emb, cent).select("vec_id", "partition_id")
+    return assigned_corpus(spark, sf_dir).select("vec_id", "partition_id")
 
 
 @register(
@@ -390,10 +448,9 @@ SELECT query_id, neighbor_id, partition_id, distance, rank FROM (
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full two-tier scatter-gather search (O22+O23+O24+O27+O28):
     nprobe=3, top_n=10 per partition, global limit 100."""
-    emb = load_table(spark, sf_dir, "embeddings")
     queries = _fixture_queries(spark, sf_dir)
     cent = fixture_centroids(spark, sf_dir)
-    corpus = assign_partitions(emb, cent)
+    corpus = assigned_corpus(spark, sf_dir)
     return ivf_search(queries, corpus, cent, nprobe=3, top_n=10, global_limit=100)
 
 
@@ -475,9 +532,7 @@ FROM corpus GROUP BY partition_id
 def q_health_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O29: per-partition vector counts + dimension-consistency check
     (neighborhood_server.py:228-241)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = fixture_centroids(spark, sf_dir)
-    corpus = assign_partitions(emb, cent).withColumn("dim", F.size("embedding"))
+    corpus = assigned_corpus(spark, sf_dir).withColumn("dim", F.size("embedding"))
     return corpus.groupBy("partition_id").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.countDistinct("dim").alias("n_dims"),

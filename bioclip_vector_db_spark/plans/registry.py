@@ -25,17 +25,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-#: Modules that register queries on import. Extended as operators land.
+#: Modules that register queries on import. Every entry must exist on disk.
 _PLAN_MODULES = (
     "bioclip_vector_db_spark.operators.knn",
     "bioclip_vector_db_spark.operators.indexing",
     "bioclip_vector_db_spark.operators.relational",
-    "bioclip_vector_db_spark.operators.taxon",
-    "bioclip_vector_db_spark.operators.dedup",
-    "bioclip_vector_db_spark.operators.text",
-    "bioclip_vector_db_spark.operators.ann",
-    "bioclip_vector_db_spark.operators.tpch",
-    "bioclip_vector_db_spark.streaming.events",
 )
 
 
@@ -56,10 +50,4 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all_plans() -> None:
     """Import every operator module so its @register calls run."""
     for mod in _PLAN_MODULES:
-        try:
-            importlib.import_module(mod)
-        except ModuleNotFoundError as e:
-            # Tolerate not-yet-written modules during incremental build,
-            # but never mask a real import error inside an existing module.
-            if e.name is not None and not mod.startswith(e.name):
-                raise
+        importlib.import_module(mod)

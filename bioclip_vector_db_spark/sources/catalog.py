@@ -31,9 +31,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Scans stay columnar + prunable."""
+    """Read one fixture table. Scans stay columnar + prunable.
+
+    The ``events`` fixture stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default. The legacy conf is a *runtime* SQL conf, so it
+    is set here — on whichever session runs the query (the driver supplies
+    its own SparkSession; configuring only our session factory is not
+    enough). The nanos column is converted to a proper TIMESTAMP (micros;
+    the fixture's values are micro-precision, so the cast is lossless).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

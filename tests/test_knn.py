@@ -40,7 +40,7 @@ def test_knn_self_is_nearest(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    top1 = knn_top1 = knn.knn_join(queries, emb, k=1).collect()
+    top1 = knn.knn_join(queries, emb, k=1).collect()
     for r in top1:
         assert r.neighbor_id == r.query_id
         assert abs(r.distance) < 1e-6
