@@ -30,6 +30,7 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.operators.knn",
     "bioclip_vector_db_spark.operators.indexing",
     "bioclip_vector_db_spark.operators.relational",
+    "bioclip_vector_db_spark.operators.taxon",
 )
 
 
