@@ -1,0 +1,370 @@
+"""X1/X2: content dedup + near-duplicate detection over the documents and
+embeddings corpora — the LLM-data-pipeline generalization of the reference's
+dedup-by-id upsert guard (reference: src/bioclip_vector_db/vector_db.py:
+124-132, O12 in SURVEY.md).
+
+Three mechanisms, all blocking/bucketed — NEVER all-pairs:
+
+1. **Exact content dedup** (X1): ``sha2(text, 256)`` group + keep-first.
+   One hash-shuffle on the digest; at 100 TB the digest is 64 bytes/row
+   regardless of document size, and the window is per-digest (group sizes =
+   duplicate multiplicity, never skewed beyond the true dup count).
+
+2. **MinHash banded LSH** (X2): shingle -> K minhashes -> B band signatures
+   -> equi-join on (band, signature) -> exact Jaccard verify on candidates
+   only. Work is O(corpus x K) for signatures and O(candidates) for verify;
+   no pair is ever formed outside a shared bucket. The minhash is the
+   lexicographic min of ``md5(seed || shingle)`` — deterministic and
+   byte-identical in Spark and DuckDB, so the whole pipeline (not a toy
+   projection of it) has an exact SQL oracle.
+
+3. **SimHash bucketing for embeddings**: P fixed hyperplanes (sign patterns
+   derived from md5 at module import — deterministic, no RNG) -> P-bit
+   signature -> equi-join on signature -> exact cosine verify. The
+   embedding-space analog of 2; candidates are bucket-mates only.
+
+The fixture corpora have no exact text dups and no high-cosine embedding
+pairs (verified at sf0.01), so the exact/simhash queries model the
+reference's re-ingest scenario: the corpus unioned with a re-keyed copy of a
+slice of itself — exactly what an idempotent ingest job sees on retry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot_product
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# X1: exact content dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per content digest.
+
+    ``dropDuplicates`` on the digest would be nondeterministic about WHICH
+    row survives; the window + keep-first makes survivorship reproducible
+    (and matches the reference's first-writer-wins upsert semantics).
+    """
+    hashed = df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        hashed.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2: MinHash banded LSH near-dup
+# ---------------------------------------------------------------------------
+
+#: 3-word shingles; 6 hashes in 2 bands of 3 — catches Jaccard >= ~0.8 with
+#: high probability while keeping bucket cardinality tiny.
+SHINGLE_WIDTH = 3
+N_HASHES = 6
+N_BANDS = 2
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def doc_shingles(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word ``SHINGLE_WIDTH``-grams per document:
+    ``(doc_id, shingle)``. Pure Catalyst: split -> slice windows -> explode."""
+    toks = F.split(F.col(text_col), " ")
+    w = SHINGLE_WIDTH
+    shingles = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
+        ),
+    ).otherwise(F.array())
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """Per-doc minhash vector: for each seed h, the lexicographic min of
+    ``md5(h || '|' || shingle)``. One map-side-combinable aggregation; the
+    signature is N_HASHES x 32 bytes per doc no matter how large the doc."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"mh{h}")
+        for h in range(N_HASHES)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_buckets(signatures: DataFrame) -> DataFrame:
+    """Explode signatures into ``(doc_id, band, sig)`` bucket keys —
+    one md5 over each band's concatenated minhashes."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    )
+                ).alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full X2 pipeline: shingle -> minhash -> band buckets -> candidate
+    equi-join -> exact Jaccard verify. Returns ``(a_id, b_id, jaccard)`` for
+    bucket-mate pairs with Jaccard >= threshold.
+
+    The physical plan is hash-join-on-bucket + hash-join-on-shingle: no
+    BroadcastNestedLoopJoin, no all-pairs stage anywhere (the fix for the
+    quadratic self-join flagged in round 1).
+    """
+    sh = doc_shingles(df, text_col=text_col, id_col=id_col)
+    buckets = lsh_band_buckets(minhash_signatures(sh))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("b_id2"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cands.join(sh_a, "a_id")
+        .join(sh_b, (F.col("b_id") == F.col("b_id2")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter")), 9
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash bucketing for embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+SIMHASH_PLANES = 16
+_EMB_DIM = 64
+
+
+def _plane_signs(p: int, dim: int = _EMB_DIM) -> list[int]:
+    """Deterministic +-1 hyperplane components from md5 — no RNG, so the
+    exact same planes are inlined into the DuckDB oracle."""
+    out = []
+    for d in range(dim):
+        nib = hashlib.md5(f"{p},{d}".encode()).hexdigest()[0]
+        out.append(-1 if nib in "01234567" else 1)
+    return out
+
+
+PLANES: list[list[int]] = [_plane_signs(p) for p in range(SIMHASH_PLANES)]
+
+
+def simhash_signature(vec: Column) -> Column:
+    """P-bit signature string: bit p = sign of the projection on plane p."""
+    bits = [
+        F.when(
+            F.round(
+                dot_product(vec, F.array(*[F.lit(float(s)) for s in PLANES[p]])), 9
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in range(SIMHASH_PLANES)
+    ]
+    return F.concat(*bits)
+
+
+def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Bucket vectors by simhash signature, verify exact cosine within
+    buckets only. Returns ``(a_id, b_id, similarity)``."""
+    sig = vectors.select(
+        F.col("vec_id"), F.col("embedding"), simhash_signature(F.col("embedding")).alias("sig")
+    )
+    a = sig.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"), F.col("sig")
+    )
+    b = sig.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"), F.col("sig")
+    )
+    return (
+        a.join(b, ["sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("similarity", F.round(dot_product(F.col("a_vec"), F.col("b_vec")), 9))
+        .filter(F.col("similarity") >= threshold)
+        .select("a_id", "b_id", "similarity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = f"""
+corpus_toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM doc_corpus
+),
+shingles AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_WIDTH - 1}], ' ') AS shingle
+    FROM corpus_toks, unnest(generate_series(1, greatest(len(t) - {SHINGLE_WIDTH - 1}, 0))) AS u(i)
+)
+"""
+
+_MINHASH_EXPRS = ",\n           ".join(
+    f"min(md5('{h}|' || shingle)) AS mh{h}" for h in range(N_HASHES)
+)
+
+_BAND_ROWS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({cat}) AS sig FROM sigs".format(
+        b=b,
+        cat=" || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+    )
+    for b in range(N_BANDS)
+)
+
+_NEAR_DUP_ORACLE = f"""
+WITH doc_corpus AS (SELECT doc_id, text FROM documents),
+{_SHINGLES_CTE.strip()},
+sigs AS (
+    SELECT doc_id, {_MINHASH_EXPRS}
+    FROM shingles GROUP BY doc_id
+),
+buckets AS ({_BAND_ROWS}),
+cands AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.a_id, c.b_id, count(*) AS i
+    FROM cands c
+    JOIN shingles sa ON sa.doc_id = c.a_id
+    JOIN shingles sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+    GROUP BY c.a_id, c.b_id
+)
+SELECT i.a_id, i.b_id,
+       round(i.i * 1.0 / (za.sz + zb.sz - i.i), 9) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a_id
+JOIN sizes zb ON zb.doc_id = i.b_id
+WHERE round(i.i * 1.0 / (za.sz + zb.sz - i.i), 9) >= 0.8
+"""
+
+
+def _plane_sql_literal(p: int) -> str:
+    return "[" + ", ".join(f"{s:.1f}" for s in PLANES[p]) + "]"
+
+
+_SIMHASH_BITS_SQL = " || ".join(
+    f"(CASE WHEN round(list_dot_product(embedding::DOUBLE[], {_plane_sql_literal(p)}), 9) >= 0 "
+    "THEN '1' ELSE '0' END)"
+    for p in range(SIMHASH_PLANES)
+)
+
+_EMB_NEAR_DUP_ORACLE = f"""
+WITH vec_corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50
+),
+sigs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec, {_SIMHASH_BITS_SQL} AS sig
+    FROM vec_corpus
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.vec, b.vec), 9) AS similarity
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.vec, b.vec), 9) >= 0.95
+"""
+
+
+# ---------------------------------------------------------------------------
+# Declared queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_content",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+),
+hashed AS (SELECT doc_id, sha256(text) AS content_hash FROM corpus),
+ranked AS (
+    SELECT doc_id, content_hash,
+           row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS r
+    FROM hashed
+)
+SELECT doc_id, content_hash FROM ranked WHERE r = 1
+""",
+)
+def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 [Q]: content-hash dedup of a re-ingested corpus (documents plus a
+    re-keyed copy of doc_id < 100) — the idempotent-retry scenario; the
+    original (lowest-id) row survives each digest group."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reingest = docs.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    corpus = docs.unionByName(reingest)
+    return exact_dedup(corpus).select("doc_id", "content_hash")
+
+
+@register("dedup_near_minhash", oracle=_NEAR_DUP_ORACLE)
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 [Q]: MinHash banded-LSH near-dup pairs over documents, exact
+    Jaccard >= 0.8 verified within buckets only. The full scalable pipeline
+    has an exact oracle because the minhash primitive (lexicographic min of
+    md5) is engine-agnostic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return near_dup_pairs(docs, 0.8)
+
+
+@register("embedding_near_dup_simhash", oracle=_EMB_NEAR_DUP_ORACLE)
+def q_embedding_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via simhash bucketing [Q]: the corpus plus
+    a re-keyed copy of vec_id < 50; identical vectors land in the same
+    16-bit bucket and verify at cosine 1.0."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reingest = emb.filter(F.col("vec_id") < 50).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    return embedding_near_dups(emb.unionByName(reingest), 0.95)

@@ -31,6 +31,7 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.operators.indexing",
     "bioclip_vector_db_spark.operators.relational",
     "bioclip_vector_db_spark.operators.taxon",
+    "bioclip_vector_db_spark.operators.dedup",
 )
 
 
