@@ -1,0 +1,270 @@
+"""X5: text analysis over the documents corpus — the LLM-data-pipeline
+surface (quality scoring, token counting, language ID, fingerprinting,
+TF-IDF) generalizing the reference's caption-string processing (reference:
+src/bioclip_vector_db/parse_utils.py O8 is its only text operator).
+
+Everything here is pure Catalyst string/array expressions + aggregations:
+
+- tokenization is ``split`` + ``explode`` (map-side, fused into the scan);
+- word counts / document frequencies are groupBy aggregations with map-side
+  partial combine — the classic linear-scan shape that holds at 100 TB;
+- TF-IDF joins the per-word document-frequency table back to term counts:
+  the DF table is vocabulary-sized (small side), so Catalyst broadcasts it;
+- fingerprints are md5 digests — constant bytes per doc downstream no
+  matter the document size (the same "digest, then operate on digests"
+  pattern as operators.dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+#: Tiny inline stopword lists for the language-ID heuristic [Q]. Real
+#: deployments would broadcast real lists; the mechanism (distinct-token
+#: intersection per language, argmax with deterministic tiebreak) is the same.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+}
+
+#: BPE-ish tokenizer regex: letter runs, digit runs, or single symbols.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens, empties dropped."""
+    return F.filter(F.split(text, " "), lambda w: w != "")
+
+
+def doc_stats(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: counts, lengths, lexical diversity."""
+    w = words(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.length(text_col).cast("bigint").alias("char_len"),
+        F.size(w).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct_words"),
+        F.round(
+            F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / F.size(w), 9
+        ).alias("avg_word_len"),
+        F.round(F.size(F.array_distinct(w)) / F.size(w), 9).alias("distinct_ratio"),
+    )
+
+
+def word_counts(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Corpus-wide word frequencies — explode + count with map-side combine."""
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def language_id(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: count distinct-token intersections
+    with each language's list; argmax with 'und' when nothing hits and an
+    en-before-es tiebreak (deterministic)."""
+    distinct_words = F.array_distinct(words(F.col(text_col)))
+    hits = {
+        lang: F.size(F.array_intersect(distinct_words, F.array(*[F.lit(w) for w in wl])))
+        for lang, wl in STOPWORDS.items()
+    }
+    predicted = (
+        F.when((hits["en"] == 0) & (hits["es"] == 0), F.lit("und"))
+        .when(hits["en"] >= hits["es"], F.lit("en"))
+        .otherwise(F.lit("es"))
+    )
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits["en"].cast("bigint").alias("en_hits"),
+        hits["es"].cast("bigint").alias("es_hits"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def tfidf_top_terms(df: DataFrame, top_k: int = 3, *, text_col: str = "text") -> DataFrame:
+    """Per-document top-k TF-IDF terms. DF table is vocab-sized ->
+    broadcast join; ranking is a per-doc window (WindowGroupLimit)."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = (
+        df.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = terms.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = terms.join(F.broadcast(dfreq), "word").select(
+        "doc_id",
+        "word",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def fingerprints(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Two document fingerprints: the exact content digest, and an
+    order-insensitive lexical digest (md5 over the sorted distinct token
+    set) that survives token reordering — a cheap rolling-hash analog."""
+    w = words(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("content_fp"),
+        F.md5(F.concat_ws("\x01", F.array_sort(F.array_distinct(w)))).alias("lexical_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared queries + oracles
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
+
+
+@register(
+    "text_doc_stats",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws, text FROM documents)
+SELECT doc_id,
+       length(text)::BIGINT AS char_len,
+       len(ws)::BIGINT AS n_words,
+       len(list_distinct(ws))::BIGINT AS n_distinct_words,
+       round(list_sum(list_transform(ws, x -> length(x)::DOUBLE)) / len(ws), 9) AS avg_word_len,
+       round(len(list_distinct(ws)) * 1.0 / len(ws), 9) AS distinct_ratio
+FROM w
+""",
+)
+def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: per-document quality metrics (length, word counts, lexical
+    diversity) — the quality-scoring pass of a training-data pipeline."""
+    return doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_word_counts",
+    oracle=f"""
+WITH tokens AS (
+    SELECT unnest({_WORDS_SQL}) AS word FROM documents
+),
+counts AS (SELECT word, count(*)::BIGINT AS n FROM tokens GROUP BY word),
+ranked AS (
+    SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank
+    FROM counts
+)
+SELECT word, n, rank FROM ranked WHERE rank <= 50
+""",
+)
+def q_text_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: corpus-wide top-50 word frequencies, count-desc word-asc."""
+    from pyspark.sql import Window
+
+    counts = word_counts(load_table(spark, sf_dir, "documents"))
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 50)
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tokens,
+       len({_WORDS_SQL})::BIGINT AS n_words
+FROM documents
+WHERE doc_id % 5 = 0
+""",
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: BPE-ish regex token counting vs whitespace word counting."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.size(words(F.col("text"))).cast("bigint").alias("n_words"),
+    )
+
+
+def _stoplist_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, lang, list_distinct({_WORDS_SQL}) AS dw FROM documents
+),
+hits AS (
+    SELECT doc_id, lang,
+           len(list_intersect(dw, {_stoplist_sql('en')}))::BIGINT AS en_hits,
+           len(list_intersect(dw, {_stoplist_sql('es')}))::BIGINT AS es_hits
+    FROM w
+)
+SELECT doc_id, lang AS labeled_lang, en_hits, es_hits,
+       CASE WHEN en_hits = 0 AND es_hits = 0 THEN 'und'
+            WHEN en_hits >= es_hits THEN 'en'
+            ELSE 'es' END AS predicted_lang
+FROM hits
+""",
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: stopword-ratio language-ID heuristic vs the labeled lang."""
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH terms AS (
+    SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.word,
+           round(tf.tf * ln(n.n_docs / dfreq.df), 9) AS tfidf
+    FROM tf JOIN dfreq USING (word) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, word, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+    FROM scored
+)
+SELECT doc_id, word, tfidf, rank FROM ranked WHERE doc_id < 20 AND rank <= 3
+""",
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: top-3 TF-IDF terms per document (doc_id < 20 slice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, 3).filter(F.col("doc_id") < 20)
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws, text FROM documents)
+SELECT doc_id,
+       md5(lower(trim(text))) AS content_fp,
+       md5(array_to_string(list_sort(list_distinct(ws)), chr(1))) AS lexical_fp
+FROM w
+WHERE doc_id % 10 = 0
+""",
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: exact + order-insensitive lexical document fingerprints."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return fingerprints(docs)

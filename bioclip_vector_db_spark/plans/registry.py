@@ -32,6 +32,7 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.operators.relational",
     "bioclip_vector_db_spark.operators.taxon",
     "bioclip_vector_db_spark.operators.dedup",
+    "bioclip_vector_db_spark.operators.text",
 )
 
 
