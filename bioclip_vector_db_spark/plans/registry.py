@@ -33,6 +33,7 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.operators.taxon",
     "bioclip_vector_db_spark.operators.dedup",
     "bioclip_vector_db_spark.operators.text",
+    "bioclip_vector_db_spark.streaming.events",
 )
 
 

@@ -1,0 +1,224 @@
+"""X7: event-time windowed analytics over the ``events`` table — batch and
+Structured Streaming forms of the same logical plans.
+
+The reference has NO streaming surface (its ingest is a sequential batch
+loop, src/bioclip_vector_db/vector_db.py:124,153 with ``streaming=False`` at
+:84); this module is the north-star extension (SURVEY.md §2.6 X7): the
+windowed aggregations a 100-TB event pipeline needs, written once and run
+either over a static DataFrame or a ``readStream`` source.
+
+Design notes for scale:
+- Tumbling/sliding windows are ``F.window`` group-bys: partial aggregation
+  happens map-side per (window, key) before the shuffle; state size in
+  streaming mode is bounded by watermarking (late rows beyond the watermark
+  are dropped, tested in tests/test_streaming.py).
+- Session windows use ``F.session_window`` — Spark's native mergeable
+  session state; the batch-mode oracle reproduces it with a
+  gaps-and-islands window (lag + running sum), which IS the scalable batch
+  formulation (one shuffle by user).
+- Float parity: event values have 2 decimals; sums are rounded to 6 (not
+  9) because cross-engine float-add ordering on hundreds of addends leaves
+  ~1e-10 noise — 6 decimals is exact for 2-decimal inputs with huge margin.
+
+The streaming entry (`events_stream_tumbling`) runs a REAL streaming query
+(file source -> complete-mode memory sink, availableNow trigger) and returns
+the settled result — byte-identical to the batch oracle because a single
+input file arrives in one micro-batch (nothing is late w.r.t. the initial
+watermark).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+SESSION_GAP = "4 hours"
+
+#: Raw parquet schema for the streaming file source (ts is INT64 nanos in
+#: the fixture; converted right after read like sources.catalog.load_table).
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, **reader_opts: str) -> DataFrame:
+    """``readStream`` over the events parquet — the O1-analog streaming scan."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    for k, v in reader_opts.items():
+        reader = reader.option(k, v)
+    df = reader.parquet(sf_dir)
+    # Integer DIV, not float division — see sources.catalog.load_table.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+# ---------------------------------------------------------------------------
+# Window transformations (batch or streaming input)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_stats(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per (tumbling window, event_type): count + value sum."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_stats(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Per (sliding window, event_type): each event lands in width/slide
+    overlapping windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_stats(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Per (user, session): session bounds + activity. A session extends
+    while consecutive events arrive within ``gap``."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared queries + oracles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 [Q]: tumbling 1-hour windows x event_type (batch mode)."""
+    return tumbling_stats(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "events_sliding_2h_1h",
+    oracle="""
+WITH expanded AS (
+    SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                   date_trunc('hour', ts)]) AS window_start,
+           event_type, value
+    FROM events
+)
+SELECT window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM expanded
+GROUP BY 1, 2
+""",
+)
+def q_events_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 [Q]: sliding 2-hour windows every hour — every event contributes
+    to exactly two windows; the oracle expands them explicitly."""
+    return sliding_stats(load_table(spark, sf_dir, "events"), "2 hours", "1 hour")
+
+
+@register(
+    "events_session_windows",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, ts, value,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM ordered
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 4 HOUR AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+""",
+)
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 [Q]: 4-hour-gap session windows per user. The oracle is the
+    gaps-and-islands batch formulation of Spark's session_window state
+    merge (end = last event + gap, matching Spark's session extent)."""
+    return session_stats(load_table(spark, sf_dir, "events"), SESSION_GAP)
+
+
+@register(
+    "events_stream_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 [Q]: the SAME tumbling aggregation executed as a real Structured
+    Streaming query — file source, 1-hour watermark, complete-mode memory
+    sink, availableNow trigger — then returned as the settled batch result.
+    One input file => one micro-batch => nothing is late vs the initial
+    watermark, so the batch oracle applies exactly."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_stats(stream.withWatermark("ts", "1 hour"), "1 hour")
+    name = "events_stream_tumbling_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,106 @@
+"""X7 streaming: oracle parity for the window queries + a real
+watermark/late-data drop test over a two-micro-batch file feed."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+
+from bioclip_vector_db_spark.plans.registry import ORACLES, QUERIES, load_all_plans
+from bioclip_vector_db_spark.streaming import events as ev
+
+from .conftest import assert_matches_oracle
+
+load_all_plans()
+
+EVENT_QUERIES = [
+    "events_tumbling_hourly",
+    "events_sliding_2h_1h",
+    "events_session_windows",
+    "events_stream_tumbling",
+]
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_oracle_parity(name, spark, sf_dir, duck):
+    assert_matches_oracle(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
+
+
+def _write_batch(path, rows):
+    ns = 10**9
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [int(r[1] * ns) for r in rows],
+            "user_id": [1] * len(rows),
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(path)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation with a 1-hour watermark over two
+    micro-batches: an event arriving in batch 2 that is older than the
+    watermark established by batch 1 must NOT be counted."""
+    base = 1_700_000_000 - (1_700_000_000 % 3600)  # hour-aligned epoch
+    h = 3600
+    d = tmp_path / "stream"
+    d.mkdir()
+    # Batch 1: two events in window W0 = [base, base+1h), one at +3h so the
+    # watermark advances to +2h — STRICTLY past W0's end (eviction requires
+    # window.end < watermark). Batch 2 exists because Spark only drops late
+    # rows for windows already EVICTED from state, and eviction happens at
+    # the end of the batch where the watermark passes the window: W0 is
+    # evicted+emitted at the end of batch 2, so batch 3's late row hits a
+    # closed window and is dropped (observable as numRowsDroppedByWatermark).
+    _write_batch(d / "batch1.parquet", [(1, base + 60), (2, base + 120), (3, base + 3 * h)])
+    time.sleep(1.05)  # distinct mtimes => deterministic file order
+    _write_batch(d / "batch2.parquet", [(4, base + 5 * h)])
+    time.sleep(1.05)
+    # Batch 3: one LATE event back in W0 (behind the watermark => dropped)
+    # and one fresh event.
+    _write_batch(d / "batch3.parquet", [(5, base + 300), (6, base + 7 * h)])
+
+    stream = ev.read_events_stream(
+        spark, str(d), pathGlobFilter="*.parquet", maxFilesPerTrigger="1"
+    )
+    agg = ev.tumbling_stats(stream.withWatermark("ts", "1 hour"), "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        int(r.window_start.timestamp()): r.n_events
+        for r in spark.table("late_drop_sink").collect()
+    }
+    # W0 closed with exactly the 2 on-time events; the late one (id=5) is
+    # gone. Had it been counted, W0 would read 3 (or appear twice).
+    assert out.get(base) == 2
+    late_dropped = [
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    assert sum(late_dropped) == 1
+
+
+def test_stream_batch_equivalence(spark, sf_dir):
+    """The streaming tumbling query settles to exactly the batch plan's
+    result (one file => one micro-batch => no late data)."""
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in QUERIES["events_stream_tumbling"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in QUERIES["events_tumbling_hourly"](spark, sf_dir).collect()
+    }
+    assert got == want
