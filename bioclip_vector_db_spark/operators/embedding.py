@@ -1,0 +1,102 @@
+"""O9/O10: the model-inference UDF surface — Arrow-batched pandas UDFs.
+
+The reference embeds images with BioCLIP inside its ingest loop (reference:
+src/bioclip_vector_db/vector_db.py:102-118 single, :168-173 batched, with
+L2 normalization at :112-114; CHW->HWC preprocessing at :144-148). Model
+weights don't belong in a correctness-checked engine, so the UDF here is a
+STAND-IN with the real plumbing:
+
+- Arrow ``pandas_udf`` (columnar batches over the JVM/Python boundary —
+  the same shape ``predict_batch_udf`` uses for real model serving; on a
+  cluster the model handle would be a per-executor broadcast/singleton);
+- deterministic output: an md5-nibble pseudo-embedding, L2-normalized like
+  the reference's — so the full UDF path has an EXACT DuckDB oracle and the
+  downstream operators (partitioning, KNN) can run on its output;
+- the same kernel is also exposed as a pure-Catalyst expression
+  (``pseudo_embedding_sql``) — the two are hash-identical, which is itself
+  a declared invariant (the UDF boundary does not change results).
+
+Swapping in a real model = replacing ``_md5_embed`` with a model call; the
+schema, batching, normalization, and null handling stay as-is.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+EMBED_DIM = 8
+
+
+def _md5_embed(text: str) -> list[float]:
+    """Deterministic pseudo-embedding: first EMBED_DIM md5 nibbles,
+    centered at 7.5, L2-normalized (normalization mirrors
+    vector_db.py:112-114 ``normalize=True``)."""
+    h = hashlib.md5(text.encode("utf-8")).hexdigest()
+    v = [int(c, 16) - 7.5 for c in h[:EMBED_DIM]]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pandas_udf(T.ArrayType(T.DoubleType()))
+def embed_text_udf(texts: pd.Series) -> pd.Series:
+    """O9: the batched embedding transform as an Arrow pandas UDF.
+    None in -> None out (the reference nulls failed records and filters
+    them downstream, O13)."""
+    return texts.map(lambda t: None if t is None else _md5_embed(t))
+
+
+def pseudo_embedding_sql(text: Column) -> Column:
+    """The same kernel as pure Catalyst expressions (no Python): used to
+    assert the UDF boundary is semantics-preserving."""
+    h = F.md5(text)
+    nibs = F.transform(
+        F.sequence(F.lit(1), F.lit(EMBED_DIM)),
+        lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1 - 7.5,
+    )
+    norm = F.sqrt(F.aggregate(nibs, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(nibs, lambda x: x / norm)
+
+
+def embed_documents(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Attach the embedding column — the Spark restatement of the
+    reference's embed-then-store ingest stage."""
+    return docs.withColumn("embedding", embed_text_udf(F.col(text_col)))
+
+
+_EMBED_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+),
+nibs AS (
+    SELECT doc_id, i,
+           strpos('0123456789abcdef', substr(h, i, 1)) - 1 - 7.5 AS v
+    FROM docs, unnest(generate_series(1, {EMBED_DIM})) AS u(i)
+),
+norms AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM nibs GROUP BY doc_id)
+SELECT n.doc_id, (n.i - 1)::INT AS dim_idx, round(n.v / m.nrm, 9) AS component
+FROM nibs n JOIN norms m USING (doc_id)
+"""
+
+
+@register("embedding_udf_stub", oracle=_EMBED_ORACLE)
+def q_embedding_udf_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 [Q]: run the Arrow pandas-UDF embedding over a document slice and
+    posexplode to scalar rows (the driver's hasher can't canonicalize raw
+    arrays). The oracle recomputes the kernel in pure SQL — exact match
+    proves the UDF path is deterministic and batch-shape-correct."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    emb = embed_documents(docs.select("doc_id", "text"))
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "c")
+    ).select("doc_id", "dim_idx", F.round("c", 9).alias("component"))

@@ -34,6 +34,8 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.operators.dedup",
     "bioclip_vector_db_spark.operators.text",
     "bioclip_vector_db_spark.streaming.events",
+    "bioclip_vector_db_spark.operators.embedding",
+    "bioclip_vector_db_spark.operators.multimodal",
 )
 
 
