@@ -9,16 +9,20 @@ sidecar) and an online two-tier scatter-gather top-k search.
 This package re-expresses every one of those capabilities as declarative
 Spark DataFrame pipelines (SURVEY.md section 2 is the operator inventory):
 
-- ``sources``    — table catalog over the parquet lakehouse (T1-T5 analogs).
-- ``functions``  — columnar expression helpers: vector math (cosine/dot/
-                   normalize), taxon-tag parsing, text analysis, hashing.
-- ``operators``  — the dataflow operators: KNN search (O22-O28), indexing
-                   (O17-O20), dedup (O12, X1-X2), relational utilities
-                   (O14, O15, O25-O29), text/quality analysis (X5).
-- ``plans``      — the query registry that backs ``__spark_entry__.py``:
-                   every declared query + its DuckDB oracle SQL twin.
-- ``streaming``  — Structured Streaming operators over the events table (X7).
-- ``multimodal`` — binary-column (image/audio) plumbing with stubbed decode.
+- ``sources``   — table catalog over the parquet lakehouse (T1-T5 analogs)
+                  plus the binaryFile shard scan (O2).
+- ``functions`` — columnar expression helpers: vector math (cosine/dot/
+                  normalize) as Catalyst higher-order functions.
+- ``operators`` — the dataflow operators, one module each:
+                  ``knn`` (serving path O22-O28, X3/X4), ``indexing``
+                  (O6, O17-O20, O25/O26), ``relational`` (O14/O15/O28),
+                  ``taxon`` (O8 caption parse), ``dedup`` (X1/X2 content
+                  hash + MinHash LSH + simhash), ``text`` (X5 analysis),
+                  ``embedding`` (O9/O10 pandas-UDF stub), ``multimodal``
+                  (X6 binary columns), ``tpch`` (generic relational).
+- ``plans``     — the query registry that backs ``__spark_entry__.py``:
+                  every declared query + its DuckDB oracle SQL twin.
+- ``streaming`` — Structured Streaming over the events table (X7).
 
 Design stance: DataFrame/SQL first; Catalyst does pushdown/pruning/join
 selection; Python appears only in Arrow-batched pandas UDFs on genuinely

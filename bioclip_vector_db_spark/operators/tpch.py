@@ -1,0 +1,182 @@
+"""Generic relational surface — TPC-H-shaped queries over the star schema.
+
+The reference exercises these categories implicitly (SURVEY.md §2.5: equi/
+semi/anti joins, aggregation, windows, sort/limit, set ops); these queries
+demonstrate them at classic analytic shape on the driver's TPC-H-ish
+fixtures, with the plans a 100-TB warehouse wants:
+
+- dimension tables (region/nation/customer) broadcast into fact scans;
+- aggregations partial map-side (sum/count combine before the shuffle);
+- top-k as ORDER BY + LIMIT => TakeOrderedAndProject (no full sort) or
+  rank-window => WindowGroupLimit;
+- filters on the fact table pushed into the parquet scan (PushedFilters).
+
+Float parity: monetary sums accumulate ~1e9 magnitudes where cross-engine
+addition order leaves ~1e-5 absolute noise, so money aggregates round to 2
+decimals (mathematically exact for 2-decimal inputs — far above the noise
+floor, far below the cent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "tpch_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shape [Q]: scan-filter-aggregate with map-side partial combine —
+    the canonical linear-scan aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_top_orders",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderdate,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shape [Q]: selective dim filter broadcast into two fact joins,
+    then global top-10 by revenue (TakeOrderedAndProject)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_revenue_forecast",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+""",
+)
+def q_tpch_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shape [Q]: pure filter-aggregate — every predicate pushes into
+    the parquet scan; zero joins, one partial+final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@register(
+    "tpch_top_customers_per_nation",
+    oracle="""
+WITH ranked AS (
+    SELECT n.n_name AS nation, c.c_name AS customer, c.c_acctbal,
+           row_number() OVER (
+               PARTITION BY n.n_name
+               ORDER BY c.c_acctbal DESC, c.c_custkey) AS rank
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation, customer, round(c_acctbal, 2) AS acctbal, rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def q_tpch_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k [Q]: top-3 customers by balance per nation —
+    WindowGroupLimit takes the per-partition top-3 before the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_name").alias("customer"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "tpch_nation_rollup",
+    oracle="""
+SELECT coalesce(r.r_name, 'ALL') AS region,
+       coalesce(n.n_name, 'ALL') AS nation,
+       count(*)::BIGINT AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def q_tpch_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup [Q]: region -> nation -> grand-total hierarchy in one pass
+    (Spark expands grouping sets without rescanning the input)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )

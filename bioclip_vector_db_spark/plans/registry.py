@@ -36,6 +36,7 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.streaming.events",
     "bioclip_vector_db_spark.operators.embedding",
     "bioclip_vector_db_spark.operators.multimodal",
+    "bioclip_vector_db_spark.operators.tpch",
 )
 
 
