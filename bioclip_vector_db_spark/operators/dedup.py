@@ -75,7 +75,15 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 
 def doc_shingles(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct word ``SHINGLE_WIDTH``-grams per document:
-    ``(doc_id, shingle)``. Pure Catalyst: split -> slice windows -> explode."""
+    ``(doc_id, shingle)``. Pure Catalyst: split -> slice windows -> explode.
+
+    The input is repartitioned by id first: the corpus often arrives as few
+    large files (one, for the fixture), and the explode+hash work downstream
+    is CPU-bound — a cheap pre-shuffle of the raw text rows parallelizes it
+    across every core/executor instead of running one task per input file.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_parts, F.col(id_col))
     toks = F.split(F.col(text_col), " ")
     w = SHINGLE_WIDTH
     shingles = F.when(
@@ -138,7 +146,9 @@ def near_dup_pairs(
     BroadcastNestedLoopJoin, no all-pairs stage anywhere (the fix for the
     quadratic self-join flagged in round 1).
     """
-    sh = doc_shingles(df, text_col=text_col, id_col=id_col)
+    # The shingle set feeds three branches (buckets, sizes, verify x2);
+    # persist it so the explode+distinct runs once, not per branch.
+    sh = doc_shingles(df, text_col=text_col, id_col=id_col).persist()
     buckets = lsh_band_buckets(minhash_signatures(sh))
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (

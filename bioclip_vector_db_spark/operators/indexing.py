@@ -36,7 +36,13 @@ from pyspark.sql import types as T
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
-from .knn import CENTROIDS_CTE, assign_partitions, assigned_corpus, fixture_centroids
+from .knn import (
+    CENTROIDS_CTE,
+    _cached,
+    assign_partitions,
+    assigned_corpus,
+    fixture_centroids,
+)
 
 # ---------------------------------------------------------------------------
 # Library API
@@ -287,6 +293,29 @@ def q_id_derivation_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained (k=10, seed=42) leader table, fitted once per
+    (session, sf_dir) — the fit is the expensive stage and both kmeans
+    queries need the same model (round-1 re-fit it per query).
+
+    Trains on the id-prefix of 50*k vectors — the reference's exact
+    train-set rule (train_set_size = 50*nlist, filled with the FIRST
+    arrivals: storage_impl.py:83,103-105). A prefix by vec_id is the
+    deterministic Spark restatement of "first N records", and it keeps the
+    fit O(50*k*maxIter) regardless of corpus size."""
+    k = 10
+    return _cached(
+        spark,
+        sf_dir,
+        "trained_centroids",
+        lambda: train_kmeans_centroids(
+            load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50 * k),
+            k=k,
+            seed=42,
+        ),
+    )
+
+
 @register("kmeans_train")
 def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O17/O18 [W]: fit the k-means coarse quantizer (k=10, seed=42) and
@@ -296,8 +325,7 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's pandas-based hasher."""
     from ..functions.vector import l2_norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = train_kmeans_centroids(emb, k=10, seed=42)
+    cent = trained_centroids(spark, sf_dir)
     return cent.select(
         "partition_id",
         F.size("centroid").cast("int").alias("dim"),
@@ -320,7 +348,7 @@ def q_kmeans_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one assignment and every partition id is in [0, k). The raw
     per-partition counts are seed-dependent and have no SQL oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = train_kmeans_centroids(emb, k=10, seed=42)
+    cent = trained_centroids(spark, sf_dir)
     assigned = assign_partitions(emb, cent)
     return assigned.agg(
         F.count(F.lit(1)).cast("bigint").alias("total_vectors"),
