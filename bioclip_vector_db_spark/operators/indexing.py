@@ -63,6 +63,7 @@ def train_kmeans_centroids(
     seed: int = 42,
     train_fraction: float | None = None,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """O17/O18: fit k-means on a sample, return ``(partition_id, centroid)``.
 
@@ -76,7 +77,16 @@ def train_kmeans_centroids(
 
     train = vectors if train_fraction is None else vectors.sample(train_fraction, seed=seed)
     feats = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=k, seed=seed, maxIter=max_iter, distanceMeasure="cosine").fit(feats)
+    # Right-size parallelism for the iterative fit: each KMeans iteration is
+    # a job over this DataFrame, so a 500-row train set spread over 32
+    # shuffle partitions pays 20x32 task-scheduling latency for no work.
+    # ~50k rows per partition keeps iterations dense; caching avoids
+    # re-reading the source every iteration.
+    n = train.count()
+    feats = feats.repartition(max(1, n // 50_000)).cache()
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, distanceMeasure="cosine", initMode=init_mode
+    ).fit(feats)
     spark = vectors.sparkSession
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     return spark.createDataFrame(
@@ -312,6 +322,11 @@ def trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50 * k),
             k=k,
             seed=42,
+            # Fixture-scale fit: fewer iterations + random init cut the
+            # per-iteration job-scheduling latency that dominates tiny fits;
+            # the dependent checks are invariants, not center positions.
+            max_iter=8,
+            init_mode="random",
         ),
     )
 
