@@ -37,6 +37,7 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.operators.embedding",
     "bioclip_vector_db_spark.operators.multimodal",
     "bioclip_vector_db_spark.operators.tpch",
+    "bioclip_vector_db_spark.operators.quantization",
 )
 
 

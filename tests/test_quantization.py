@@ -1,0 +1,58 @@
+"""O21 scalar quantization: oracle parity + round-trip error bound +
+recall of the coarse+rescore pattern vs exact search."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bioclip_vector_db_spark.operators import knn, quantization as qz
+from bioclip_vector_db_spark.plans.registry import ORACLES, QUERIES, load_all_plans
+from bioclip_vector_db_spark.sources.catalog import load_table
+
+from .conftest import assert_matches_oracle
+
+load_all_plans()
+
+
+def test_oracle_parity(spark, sf_dir, duck):
+    assert_matches_oracle(
+        QUERIES["knn_quantized_rescore"](spark, sf_dir),
+        duck,
+        ORACLES["knn_quantized_rescore"],
+    )
+
+
+def test_roundtrip_error_bounded(spark, sf_dir):
+    """Quantize-dequantize error is at most 1/(2*127) per component."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    err = emb.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                qz.dequantize_i8(qz.quantize_i8(F.col("embedding"))),
+                lambda a, b: F.abs(a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    assert err <= 0.5 / qz.I8_SCALE + 1e-12
+
+
+def test_rescore_recall_matches_exact(spark, sf_dir):
+    """With coarse_k comfortably above k, the int8-coarse + fp32-rescore
+    top-5 equals the exact brute-force top-5 on this corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in qz.knn_quantized_rescore(queries, corpus, coarse_k=20, k=5).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn.knn_join(queries, corpus, k=5).collect()
+    }
+    assert got == want
