@@ -1,0 +1,73 @@
+"""O3-O7 offline build: partitioned writes, reload, storage-level pruning.
+
+The reference's build writes partition_{id}.npy + local_{id}.index +
+leader.index + a SQLite sidecar (reference: faiss_utils.py:128-160,
+metadata_storage.py:46-57); here one job writes the partitionBy(partition_id)
+corpus (the IVF layout IS the index), the centroid table, and the id_mapping
+sidecar — and a filter on partition_id prunes at the STORAGE level.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bioclip_vector_db_spark.operators import knn
+from bioclip_vector_db_spark.operators.indexing import build_index
+from bioclip_vector_db_spark.sources.catalog import load_table
+
+
+def test_build_index_layout_and_search(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    built = build_index(emb, out, k=5)
+
+    # O3/O5/O6: three tables on disk; the corpus is hive-partitioned.
+    assert sorted(os.listdir(out)) == ["centroids", "corpus", "id_mapping"]
+    parts = [d for d in os.listdir(f"{out}/corpus") if d.startswith("partition_id=")]
+    assert 1 <= len(parts) <= 5
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    centroids = spark.read.parquet(f"{out}/centroids")
+    id_mapping = spark.read.parquet(f"{out}/id_mapping")
+
+    # Nothing lost in the build (the reference's trainer DROPS records in
+    # two paths — SURVEY.md §1.4; ours must not).
+    assert corpus.count() == emb.count()
+    assert id_mapping.count() == emb.count()
+    assert centroids.count() == 5
+
+    # O23 as storage: a partition_id filter must prune at the scan
+    # (PartitionFilters on the hive layout, not a post-scan filter).
+    pruned = corpus.filter(F.col("partition_id") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(partition_id" in plan
+
+    # Search over the RELOADED layout equals search over the in-memory
+    # pipeline (round-trip preserves the serving semantics).
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn.ivf_search(queries, corpus, centroids, nprobe=5, top_n=10).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn.ivf_search(
+            queries, built["corpus"], built["centroids"], nprobe=5, top_n=10
+        ).collect()
+    }
+    assert got == want
+
+
+def test_reset_overwrite(spark, sf_dir, tmp_path):
+    """O7: a rebuild into the same location fully replaces the previous
+    index (the reference's reset(force=True) + re-init)."""
+    out = str(tmp_path / "index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_index(emb.filter(F.col("vec_id") < 100), out, k=2)
+    build_index(emb.filter(F.col("vec_id") < 50), out, k=2)
+    assert spark.read.parquet(f"{out}/corpus").count() == 50
+    assert spark.read.parquet(f"{out}/id_mapping").count() == 50
