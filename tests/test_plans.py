@@ -1,0 +1,68 @@
+"""Physical-plan guards: the plans the engine promises at scale.
+
+These assert optimizer-level properties (group-limit pushdown, top-k
+without full sort, scan-level filter/column pushdown, no row-expanding
+joins) so a future edit can't silently regress them — at sf0.01 every plan
+looks fast; these checks encode what must hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bioclip_vector_db_spark.operators import knn
+from bioclip_vector_db_spark.plans.registry import QUERIES, load_all_plans
+from bioclip_vector_db_spark.sources.catalog import load_table
+
+load_all_plans()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_windows_use_group_limit(spark, sf_dir):
+    """row_number()<=k must compile to WindowGroupLimit (partial before the
+    shuffle: per-task top-k, shuffle volume O(groups*k) not O(rows))."""
+    for name in ("knn_bruteforce", "leader_routing", "knn_batch_join"):
+        assert "WindowGroupLimit" in _plan(QUERIES[name](spark, sf_dir)), name
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject."""
+    assert "TakeOrderedAndProject" in _plan(QUERIES["tpch_top_orders"](spark, sf_dir))
+
+
+def test_assignment_has_no_row_expansion(spark, sf_dir):
+    """The centroid argmin joins ONE collapsed row — never a vectors x
+    centroids expansion, and no window shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = knn.fixture_centroids(spark, sf_dir)
+    plan = _plan(knn.assign_partitions(emb, cent))
+    assert "Window" not in plan
+    # The only join is against the single-row collapsed centroid array.
+    assert plan.count("Join") <= 1
+
+
+def test_fact_filters_push_into_scan(spark, sf_dir):
+    """Q6-shape predicates must reach the parquet reader (PushedFilters),
+    and the scan must prune to the referenced columns only."""
+    plan = _plan(QUERIES["tpch_revenue_forecast"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+    read_schema = plan.split("ReadSchema:")[1][:300]
+    assert "l_comment" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_dimension_tables_broadcast(spark, sf_dir):
+    """Dim joins must be broadcast hash joins, not shuffle joins."""
+    plan = _plan(QUERIES["tpch_top_customers_per_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_scan_prunes_columns(spark, sf_dir):
+    """A 2-column projection over embeddings must not read `label`."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assert "label" not in _plan(emb.filter(F.col("vec_id") < 5)).split("ReadSchema:")[1]
