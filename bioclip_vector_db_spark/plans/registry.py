@@ -38,6 +38,7 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.operators.multimodal",
     "bioclip_vector_db_spark.operators.tpch",
     "bioclip_vector_db_spark.operators.quantization",
+    "bioclip_vector_db_spark.streaming.stateful",
 )
 
 
