@@ -146,6 +146,28 @@ def q_tpch_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "tpch_active_customers_semi",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+)
+""",
+)
+def q_tpch_active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join [Q]: customers with at least one recent order — EXISTS as
+    ``left_semi`` (the categorical twin of the dedup anti join, O12)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
     "tpch_nation_rollup",
     oracle="""
 SELECT coalesce(r.r_name, 'ALL') AS region,

@@ -11,6 +11,7 @@ from .conftest import assert_matches_oracle
 load_all_plans()
 
 TPCH_QUERIES = [
+    "tpch_active_customers_semi",
     "tpch_pricing_summary",
     "tpch_top_orders",
     "tpch_revenue_forecast",
