@@ -35,13 +35,16 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
 
 def test_assignment_has_no_row_expansion(spark, sf_dir):
     """The centroid argmin joins ONE collapsed row — never a vectors x
-    centroids expansion, and no window shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    centroids expansion, and no window shuffle. The input is filtered so
+    the plan can't be swapped for a cached assigned_corpus fragment (whose
+    InMemoryRelation description embeds its own historical plan text)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
     cent = knn.fixture_centroids(spark, sf_dir)
     plan = _plan(knn.assign_partitions(emb, cent))
     assert "Window" not in plan
-    # The only join is against the single-row collapsed centroid array.
-    assert plan.count("Join") <= 1
+    # Exactly one join: the vectors x single-collapsed-row broadcast.
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
 
 
 def test_fact_filters_push_into_scan(spark, sf_dir):
