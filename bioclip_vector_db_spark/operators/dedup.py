@@ -99,12 +99,22 @@ def doc_shingles(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+#: Hex width of each minhash slice. One md5 per shingle supplies all
+#: N_HASHES hash functions as disjoint digest slices ("one-permutation"
+#: style): 6x fewer digest computations than per-seed hashing, and each
+#: 20-bit slice is still far below any collision concern for per-doc
+#: shingle-set minima.
+MINHASH_SLICE = 5
+
+
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """Per-doc minhash vector: for each seed h, the lexicographic min of
-    ``md5(h || '|' || shingle)``. One map-side-combinable aggregation; the
-    signature is N_HASHES x 32 bytes per doc no matter how large the doc."""
+    """Per-doc minhash vector: for hash h, the lexicographic min over the
+    doc's shingles of digest slice h of ``md5(shingle)``. One
+    map-side-combinable aggregation; the signature is a few bytes per doc
+    no matter how large the doc."""
+    digest = F.md5(F.col("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"mh{h}")
+        F.min(F.substring(digest, 1 + h * MINHASH_SLICE, MINHASH_SLICE)).alias(f"mh{h}")
         for h in range(N_HASHES)
     ]
     return shingles.groupBy("doc_id").agg(*aggs)
@@ -259,7 +269,8 @@ shingles AS (
 """
 
 _MINHASH_EXPRS = ",\n           ".join(
-    f"min(md5('{h}|' || shingle)) AS mh{h}" for h in range(N_HASHES)
+    f"min(substr(md5(shingle), {1 + h * MINHASH_SLICE}, {MINHASH_SLICE})) AS mh{h}"
+    for h in range(N_HASHES)
 )
 
 _BAND_ROWS = " UNION ALL ".join(

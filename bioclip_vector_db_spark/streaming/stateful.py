@@ -89,12 +89,20 @@ def q_events_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFra
     stream = read_events_stream(spark, sf_dir)
     profiles = running_user_profiles(stream)
     name = "events_stateful_profiles_sink"
-    q = (
-        profiles.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State-store count = shuffle partitions at first start. 150 users do
+    # not need 32 state stores; each store pays per-batch open/commit cost.
+    # (On a cluster-sized keyspace this would stay at the session default.)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            profiles.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
