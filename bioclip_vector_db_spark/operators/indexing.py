@@ -134,13 +134,33 @@ def build_index(
 
     Writes three tables under ``output_dir``: ``corpus`` (partitioned by
     partition_id — the IVF layout; O3/O4), ``centroids`` (the leader index;
-    O5), ``id_mapping`` (the sidecar; O6). Returns the DataFrames.
+    O5), ``id_mapping`` (the sidecar; O6). Returns the DataFrames plus
+    build metrics.
+
+    O16/O31 (the reference's running insert counter and @timer decorator,
+    storage_interface.py:22-24, neighborhood_server.py:31-52) map to
+    ``df.observe``: counters ride the write job itself — no extra pass —
+    and land in ``metrics`` alongside wall-clock timings.
     """
+    import time
+
+    from pyspark.sql import Observation
+
+    t0 = time.perf_counter()
     n = vectors.count()
     k = k or derive_nlist(n)
     cent = train_kmeans_centroids(vectors, k, seed=seed)
+    t_train = time.perf_counter()
     assigned = assign_partitions(vectors, cent)
     corpus = with_faiss_ids(assigned)
+    obs = Observation("build_counts")
+    corpus_obs = corpus.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_records"),
+        # DISTINCT aggregates are disallowed in observed metrics; the HLL
+        # sketch is the monitoring-grade equivalent (exact for tiny k).
+        F.approx_count_distinct("partition_id").alias("n_partitions_used"),
+    )
     id_mapping = corpus.select(
         "partition_id",
         "faiss_id",
@@ -148,12 +168,28 @@ def build_index(
         F.to_json(F.struct("label")).alias("metadata"),
         F.current_timestamp().alias("created_at"),
     )
-    corpus.write.mode("overwrite").partitionBy("partition_id").parquet(f"{output_dir}/corpus")
+    corpus_obs.write.mode("overwrite").partitionBy("partition_id").parquet(
+        f"{output_dir}/corpus"
+    )
+    t_corpus = time.perf_counter()
     cent.write.mode("overwrite").parquet(f"{output_dir}/centroids")
     id_mapping.write.mode("overwrite").partitionBy("partition_id").parquet(
         f"{output_dir}/id_mapping"
     )
-    return {"corpus": corpus, "centroids": cent, "id_mapping": id_mapping}
+    metrics = {
+        **obs.get,
+        "n_input": n,
+        "k": k,
+        "train_sec": round(t_train - t0, 3),
+        "corpus_write_sec": round(t_corpus - t_train, 3),
+        "total_sec": round(time.perf_counter() - t0, 3),
+    }
+    return {
+        "corpus": corpus,
+        "centroids": cent,
+        "id_mapping": id_mapping,
+        "metrics": metrics,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,12 @@ def test_build_index_layout_and_search(spark, sf_dir, tmp_path):
 
     # O3/O5/O6: three tables on disk; the corpus is hive-partitioned.
     assert sorted(os.listdir(out)) == ["centroids", "corpus", "id_mapping"]
+
+    # O16/O31: counters observed on the write job itself.
+    m = built["metrics"]
+    assert m["n_records"] == emb.count()
+    assert 1 <= m["n_partitions_used"] <= 5
+    assert m["total_sec"] > 0
     parts = [d for d in os.listdir(f"{out}/corpus") if d.startswith("partition_id=")]
     assert 1 <= len(parts) <= 5
 
