@@ -78,6 +78,33 @@ def test_ivf_partition_pruning_limits_candidates(spark, sf_dir):
     assert all(r.np == 1 for r in parts)
 
 
+def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
+    """Recall@10 vs brute force is non-decreasing in nprobe and reaches
+    1.0 at nprobe = nlist — the accuracy/latency knob the reference exposes
+    per request (neighborhood_server.py:313-317,417-421)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cent = knn.fixture_centroids(spark, sf_dir)
+    corpus = knn.assigned_corpus(spark, sf_dir)
+    nlist = cent.count()
+    truth = {
+        (r.query_id, r.neighbor_id) for r in knn.knn_join(queries, emb, k=10).collect()
+    }
+    recalls = []
+    for nprobe in (1, 3, nlist):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in knn.ivf_search(
+                queries, corpus, cent, nprobe=nprobe, top_n=10, global_limit=10
+            ).collect()
+        }
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+
+
 def test_centroids_are_unit_norm(spark, sf_dir):
     from bioclip_vector_db_spark.functions.vector import l2_norm
 
