@@ -67,7 +67,12 @@ def _update_user_profile(
 
 def running_user_profiles(events: DataFrame) -> DataFrame:
     """Maintain per-user lifetime profiles across micro-batches; emits the
-    updated profile row for every user seen in the batch."""
+    updated profile row for every user seen in the batch.
+
+    Only the three columns the state function reads cross the Arrow
+    boundary — projecting before the stateful op halves the JVM->Python
+    transfer (the props/event_type payload never leaves the JVM)."""
+    events = events.select("user_id", "ts", "value")
     return events.groupBy("user_id").applyInPandasWithState(
         _update_user_profile,
         OUTPUT_SCHEMA,
