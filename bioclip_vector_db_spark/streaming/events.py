@@ -57,6 +57,7 @@ RAW_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str, **reader_opts: str) -> DataFrame:
     """``readStream`` over the events parquet — the O1-analog streaming scan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = (
         spark.readStream.schema(RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
