@@ -146,6 +146,76 @@ def q_tpch_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "tpch_promo_revenue_share",
+    oracle="""
+SELECT round(
+           100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0 END)
+           / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share_pct,
+       count(*)::BIGINT AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""",
+)
+def q_tpch_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shape [Q]: conditional-aggregate ratio over a fact x broadcast
+    dim join (part is the small side)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "tpch_top_suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY s.s_suppkey, s.s_name, n.n_name
+ORDER BY revenue DESC, s_suppkey
+LIMIT 10
+""",
+)
+def q_tpch_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 suppliers by revenue with nation names — two broadcast dim
+    joins into one fact aggregation, global top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
+        .limit(10)
+    )
+
+
+@register(
     "tpch_active_customers_semi",
     oracle="""
 SELECT c.c_custkey, c.c_name

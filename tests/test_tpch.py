@@ -12,6 +12,8 @@ load_all_plans()
 
 TPCH_QUERIES = [
     "tpch_active_customers_semi",
+    "tpch_promo_revenue_share",
+    "tpch_top_suppliers",
     "tpch_pricing_summary",
     "tpch_top_orders",
     "tpch_revenue_forecast",
