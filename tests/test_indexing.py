@@ -1,0 +1,60 @@
+"""Indexing/relational queries: oracle parity (completing per-operator
+pytest coverage — the driver gate checks these too, but regressions should
+fail here first)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bioclip_vector_db_spark.operators import indexing
+from bioclip_vector_db_spark.plans.registry import ORACLES, QUERIES, load_all_plans
+from bioclip_vector_db_spark.sources.catalog import load_table
+
+from .conftest import assert_matches_oracle
+
+load_all_plans()
+
+INDEXING_QUERIES = [
+    "id_mapping_build",
+    "id_remap_join",
+    "metadata_lookup",
+    "dedup_anti_join",
+    "id_derivation_null_filter",
+    "kmeans_assignment_balance",
+    "json_metadata_roundtrip",
+    "partition_range_expansion",
+    "taxon_parse",
+    "embedding_udf_stub",
+    "multimodal_binary_manifest",
+    "multimodal_decode_stub",
+    "knn_quantized_rescore",
+]
+
+
+@pytest.mark.parametrize("name", INDEXING_QUERIES)
+def test_oracle_parity(name, spark, sf_dir, duck):
+    assert_matches_oracle(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
+
+
+def test_faiss_ids_dense_per_partition(spark, sf_dir):
+    """O20: within each partition, faiss_id is exactly 0..n_p-1 (the
+    reference's per-partition defaultdict counter, faiss_utils.py:45)."""
+    from bioclip_vector_db_spark.operators.knn import assigned_corpus
+
+    ids = indexing.with_faiss_ids(assigned_corpus(spark, sf_dir))
+    per_part = ids.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("faiss_id").alias("lo"),
+        F.max("faiss_id").alias("hi"),
+        F.countDistinct("faiss_id").alias("nd"),
+    )
+    for r in per_part.collect():
+        assert r.lo == 0 and r.hi == r.n - 1 and r.nd == r.n
+
+
+def test_nlist_rule(spark):
+    """O18: nlist = floor(10*sqrt(N)) (storage_impl.py:78-82)."""
+    assert indexing.derive_nlist(10_000_000) == 31_622
+    assert indexing.derive_nlist(1) == 10
+    assert indexing.derive_nlist(0) == 1
