@@ -81,6 +81,10 @@ def doc_shingles(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
     large files (one, for the fixture), and the explode+hash work downstream
     is CPU-bound — a cheap pre-shuffle of the raw text rows parallelizes it
     across every core/executor instead of running one task per input file.
+    That same hash-by-doc_id partitioning is then REUSED by every
+    per-doc aggregation downstream (signatures, set sizes): no further
+    doc-keyed exchange. Shingle dedup is per-document, so it runs map-side
+    via ``array_distinct`` — never a corpus-wide DISTINCT shuffle.
     """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_parts, F.col(id_col))
@@ -88,15 +92,14 @@ def doc_shingles(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
     w = SHINGLE_WIDTH
     shingles = F.when(
         F.size(toks) >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
+            )
         ),
     ).otherwise(F.array())
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
 
 
 #: Hex width of each minhash slice. One md5 per shingle supplies all
