@@ -375,6 +375,73 @@ def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(corpus).select("doc_id", "content_hash")
 
 
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join — recall-1 baseline for X2.
+
+    Blocking is the shingle itself: a pair is formed only when two docs
+    SHARE a shingle (equi-join on shingle), so disjoint documents never
+    meet. Sub-quadratic whenever shingles are selective; hot shingles are
+    the skew risk, which the MinHash-LSH variant (near_dup_pairs) caps by
+    construction — use that at corpus scale, this one when exact recall is
+    required on bounded slices.
+    """
+    sh = doc_shingles(df, text_col=text_col, id_col=id_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter")), 9
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH doc_corpus AS (SELECT doc_id, text FROM documents),
+{_SHINGLES_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a_id, i.b_id,
+       round(i.i * 1.0 / (za.sz + zb.sz - i.i), 9) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a_id
+JOIN sizes zb ON zb.doc_id = i.b_id
+WHERE round(i.i * 1.0 / (za.sz + zb.sz - i.i), 9) >= 0.8
+"""
+
+
+@register("dedup_near_jaccard_exact", oracle=_JACCARD_ORACLE)
+def q_dedup_near_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 [Q]: EXACT n-gram Jaccard near-dup pairs (shingle-equi-join
+    blocking, no LSH approximation) — the recall-1 twin of
+    dedup_near_minhash; comparing the two quantifies LSH recall."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return jaccard_pairs(docs, 0.8)
+
+
 @register("dedup_near_minhash", oracle=_NEAR_DUP_ORACLE)
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 [Q]: MinHash banded-LSH near-dup pairs over documents, exact

@@ -99,6 +99,75 @@ def decode_stub(corpus: DataFrame) -> DataFrame:
     return corpus.mapInPandas(decode_batches, DECODE_SCHEMA)
 
 
+FEATURE_BINS = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bin", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def extract_features(corpus: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads as Arrow ``mapInPandas``:
+    a 16-bin byte-value histogram per payload — a real (not stubbed)
+    content feature; a model-based extractor would swap in here with the
+    same batch shape."""
+
+    def histogram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, bins, counts = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8) % FEATURE_BINS
+                hist = np.bincount(arr, minlength=FEATURE_BINS)
+                ids.extend([doc_id] * FEATURE_BINS)
+                bins.extend(range(FEATURE_BINS))
+                counts.extend(int(x) for x in hist)
+            yield pd.DataFrame({"doc_id": ids, "bin": bins, "n": counts})
+
+    return corpus.mapInPandas(histogram, FEATURE_SCHEMA)
+
+
+FRAME_SIZE = 8
+FRAME_STRIDE = 64
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def sample_frames(corpus: DataFrame) -> DataFrame:
+    """Frame sampling over binary payloads: every FRAME_STRIDE bytes, take
+    a FRAME_SIZE-byte frame (only complete frames) — the video-frame-sample
+    batch stage, digesting each frame so downstream work is constant-size
+    per frame regardless of payload size."""
+    import hashlib
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                i = 0
+                while i * FRAME_STRIDE + FRAME_SIZE <= len(data):
+                    frame = data[i * FRAME_STRIDE : i * FRAME_STRIDE + FRAME_SIZE]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(hashlib.md5(frame).hexdigest())
+                    i += 1
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha": shas})
+
+    return corpus.mapInPandas(frames, FRAME_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Declared queries
 # ---------------------------------------------------------------------------
@@ -127,6 +196,50 @@ def q_multimodal_binary_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.payload_sha").alias("payload_sha"),
     )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=f"""
+WITH chars AS (
+    SELECT doc_id, ascii(substr(text, i, 1)) % {FEATURE_BINS} AS bin
+    FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+    WHERE doc_id % 10 = 0
+),
+bins AS (SELECT unnest(generate_series(0, {FEATURE_BINS - 1})) AS bin),
+docs AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0)
+SELECT d.doc_id, b.bin::INT AS bin, count(c.bin)::BIGINT AS n
+FROM docs d CROSS JOIN bins b
+LEFT JOIN chars c ON c.doc_id = d.doc_id AND c.bin = b.bin
+GROUP BY d.doc_id, b.bin
+""",
+)
+def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 [Q]: byte-histogram feature extraction over binary payloads via
+    mapInPandas; payloads are UTF-8 ASCII text here, so the oracle can
+    recompute the histogram character-wise."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return extract_features(to_binary_corpus(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id,
+       (i - 1)::INT AS frame_idx,
+       md5(substr(text, (i - 1) * {FRAME_STRIDE} + 1, {FRAME_SIZE})) AS frame_sha
+FROM documents,
+     unnest(generate_series(1, greatest((length(text) - {FRAME_SIZE}) // {FRAME_STRIDE} + 1, 0)))
+         AS u(i)
+WHERE doc_id % 10 = 0
+  AND (i - 1) * {FRAME_STRIDE} + {FRAME_SIZE} <= length(text)
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 [Q]: frame sampling over binary payloads (every FRAME_STRIDE
+    bytes, one FRAME_SIZE frame, digested) via mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return sample_frames(to_binary_corpus(docs))
 
 
 @register(

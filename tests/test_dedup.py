@@ -14,7 +14,12 @@ from .conftest import assert_matches_oracle
 
 load_all_plans()
 
-DEDUP_QUERIES = ["dedup_exact_content", "dedup_near_minhash", "embedding_near_dup_simhash"]
+DEDUP_QUERIES = [
+    "dedup_exact_content",
+    "dedup_near_minhash",
+    "dedup_near_jaccard_exact",
+    "embedding_near_dup_simhash",
+]
 
 
 @pytest.mark.parametrize("name", DEDUP_QUERIES)

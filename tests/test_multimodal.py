@@ -14,7 +14,13 @@ from .conftest import assert_matches_oracle
 
 load_all_plans()
 
-MM_QUERIES = ["embedding_udf_stub", "multimodal_binary_manifest", "multimodal_decode_stub"]
+MM_QUERIES = [
+    "embedding_udf_stub",
+    "multimodal_binary_manifest",
+    "multimodal_decode_stub",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+]
 
 
 @pytest.mark.parametrize("name", MM_QUERIES)
