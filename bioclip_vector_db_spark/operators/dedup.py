@@ -12,11 +12,12 @@ Three mechanisms, all blocking/bucketed — NEVER all-pairs:
 
 2. **MinHash banded LSH** (X2): shingle -> K minhashes -> B band signatures
    -> equi-join on (band, signature) -> exact Jaccard verify on candidates
-   only. Work is O(corpus x K) for signatures and O(candidates) for verify;
-   no pair is ever formed outside a shared bucket. The minhash is the
-   lexicographic min of ``md5(seed || shingle)`` — deterministic and
-   byte-identical in Spark and DuckDB, so the whole pipeline (not a toy
-   projection of it) has an exact SQL oracle.
+   only. Work is O(corpus) for signatures and O(candidates) for verify; no
+   pair is ever formed outside a shared bucket. Minhash k is the
+   lexicographic min over the doc's shingles of SLICE k of ``md5(shingle)``
+   (one digest supplies all K hash functions — see minhash_signatures);
+   md5 is deterministic and byte-identical in Spark and DuckDB, so the
+   whole pipeline (not a toy projection of it) has an exact SQL oracle.
 
 3. **SimHash bucketing for embeddings**: P fixed hyperplanes (sign patterns
    derived from md5 at module import — deterministic, no RNG) -> P-bit
@@ -109,6 +110,9 @@ def doc_shingles(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
 #: shingle-set minima.
 MINHASH_SLICE = 5
 
+# All slices must fit in one 32-hex md5 digest.
+assert N_HASHES * MINHASH_SLICE <= 32, "minhash slices overrun the md5 digest"
+
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
     """Per-doc minhash vector: for hash h, the lexicographic min over the
@@ -160,7 +164,9 @@ def near_dup_pairs(
     quadratic self-join flagged in round 1).
     """
     # The shingle set feeds three branches (buckets, sizes, verify x2);
-    # persist it so the explode+distinct runs once, not per branch.
+    # persist it so the explode runs once, not per branch. (Persisted
+    # blocks are evicted LRU by the block manager; a long-lived session
+    # hammering these repeatedly can spark.catalog.clearCache().)
     sh = doc_shingles(df, text_col=text_col, id_col=id_col).persist()
     buckets = lsh_band_buckets(minhash_signatures(sh))
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -174,15 +180,23 @@ def near_dup_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sh_a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("b_id2"), F.col("shingle").alias("shingle_b"))
     inter = (
-        cands.join(sh_a, "a_id")
-        .join(sh_b, (F.col("b_id") == F.col("b_id2")) & (F.col("shingle") == F.col("shingle_b")))
+        cands.join(sh.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id")
+        .join(
+            sh.select(F.col("doc_id").alias("b_id2"), F.col("shingle").alias("shingle_b")),
+            (F.col("b_id") == F.col("b_id2")) & (F.col("shingle") == F.col("shingle_b")),
+        )
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return _score_jaccard(inter, sh, threshold)
+
+
+def _score_jaccard(inter: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Shared verify tail for both X2 variants: join per-doc shingle-set
+    sizes onto pair intersection counts, compute rounded Jaccard, filter.
+    One formula, one rounding — the two near-dup queries cannot diverge."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
         .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
@@ -392,7 +406,6 @@ def jaccard_pairs(
     required on bounded slices.
     """
     sh = doc_shingles(df, text_col=text_col, id_col=id_col).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b"))
     inter = (
@@ -400,18 +413,7 @@ def jaccard_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(
-                F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter")), 9
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _score_jaccard(inter, sh, threshold)
 
 
 _JACCARD_ORACLE = f"""

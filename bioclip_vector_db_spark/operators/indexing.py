@@ -152,7 +152,10 @@ def build_index(
     cent = train_kmeans_centroids(vectors, k, seed=seed)
     t_train = time.perf_counter()
     assigned = assign_partitions(vectors, cent)
-    corpus = with_faiss_ids(assigned)
+    # Persist: the corpus lineage (assignment argmin + faiss-id window over
+    # every vector) feeds BOTH writes below — without this the most
+    # expensive stage of the build runs twice.
+    corpus = with_faiss_ids(assigned).persist()
     obs = Observation("build_counts")
     corpus_obs = corpus.observe(
         obs,

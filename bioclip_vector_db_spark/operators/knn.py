@@ -103,11 +103,12 @@ def assign_partitions(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     (N=10M, nlist=31,622 — storage_impl.py:78-82) this is the difference
     between 3x10^11 intermediate rows and zero.
 
-    Ties broken toward the smallest partition_id (the struct array is sorted
-    by pid and strict ``<`` keeps the first), matching the oracle's
-    ``ORDER BY distance, partition_id`` convention. Distances are rounded to
-    PARITY_SCALE before comparison so Spark and DuckDB pick identical
-    winners.
+    Ties broken toward the smallest partition_id: ``array_min`` compares
+    the ``(d, pid)`` structs lexicographically — order-INDEPENDENT of the
+    collected array (``collect_list`` guarantees no ordering), matching the
+    oracle's ``ORDER BY distance, partition_id`` convention. Distances are
+    rounded to PARITY_SCALE before comparison so Spark and DuckDB pick
+    identical winners.
 
     On a real lakehouse this output is materialized via
     ``write.partitionBy``, making O23's pruning a storage-level operation.

@@ -55,6 +55,10 @@ def knn_join_numpy(
     """Exact top-k cosine join with a BLAS inner loop.
     Returns ``(query_id, neighbor_id, distance, rank)`` like ``knn_join``."""
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        spark = queries.sparkSession
+        empty = spark.createDataFrame([], _CAND_SCHEMA)
+        return empty.withColumn("rank", F.lit(None).cast("bigint"))
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # q x d
 

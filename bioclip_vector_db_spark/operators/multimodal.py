@@ -122,6 +122,11 @@ def extract_features(corpus: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, bins, counts = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # Failed/absent payloads produce no features — the
+                    # null-record path (vector_db.py:134-137), matching
+                    # decode_stub's per-row error contract.
+                    continue
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8) % FEATURE_BINS
                 hist = np.bincount(arr, minlength=FEATURE_BINS)
                 ids.extend([doc_id] * FEATURE_BINS)
@@ -155,6 +160,8 @@ def sample_frames(corpus: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, idxs, shas = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # null-record path, as in extract_features
                 data = bytes(payload)
                 i = 0
                 while i * FRAME_STRIDE + FRAME_SIZE <= len(data):

@@ -42,21 +42,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Timestamp literals, window/date_trunc math, and parquet timestamp
+    # reads all happen in the session timezone; every fixture timestamp is
+    # naive and every DuckDB oracle treats it as such, so pin UTC on the
+    # calling session unconditionally (a driver-supplied session may carry
+    # any JVM default — and pinning only on the events path would make
+    # other tables' parity depend on query ORDER within a session).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Window/date_trunc math happens in the session timezone; the
-        # fixture timestamps are naive (and the DuckDB oracle treats them
-        # as such), so pin UTC regardless of the caller's session config.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        from pyspark.sql import functions as F
-
-        if dict(df.dtypes).get("ts") == "bigint":
-            # Integer DIV: float division would lose microsecond precision
-            # at nanosecond magnitudes (~1.7e18 exceeds double's 53 bits).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
+        return load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with its TIMESTAMP(NANOS) column made usable —
+    shared by the batch catalog and the streaming reader
+    (streaming/events.py) so both read the table identically."""
+    set_events_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return convert_event_ts(df)
+
+
+def set_events_confs(spark: SparkSession) -> None:
+    """Runtime confs the events fixture needs on WHATEVER session runs the
+    query (the driver supplies its own; configuring only our session
+    factory is not enough)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def convert_event_ts(df: DataFrame) -> DataFrame:
+    """nanos BIGINT -> TIMESTAMP via integer DIV (float division loses
+    microsecond precision at ~1.7e18 magnitudes, past double's 53 bits)."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

@@ -61,16 +61,23 @@ def read_webdataset(spark: SparkSession, path: str, glob: str = "*.tar") -> Data
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[tuple[str, str, str, bytes]] = []
+            rows: dict[tuple[str, str, str], bytes] = {}
             for shard_path, content in zip(pdf["path"], pdf["content"]):
                 with tarfile.open(fileobj=io.BytesIO(content)) as tf:
                     for m in tf.getmembers():
                         if not m.isfile():
                             continue
                         key, ext = _split_key(m.name)
-                        payload = tf.extractfile(m).read()
-                        rows.append((shard_path, key, ext, payload))
-            yield pd.DataFrame(rows, columns=["shard", "key", "member", "payload"])
+                        # Last occurrence wins: tar permits re-appending a
+                        # member (an updated file), and extraction-order
+                        # semantics say the later copy supersedes it —
+                        # also keeps downstream map_from_entries safe from
+                        # duplicate keys.
+                        rows[(shard_path, key, ext)] = tf.extractfile(m).read()
+            yield pd.DataFrame(
+                [(s, k, e, p) for (s, k, e), p in rows.items()],
+                columns=["shard", "key", "member", "payload"],
+            )
 
     return shards.mapInPandas(unpack, MEMBER_SCHEMA)
 

@@ -55,18 +55,19 @@ RAW_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, **reader_opts: str) -> DataFrame:
-    """``readStream`` over the events parquet — the O1-analog streaming scan."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """``readStream`` over the events parquet — the O1-analog streaming
+    scan. Conf handling and the nanos->micros conversion are shared with
+    the batch reader (sources.catalog) so both paths read identically."""
+    from ..sources.catalog import convert_event_ts, set_events_confs
+
+    set_events_confs(spark)
     reader = (
         spark.readStream.schema(RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
     )
     for k, v in reader_opts.items():
         reader = reader.option(k, v)
-    df = reader.parquet(sf_dir)
-    # Integer DIV, not float division — see sources.catalog.load_table.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return convert_event_ts(reader.parquet(sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -165,7 +166,7 @@ def q_events_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_windows",
     oracle=f"""
 WITH ordered AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, event_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
                      OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
                 THEN 1 ELSE 0 END AS is_new
@@ -174,7 +175,7 @@ WITH ordered AS (
 ),
 numbered AS (
     SELECT user_id, ts, value,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_no
     FROM ordered
 )
