@@ -105,6 +105,36 @@ def q_json_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_user_setops",
+    oracle="""
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+both_kinds AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers),
+click_only AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+SELECT 'click_and_purchase' AS cohort, count(*)::BIGINT AS n_users FROM both_kinds
+UNION ALL
+SELECT 'click_only' AS cohort, count(*)::BIGINT AS n_users FROM click_only
+""",
+)
+def q_event_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY.md §2.5 intersect/except): cohort sizes via
+    INTERSECT / EXCEPT over per-event-type user sets — Spark plans both as
+    aggregated semi/anti joins."""
+    from ..sources.catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both_kinds = clickers.intersect(buyers).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select(F.lit("click_and_purchase").alias("cohort"), "n_users")
+    click_only = clickers.exceptAll(buyers).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select(F.lit("click_only").alias("cohort"), "n_users")
+    return both_kinds.unionByName(click_only)
+
+
+@register(
     "partition_range_expansion",
     oracle="""
 WITH tokens AS (

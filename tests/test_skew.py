@@ -1,0 +1,49 @@
+"""Salted-join equivalence: salting must not change join results, only
+the key distribution across tasks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bioclip_vector_db_spark.functions.skew import salted_equi_join
+from bioclip_vector_db_spark.sources.catalog import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = (
+        li.join(orders, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 6).alias("q"))
+    )
+    salted = (
+        salted_equi_join(li, orders, "l_orderkey", salts=4)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 6).alias("q"))
+    )
+    a = {(r.l_orderkey): (r.n, r.q) for r in plain.collect()}
+    b = {(r.l_orderkey): (r.n, r.q) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A single pathological key must land in multiple salt buckets."""
+    hot = spark.range(10_000).select(F.lit(7).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(7, "x")], "k int, v string")
+    out = salted_equi_join(hot, dim, "k", salts=8)
+    assert out.count() == 10_000
+    # Re-derive the salt distribution the helper used.
+    from bioclip_vector_db_spark.functions.skew import SALT_COL
+
+    salted = hot.withColumn(
+        SALT_COL,
+        F.pmod(
+            F.hash(F.col("k"), F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(8),
+        ),
+    )
+    n_buckets = salted.select(SALT_COL).distinct().count()
+    assert n_buckets >= 4
