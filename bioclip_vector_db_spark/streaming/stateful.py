@@ -55,11 +55,14 @@ def _update_user_profile(
         if len(pdf):
             last_us = max(last_us, int(pdf["ts"].max().value // 1000))
     state.update((n, total, last_us))
+    # total emitted rounded to 6: event values have 2 decimals, so the true
+    # running total has <= 2 — rounding erases float-accumulation-order
+    # noise (pandas pairwise sum vs any sequential reducer) far above it.
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [round(total, 6)],
             "last_seen": [pd.Timestamp(last_us, unit="us")],
         }
     )
@@ -82,13 +85,24 @@ def running_user_profiles(events: DataFrame) -> DataFrame:
     )
 
 
-@register("events_stateful_user_profiles")
+@register(
+    "events_stateful_user_profiles",
+    oracle="""
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value,
+       max(ts) AS last_seen
+FROM events
+GROUP BY user_id
+""",
+)
 def q_events_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X7 [W]: the custom stateful operator run as a real streaming query
-    (availableNow -> update-mode memory sink). Rows-only check: per-user
-    profile emission is stateful-streaming semantics with no SQL twin (the
-    FINAL profile values do have one, but intermediate emissions depend on
-    micro-batch boundaries)."""
+    """X7 [Q]: the custom stateful operator run as a real streaming query
+    (availableNow -> update-mode memory sink). The fixture is one parquet
+    file => one micro-batch => exactly one emission per user carrying its
+    lifetime profile, which equals the batch per-user aggregate — so the
+    arbitrary-stateful path gets a full oracle. (Multi-batch emission
+    sequences are covered rows-only in tests/test_stateful.py.)"""
     from .events import read_events_stream
 
     stream = read_events_stream(spark, sf_dir)
