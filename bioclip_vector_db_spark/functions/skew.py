@@ -21,6 +21,22 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+#: Join types for which salting preserves plain-join semantics. Build-sided
+#: outer joins (right/full) would emit one null-padded row PER SALT REPLICA
+#: for unmatched build keys — S duplicates — so they are rejected.
+_PROBE_SIDED = frozenset({"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"})
+
+
+def default_salt(on: str, salts: int) -> Column:
+    """The default probe-row salt: pmod of a hash over the key column, the
+    task partition id, AND a per-row monotonic id — the per-row component
+    is what lets one hot key split across salts even within a single input
+    partition. Deterministic per run, uniform enough to spread hot keys."""
+    return F.pmod(
+        F.hash(F.col(on), F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(salts),
+    )
+
 
 def salted_equi_join(
     probe: DataFrame,
@@ -33,17 +49,20 @@ def salted_equi_join(
 ) -> DataFrame:
     """Equi-join ``probe`` with ``build`` on column ``on``, salted S ways.
 
-    ``salt_source`` picks the probe rows' salt; default is a hash of the
-    full probe row's key column plus ``spark_partition_id`` — deterministic
-    per run, uniform enough to split hot keys. Result equals
-    ``probe.join(build, on, how)`` exactly (asserted in tests).
+    Result equals ``probe.join(build, on, how)`` exactly for probe-sided
+    join types (inner/left/semi/anti — asserted in tests); build-sided
+    outer joins are rejected (see _PROBE_SIDED). A caller-supplied
+    ``salt_source`` is wrapped in ``pmod(…, salts)`` so any integer
+    expression is safe — an out-of-range salt would otherwise silently
+    drop matches.
     """
-    if salt_source is None:
-        salt_source = F.pmod(
-            F.hash(F.col(on), F.spark_partition_id(), F.monotonically_increasing_id()),
-            F.lit(salts),
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _PROBE_SIDED}:
+        raise ValueError(
+            f"salted_equi_join preserves semantics only for probe-sided joins "
+            f"({sorted(_PROBE_SIDED)}); got how={how!r}"
         )
-    salted_probe = probe.withColumn(SALT_COL, salt_source.cast("int"))
+    salt = default_salt(on, salts) if salt_source is None else F.pmod(salt_source, F.lit(salts))
+    salted_probe = probe.withColumn(SALT_COL, salt.cast("int"))
     salted_build = build.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )

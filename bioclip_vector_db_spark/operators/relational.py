@@ -119,16 +119,16 @@ SELECT 'click_only' AS cohort, count(*)::BIGINT AS n_users FROM click_only
 def q_event_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (SURVEY.md §2.5 intersect/except): cohort sizes via
     INTERSECT / EXCEPT over per-event-type user sets — Spark plans both as
-    aggregated semi/anti joins."""
-    from ..sources.catalog import load_table as _lt
-
-    ev = _lt(spark, sf_dir, "events")
+    aggregated semi/anti joins. ``subtract`` = EXCEPT DISTINCT, matching
+    the oracle's set semantics regardless of input multiplicity (exceptAll
+    would be bag semantics and only accidentally correct here)."""
+    ev = load_table(spark, sf_dir, "events")
     clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     both_kinds = clickers.intersect(buyers).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     ).select(F.lit("click_and_purchase").alias("cohort"), "n_users")
-    click_only = clickers.exceptAll(buyers).agg(
+    click_only = clickers.subtract(buyers).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     ).select(F.lit("click_only").alias("cohort"), "n_users")
     return both_kinds.unionByName(click_only)

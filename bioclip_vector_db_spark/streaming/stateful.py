@@ -124,4 +124,16 @@ def q_events_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFra
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # The oracle equality holds ONLY under one data-carrying micro-batch
+    # (update mode emits per batch); fail loudly if the source ever splits
+    # the fixture, instead of surfacing as a mysterious hash mismatch.
+    data_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] and p["numInputRows"] > 0
+    )
+    if data_batches > 1:
+        raise RuntimeError(
+            f"events_stateful_user_profiles expects a single micro-batch "
+            f"(single-file fixture); got {data_batches} — the GROUP BY "
+            f"oracle no longer applies"
+        )
     return spark.table(name)

@@ -29,21 +29,35 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert a == b
 
 
+def test_salted_join_rejects_build_sided_outer(spark):
+    """right/full outer would duplicate unmatched build rows per replica —
+    the helper must refuse rather than silently diverge from a plain join."""
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(2, "y")], "k int, w string")
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError):
+            salted_equi_join(a, b, "k", how=how)
+
+
+def test_caller_salt_source_is_wrapped(spark):
+    """Any integer salt expression is safe: negatives/overflows are
+    pmod-wrapped into [0, salts), so no matches are dropped."""
+    probe = spark.range(100).select(F.col("id").alias("k"))
+    build = spark.range(100).select(F.col("id").alias("k"), F.lit("v").alias("v"))
+    out = salted_equi_join(probe, build, "k", salts=4, salt_source=F.hash(F.col("k")))
+    assert out.count() == 100
+
+
 def test_salted_join_spreads_hot_key(spark):
     """A single pathological key must land in multiple salt buckets."""
     hot = spark.range(10_000).select(F.lit(7).alias("k"), F.col("id"))
     dim = spark.createDataFrame([(7, "x")], "k int, v string")
     out = salted_equi_join(hot, dim, "k", salts=8)
     assert out.count() == 10_000
-    # Re-derive the salt distribution the helper used.
-    from bioclip_vector_db_spark.functions.skew import SALT_COL
+    from bioclip_vector_db_spark.functions.skew import SALT_COL, default_salt
 
-    salted = hot.withColumn(
-        SALT_COL,
-        F.pmod(
-            F.hash(F.col("k"), F.spark_partition_id(), F.monotonically_increasing_id()),
-            F.lit(8),
-        ),
-    )
+    salted = hot.withColumn(SALT_COL, default_salt("k", 8))
     n_buckets = salted.select(SALT_COL).distinct().count()
     assert n_buckets >= 4
