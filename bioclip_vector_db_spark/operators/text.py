@@ -168,11 +168,13 @@ def q_text_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     counts = word_counts(load_table(spark, sf_dir, "documents"))
+    # Take the top 50 first via orderBy+limit (TakeOrderedAndProject — a
+    # per-partition heap + tiny merge, no global sort), THEN rank: the
+    # unpartitioned window only ever sees <=50 rows, so the single-partition
+    # WindowExec is bounded by construction at any corpus size.
+    top = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(50)
     w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 50)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
 @register(
