@@ -33,6 +33,19 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in _plan(QUERIES["tpch_top_orders"](spark, sf_dir))
 
 
+def test_word_count_rank_window_is_bounded(spark, sf_dir):
+    """The corpus-wide word-rank query must reduce to 50 rows via
+    TakeOrderedAndProject BEFORE its unpartitioned rank window — the
+    single-partition WindowExec may only ever see the top-k, never the
+    vocabulary."""
+    plan = _plan(QUERIES["text_word_counts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # The limit must sit below the window in the plan tree (executed first):
+    # with toString's top-down rendering, Window appears before the
+    # TakeOrderedAndProject feeding it.
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 def test_assignment_has_no_row_expansion(spark, sf_dir):
     """The centroid argmin joins ONE collapsed row — never a vectors x
     centroids expansion, and no window shuffle. The input is filtered so
