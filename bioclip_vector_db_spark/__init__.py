@@ -19,10 +19,15 @@ Spark DataFrame pipelines (SURVEY.md section 2 is the operator inventory):
                   ``taxon`` (O8 caption parse), ``dedup`` (X1/X2 content
                   hash + MinHash LSH + simhash), ``text`` (X5 analysis),
                   ``embedding`` (O9/O10 pandas-UDF stub), ``multimodal``
-                  (X6 binary columns), ``tpch`` (generic relational).
+                  (X6 binary columns), ``quantization`` (O21 int8 coarse
+                  search + exact rescore), ``tpch`` (generic relational).
 - ``plans``     — the query registry that backs ``__spark_entry__.py``:
                   every declared query + its DuckDB oracle SQL twin.
 - ``streaming`` — Structured Streaming over the events table (X7).
+- ``pipeline``  — the reference's entry point 1 as one composable batch job
+                  (shards -> parse -> embed -> dedup -> build index).
+- ``api``       — the reference's serving call surface (search/search_batch/
+                  health/query/add_batch/reset) over the built index.
 
 Design stance: DataFrame/SQL first; Catalyst does pushdown/pruning/join
 selection; Python appears only in Arrow-batched pandas UDFs on genuinely
