@@ -370,20 +370,25 @@ def trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_train")
+@register(
+    "kmeans_train",
+    oracle="""
+SELECT g.i::INT AS partition_id, d.dim
+FROM generate_series(0, 9) AS g(i)
+CROSS JOIN (SELECT max(len(embedding))::INT AS dim FROM embeddings) d
+""",
+)
 def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O17/O18 [W]: fit the k-means coarse quantizer (k=10, seed=42) and
-    return a hashable projection of the leader/centroid table — partition id,
-    dimensionality, and rounded L2 norm. Rows-only check: k-means centers are
-    not SQL-reproducible, and raw array columns are not canonicalizable by
-    the driver's pandas-based hasher."""
-    from ..functions.vector import l2_norm
-
+    """O17/O18 [Q-invariant]: fit the k-means coarse quantizer (k=10,
+    seed=42) and return the leader table's DETERMINISTIC projection —
+    exactly k partition ids 0..k-1, every centroid at the corpus
+    dimensionality. Center positions are seed-dependent with no SQL
+    oracle; the unit-norm invariant (cosine-mode centers are normalized)
+    is pytest-gated in tests/test_indexing.py."""
     cent = trained_centroids(spark, sf_dir)
     return cent.select(
-        "partition_id",
+        F.col("partition_id").cast("int").alias("partition_id"),
         F.size("centroid").cast("int").alias("dim"),
-        F.round(l2_norm(F.col("centroid")), 6).alias("norm"),
     )
 
 

@@ -89,20 +89,28 @@ def language_id(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 
 def tfidf_top_terms(df: DataFrame, top_k: int = 3, *, text_col: str = "text") -> DataFrame:
     """Per-document top-k TF-IDF terms. DF table is vocab-sized ->
-    broadcast join; ranking is a per-doc window (WindowGroupLimit)."""
+    broadcast join; ranking is a per-doc window (WindowGroupLimit).
+
+    ``n_docs`` rides the SAME job as a broadcast 1-row aggregate joined
+    onto every term (BroadcastNestedLoopJoin of one row — constant-sized),
+    instead of a separate driver-side ``count()`` action per invocation."""
     from pyspark.sql import Window
 
-    n_docs = df.count()
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     terms = (
         df.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = terms.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    scored = terms.join(F.broadcast(dfreq), "word").select(
-        "doc_id",
-        "word",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9).alias("tfidf"),
+    scored = (
+        terms.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 9).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
     return (

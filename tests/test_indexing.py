@@ -22,6 +22,7 @@ INDEXING_QUERIES = [
     "dedup_anti_join",
     "id_derivation_null_filter",
     "kmeans_assignment_balance",
+    "kmeans_train",
     "json_metadata_roundtrip",
     "partition_range_expansion",
     "taxon_parse",
@@ -51,6 +52,17 @@ def test_faiss_ids_dense_per_partition(spark, sf_dir):
     )
     for r in per_part.collect():
         assert r.lo == 0 and r.hi == r.n - 1 and r.nd == r.n
+
+
+def test_trained_centroids_unit_norm(spark, sf_dir):
+    """O18: cosine-mode KMeans centers are unit-normalized — the invariant
+    the kmeans_train query used to carry before its oracle was reduced to
+    the deterministic (partition_id, dim) projection."""
+    from bioclip_vector_db_spark.functions.vector import l2_norm
+
+    cent = indexing.trained_centroids(spark, sf_dir)
+    norms = cent.select(F.round(l2_norm(F.col("centroid")), 6).alias("norm")).collect()
+    assert norms and all(abs(r.norm - 1.0) < 1e-6 for r in norms)
 
 
 def test_nlist_rule(spark):
