@@ -71,12 +71,40 @@ def knn_join(
     )
 
 
-def route_queries(queries: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+def _pick_kernel(kernel: str, centroids: DataFrame) -> str:
+    """Resolve ``kernel='auto'`` by probing the centroid count: small-k
+    stays on the Catalyst expression path (codegen-adjacent, exact oracle
+    parity); above LARGE_NLIST_THRESHOLD the blocked-BLAS mapInPandas
+    kernel takes over — at the reference's nlist=31,622 x 512-d the
+    interpreted HOF fold is the engine's real 100-TB bottleneck. The probe
+    is a LIMIT k+1 count — O(threshold) work off a table that is tiny by
+    construction."""
+    if kernel != "auto":
+        return kernel
+    from .knn_numpy import LARGE_NLIST_THRESHOLD
+
+    probe = centroids.limit(LARGE_NLIST_THRESHOLD + 1).count()
+    return "numpy" if probe > LARGE_NLIST_THRESHOLD else "expr"
+
+
+def route_queries(
+    queries: DataFrame, centroids: DataFrame, nprobe: int, *, kernel: str = "auto"
+) -> DataFrame:
     """O22: pick the ``nprobe`` nearest centroids per query vector.
 
-    ``centroids`` is ``(partition_id, centroid)`` — tiny (nlist rows), always
-    broadcast. Returns ``(query_id, qv, partition_id, probe_rank)``.
+    ``centroids`` is ``(partition_id, centroid)`` — nlist rows. Returns
+    ``(query_id, qv, partition_id, probe_rank)``.
+
+    ``kernel``: ``'expr'`` joins the broadcast centroid table and window-
+    ranks (each query expands to nlist scored rows — ideal while nlist is
+    small); ``'numpy'`` runs the blocked-GEMM top-nprobe kernel
+    (knn_numpy.route_queries_numpy) with no row expansion and no window;
+    ``'auto'`` switches on LARGE_NLIST_THRESHOLD.
     """
+    if _pick_kernel(kernel, centroids) == "numpy":
+        from .knn_numpy import route_queries_numpy
+
+        return route_queries_numpy(queries, centroids, nprobe)
     scored = queries.join(F.broadcast(centroids)).withColumn(
         "centroid_distance", cosine_distance(F.col("qv"), F.col("centroid"))
     )
@@ -90,7 +118,9 @@ def route_queries(queries: DataFrame, centroids: DataFrame, nprobe: int) -> Data
     )
 
 
-def assign_partitions(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def assign_partitions(
+    vectors: DataFrame, centroids: DataFrame, *, kernel: str = "auto"
+) -> DataFrame:
     """O19: nearest-centroid (k=1) assignment of every corpus vector.
 
     Map-side argmin — the scalable form of FAISS ``quantizer.search(v, 1)``
@@ -112,7 +142,20 @@ def assign_partitions(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 
     On a real lakehouse this output is materialized via
     ``write.partitionBy``, making O23's pruning a storage-level operation.
+
+    ``kernel``: this expression fold is ``'expr'`` — ideal while nlist is
+    small (fixture k=10: plan-asserted no window, no row expansion). HOFs
+    are interpreted, so at large nlist the fold costs nlist x dim
+    interpreted multiply-adds PER ROW; ``'numpy'``
+    (knn_numpy.assign_partitions_numpy) scores each Arrow batch as blocked
+    BLAS GEMMs instead. ``'auto'`` switches on LARGE_NLIST_THRESHOLD;
+    both kernels round distances to 9 decimals before the argmin and break
+    ties toward the smallest pid, so they pick identical winners.
     """
+    if _pick_kernel(kernel, centroids) == "numpy":
+        from .knn_numpy import assign_partitions_numpy
+
+        return assign_partitions_numpy(vectors, centroids)
     cents = centroids.groupBy().agg(
         F.collect_list(
             F.struct(F.col("partition_id").alias("pid"), F.col("centroid").alias("c"))

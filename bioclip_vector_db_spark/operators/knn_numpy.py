@@ -41,6 +41,152 @@ _CAND_SCHEMA = T.StructType(
     ]
 )
 
+#: Above this many centroids the interpreted ``transform``/``array_min``
+#: fold loses to a blocked GEMM: per row it costs nlist x dim interpreted
+#: multiply-adds (no codegen for higher-order functions), which at the
+#: reference's design point (nlist=31,622 x 512-d,
+#: /root/reference/src/bioclip_vector_db/storage/storage_impl.py:78-82) is
+#: ~16M interpreted ops per vector plus a ~130 MB single-row broadcast
+#: struct. knn.assign_partitions / knn.route_queries switch kernels here.
+LARGE_NLIST_THRESHOLD = 1024
+
+#: Cap on the centroid-block size of the scoring GEMM: the b x cblock
+#: distance tile stays ~64 MB of doubles regardless of nlist, so executor
+#: memory is bounded by (batch x block), never (batch x nlist).
+_TILE_ELEMS = 8_000_000
+
+
+def _collect_centroids(centroids: DataFrame, pid_col: str, vec_col: str):
+    """Centroid matrix sorted by partition id -> (pids int64[k], C float64[k,d]).
+
+    Driver-side collect is the point: the centroid table is nlist x dim
+    (~130 MB at the reference's max) — broadcast-variable territory, not
+    join territory. Ascending-pid order makes every argmin-first tiebreak
+    below equal the expression kernel's lexicographic (d, pid) min.
+    """
+    rows = centroids.select(pid_col, vec_col).orderBy(pid_col).collect()
+    pids = np.array([r[0] for r in rows], dtype=np.int64)
+    cmat = np.array([r[1] for r in rows], dtype=np.float64)
+    return pids, cmat
+
+
+def assign_partitions_numpy(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    pid_col: str = "partition_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """O19 nearest-centroid assignment as a blocked GEMM — the large-nlist
+    kernel behind ``knn.assign_partitions(kernel='numpy'|'auto')``.
+
+    Each Arrow batch scores as ``E @ C_block.T`` BLAS calls with a running
+    (best_distance, best_pid) argmin across centroid blocks; distances are
+    rounded to 9 decimals BEFORE comparison, exactly like the expression
+    kernel, so both kernels pick identical winners (ties -> smallest pid:
+    blocks ascend by pid and updates require strictly smaller distance).
+    Map-side only: no join, no shuffle, no row expansion — output is the
+    input plus ``partition_id``.
+    """
+    pids, cmat = _collect_centroids(centroids, pid_col, centroid_vec_col)
+    bc = vectors.sparkSession.sparkContext.broadcast((pids, cmat))
+    out_schema = T.StructType(
+        list(vectors.schema.fields) + [T.StructField(pid_col, T.IntegerType())]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bpids, bC = bc.value
+        k = len(bpids)
+        for pdf in batches:
+            b = len(pdf)
+            if not b:
+                continue
+            emb = np.array(list(pdf[vec_col]), dtype=np.float64)  # b x d
+            cblock = max(1, min(k, _TILE_ELEMS // b))
+            best_d = np.full(b, np.inf)
+            best_pid = np.zeros(b, dtype=np.int64)
+            for s in range(0, k, cblock):
+                dblk = 1.0 - emb @ bC[s : s + cblock].T  # b x cblock
+                np.round(dblk, 9, out=dblk)
+                j = dblk.argmin(axis=1)  # first win = smallest pid in block
+                d = dblk[np.arange(b), j]
+                upd = d < best_d
+                best_d[upd] = d[upd]
+                best_pid[upd] = bpids[s + j[upd]]
+            out = pdf.copy()
+            out[pid_col] = best_pid.astype(np.int32)
+            yield out
+
+    return vectors.mapInPandas(score, out_schema)
+
+
+def route_queries_numpy(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    pid_col: str = "partition_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """O22 top-``nprobe`` centroid routing as a blocked GEMM — the
+    large-nlist kernel behind ``knn.route_queries(kernel='numpy'|'auto')``.
+
+    The expression form expands each query to nlist scored rows and window-
+    ranks them; here each Arrow batch keeps a per-block top-nprobe candidate
+    set (argpartition, O(cblock) per query) and emits exactly nprobe rows
+    per query — no row expansion, no window shuffle. Ordering matches the
+    expression kernel: round-9 distances, (distance, pid) ascending.
+    Returns ``(query_id, qv, partition_id, probe_rank)``.
+    """
+    pids, cmat = _collect_centroids(centroids, pid_col, centroid_vec_col)
+    bc = queries.sparkSession.sparkContext.broadcast((pids, cmat))
+    out_schema = T.StructType(
+        [
+            next(f for f in queries.schema.fields if f.name == query_id_col),
+            next(f for f in queries.schema.fields if f.name == query_vec_col),
+            T.StructField(pid_col, T.IntegerType()),
+            T.StructField("probe_rank", T.LongType()),
+        ]
+    )
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bpids, bC = bc.value
+        k = len(bpids)
+        take = min(nprobe, k)
+        for pdf in batches:
+            b = len(pdf)
+            if not b:
+                continue
+            qmat = np.array(list(pdf[query_vec_col]), dtype=np.float64)  # b x d
+            cblock = max(take, min(k, _TILE_ELEMS // b))
+            cand_d: list[np.ndarray] = []
+            cand_p: list[np.ndarray] = []
+            for s in range(0, k, cblock):
+                dblk = 1.0 - qmat @ bC[s : s + cblock].T  # b x cblock
+                np.round(dblk, 9, out=dblk)
+                t = min(take, dblk.shape[1])
+                idx = np.argpartition(dblk, t - 1, axis=1)[:, :t]  # b x t
+                cand_d.append(np.take_along_axis(dblk, idx, axis=1))
+                cand_p.append(bpids[s + idx])
+            dall = np.concatenate(cand_d, axis=1)  # b x (t*blocks)
+            pall = np.concatenate(cand_p, axis=1)
+            # Exact (d, pid) lexicographic order over the candidate pool.
+            order = np.lexsort((pall, dall), axis=1)[:, :take]
+            out_rows = {
+                query_id_col: np.repeat(pdf[query_id_col].to_numpy(), take),
+                query_vec_col: [
+                    v for v in pdf[query_vec_col] for _ in range(take)
+                ],
+                pid_col: np.take_along_axis(pall, order, axis=1).ravel().astype(np.int32),
+                "probe_rank": np.tile(np.arange(1, take + 1, dtype=np.int64), b),
+            }
+            yield pd.DataFrame(out_rows)
+
+    return queries.select(query_id_col, query_vec_col).mapInPandas(route, out_schema)
+
 
 def knn_join_numpy(
     queries: DataFrame,

@@ -1,5 +1,7 @@
-"""The BLAS KNN kernel must be rank-identical to the Catalyst expression
-kernel (same logical plan, different inner loop)."""
+"""The BLAS kernels must be rank-identical to the Catalyst expression
+kernels (same logical plan, different inner loop), and the ``auto`` kernel
+switch must route large-nlist assignment/routing onto blocked GEMMs —
+never a per-row interpreted fold over >LARGE_NLIST_THRESHOLD centroids."""
 
 from __future__ import annotations
 
@@ -7,9 +9,27 @@ import time
 
 from pyspark.sql import functions as F
 
-from bioclip_vector_db_spark.operators import knn
-from bioclip_vector_db_spark.operators.knn_numpy import knn_join_numpy
+from bioclip_vector_db_spark.operators import knn, knn_numpy
+from bioclip_vector_db_spark.operators.knn_numpy import (
+    LARGE_NLIST_THRESHOLD,
+    knn_join_numpy,
+)
 from bioclip_vector_db_spark.sources.catalog import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _big_centroids(spark, k=LARGE_NLIST_THRESHOLD + 176, dim=64):
+    """Deterministic synthetic leader table above the kernel threshold."""
+    return spark.range(k).select(
+        F.col("id").cast("int").alias("partition_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.sin(F.col("id") * (i.cast("double") + 1.0)),
+        ).alias("centroid"),
+    )
 
 
 def test_numpy_kernel_matches_expression_kernel(spark, sf_dir):
@@ -31,6 +51,77 @@ def test_numpy_kernel_matches_expression_kernel(spark, sf_dir):
         gnid, gd = got[key]
         assert gnid == nid, key
         assert abs(gd - d) < 1e-8, key
+
+
+def test_assign_kernels_agree(spark, sf_dir):
+    """Both assignment kernels round-9 before the argmin and tiebreak to
+    the smallest pid — identical winners on the fixture centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = knn.fixture_centroids(spark, sf_dir)
+    want = {
+        r.vec_id: r.partition_id
+        for r in knn.assign_partitions(emb, cents, kernel="expr")
+        .select("vec_id", "partition_id")
+        .collect()
+    }
+    got = {
+        r.vec_id: r.partition_id
+        for r in knn.assign_partitions(emb, cents, kernel="numpy")
+        .select("vec_id", "partition_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_route_kernels_agree_at_large_nlist(spark, sf_dir, monkeypatch):
+    """Routing kernels agree above the threshold, including with a tile
+    size small enough to force multi-block scoring with candidate merge."""
+    monkeypatch.setattr(knn_numpy, "_TILE_ELEMS", 2048)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    big = _big_centroids(spark)
+    want = {
+        (r.query_id, r.probe_rank): r.partition_id
+        for r in knn.route_queries(queries, big, 5, kernel="expr").collect()
+    }
+    got = {
+        (r.query_id, r.probe_rank): r.partition_id
+        for r in knn.route_queries(queries, big, 5, kernel="numpy").collect()
+    }
+    assert got == want and len(got) == 8 * 5
+
+
+def test_auto_assignment_uses_blas_at_large_nlist(spark, sf_dir):
+    """kernel='auto' must put large-nlist assignment on the mapInPandas
+    GEMM — no interpreted per-row fold, no broadcast-nested-loop join —
+    while small-k assignment stays on the expression path."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = knn.assign_partitions(emb, _big_centroids(spark))
+    plan = _plan(out)
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "Window" not in plan
+    assert out.count() == emb.count()
+    small = knn.assign_partitions(emb, knn.fixture_centroids(spark, sf_dir))
+    assert "MapInPandas" not in _plan(small)
+
+
+def test_auto_routing_uses_blas_at_large_nlist(spark, sf_dir):
+    """kernel='auto' routing above the threshold: mapInPandas, no window,
+    no row expansion; exactly nprobe ranked rows per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = knn.route_queries(queries, _big_centroids(spark), 3)
+    plan = _plan(out)
+    assert "MapInPandas" in plan and "Window" not in plan
+    rows = out.collect()
+    assert len(rows) == 4 * 3
+    assert {(r.query_id, r.probe_rank) for r in rows} == {
+        (q, p) for q in range(4) for p in (1, 2, 3)
+    }
 
 
 def test_numpy_kernel_emits_bounded_candidates(spark, sf_dir):
