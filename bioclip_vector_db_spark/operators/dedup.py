@@ -271,6 +271,66 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95) -> DataFram
     )
 
 
+#: Bands for the banded threshold join: 2 bands of 8 bits. A pair is a
+#: candidate when ANY band agrees — the OR-of-ANDs LSH amplification that
+#: lifts recall vs requiring all 16 bits equal, while each band still cuts
+#: the candidate space to in-bucket pairs (256 buckets per band here;
+#: band width is the knob that scales bucket selectivity with the corpus).
+N_SIG_BANDS = 2
+
+assert SIMHASH_PLANES % N_SIG_BANDS == 0
+
+def embedding_threshold_join(
+    vectors: DataFrame, threshold: float = 0.3, *, bands: int = N_SIG_BANDS
+) -> DataFrame:
+    """X4, the scale-safe form: global pairwise similarity threshold join
+    via banded simhash bucketing + in-bucket exact verify.
+
+    The exact kernel (knn.similarity_self_join) is all-pairs by definition
+    and dies at 100x; this plan is O(corpus) signatures + O(bucket pairs)
+    verify — every join an equi-join (band, key), never a cross join.
+    Candidate recall is the LSH tradeoff: a qualifying pair is found iff it
+    agrees on at least one band (probability -> 1 as similarity -> 1);
+    the exact kernel remains the recall-1 reference on bounded slices.
+    Returns ``(a_id, b_id, similarity)`` with similarity > threshold.
+    """
+    width = SIMHASH_PLANES // bands
+    sig = vectors.select(
+        "vec_id", simhash_signature(F.col("embedding")).alias("sig")
+    ).persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("sig", b * width + 1, width).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("vec_id", F.explode(band_structs).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    v = vectors.select("vec_id", "embedding")
+    return (
+        cands.join(v.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")), "a_id")
+        .join(v.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")), "b_id")
+        .withColumn("similarity", F.round(dot_product(F.col("a_vec"), F.col("b_vec")), 9))
+        .filter(F.col("similarity") > threshold)
+        .select("a_id", "b_id", "similarity")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL fragments
 # ---------------------------------------------------------------------------
@@ -337,6 +397,33 @@ _SIMHASH_BITS_SQL = " || ".join(
     "THEN '1' ELSE '0' END)"
     for p in range(SIMHASH_PLANES)
 )
+
+_SIG_BAND_WIDTH = SIMHASH_PLANES // N_SIG_BANDS
+
+_SIG_BAND_ROWS = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, "
+    f"substr(sig, {b * _SIG_BAND_WIDTH + 1}, {_SIG_BAND_WIDTH}) AS key FROM sigs"
+    for b in range(N_SIG_BANDS)
+)
+
+_THRESHOLD_JOIN_ORACLE = f"""
+WITH sigs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec, {_SIMHASH_BITS_SQL} AS sig
+    FROM embeddings
+),
+buckets AS ({_SIG_BAND_ROWS}),
+cands AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       round(list_dot_product(sa.vec, sb.vec), 9) AS similarity
+FROM cands c
+JOIN sigs sa ON sa.vec_id = c.a_id
+JOIN sigs sb ON sb.vec_id = c.b_id
+WHERE round(list_dot_product(sa.vec, sb.vec), 9) > 0.3
+"""
 
 _EMB_NEAR_DUP_ORACLE = f"""
 WITH vec_corpus AS (
@@ -452,6 +539,17 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5) is engine-agnostic."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return near_dup_pairs(docs, 0.8)
+
+
+@register("similarity_threshold_join_bucketed", oracle=_THRESHOLD_JOIN_ORACLE)
+def q_similarity_threshold_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 [Q], scale-safe gate: banded-simhash threshold join over the FULL
+    embeddings table (no slice), similarity > 0.3. The gated plan is the one
+    that survives 100x — equi-joins on (band, key) buckets plus an id-keyed
+    verify; the exact all-pairs kernel (similarity_threshold_join) stays as
+    the bounded recall-1 twin."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_threshold_join(emb, 0.3)
 
 
 @register("embedding_near_dup_simhash", oracle=_EMB_NEAR_DUP_ORACLE)

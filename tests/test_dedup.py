@@ -19,6 +19,7 @@ DEDUP_QUERIES = [
     "dedup_near_minhash",
     "dedup_near_jaccard_exact",
     "embedding_near_dup_simhash",
+    "similarity_threshold_join_bucketed",
 ]
 
 
@@ -52,6 +53,31 @@ def test_lsh_candidates_never_all_pairs(spark, sf_dir):
     plan = dedup.near_dup_pairs(docs, 0.8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_threshold_join_has_no_all_pairs_stage(spark, sf_dir):
+    """The gated X4 plan must be bucketed end-to-end: every join an
+    equi-join, no cross/nested-loop stage anywhere — the scale guarantee
+    the exact all-pairs kernel cannot make."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = (
+        dedup.embedding_threshold_join(emb, 0.3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_threshold_join_identical_vectors_always_found(spark, sf_dir):
+    """Recall -> 1 as similarity -> 1: an identical pair agrees on every
+    band, so re-ingested copies are always candidates."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copy = emb.filter(F.col("vec_id") < 10).withColumn("vec_id", F.col("vec_id") + 10000)
+    out = dedup.embedding_threshold_join(emb.unionByName(copy), 0.999)
+    got = {(r.a_id, r.b_id) for r in out.collect()}
+    assert {(i, i + 10000) for i in range(10)} <= got
 
 
 def test_simhash_identical_vectors_same_bucket(spark, sf_dir):
