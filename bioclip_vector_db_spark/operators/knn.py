@@ -185,6 +185,7 @@ def ivf_search(
     nprobe: int = 3,
     top_n: int = 10,
     global_limit: int = 100,
+    loaded_partitions: str | None = None,
 ) -> DataFrame:
     """Two-tier scatter-gather search: O22 routing -> O23 pruning -> O24
     per-partition top-n -> O27/O28 merge with a global per-query limit.
@@ -192,8 +193,20 @@ def ivf_search(
     ``corpus_assigned`` must carry ``(vec_id, embedding, partition_id)``.
     ``top_n`` is neighbors PER PROBED PARTITION (the reference's semantics,
     neighborhood_server.py:312); the merge keeps ``global_limit`` per query.
+
+    ``loaded_partitions``: optional O15 spec string (``"1,2,5-10"``). The
+    reference's server only searches partitions both routed-to AND loaded
+    on the node — ``partitions_to_search`` is intersected against
+    ``self._indexes``, silently skipping the rest
+    (neighborhood_server.py:208-225). That intersection is a broadcast
+    semi-join of the routed probes against the expanded spec.
     """
     routed = route_queries(queries, centroids, nprobe)
+    if loaded_partitions is not None:
+        from .relational import expand_partition_spec_df
+
+        loaded = expand_partition_spec_df(queries.sparkSession, loaded_partitions)
+        routed = routed.join(F.broadcast(loaded), "partition_id", "semi")
     # O23: equi-join on partition_id == partition pruning against a
     # partitionBy(partition_id) layout; only probed partitions are scanned.
     candidates = corpus_assigned.join(
@@ -443,9 +456,28 @@ def q_partition_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned_corpus(spark, sf_dir).select("vec_id", "partition_id")
 
 
-@register(
-    "ivf_search",
-    oracle=f"""
+def _ivf_oracle(loaded_spec: str | None = None) -> str:
+    """The ivf_search DuckDB oracle, optionally restricted to an O15
+    loaded-partition spec (same expansion SQL as partition_range_expansion,
+    applied AFTER routing — the reference's intersection order)."""
+    loaded_cte = ""
+    routed_filter = ""
+    if loaded_spec is not None:
+        loaded_cte = f""",
+loaded_tokens AS (
+    SELECT trim(t) AS token
+    FROM unnest(string_split('{loaded_spec}', ',')) AS u(t)
+),
+loaded AS (
+    SELECT DISTINCT unnest(generate_series(
+        string_split(token, '-')[1]::INT,
+        coalesce(try_cast(string_split(token, '-')[2] AS INT),
+                 string_split(token, '-')[1]::INT)
+    )) AS partition_id
+    FROM loaded_tokens WHERE length(token) > 0
+)"""
+        routed_filter = " AND partition_id IN (SELECT partition_id FROM loaded)"
+    return f"""
 WITH {CENTROIDS_CTE.strip()},
 q AS (
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -461,7 +493,7 @@ assign_scored AS (
 ),
 corpus AS (
     SELECT vec_id, embedding, partition_id FROM assign_scored WHERE r = 1
-),
+){loaded_cte},
 routed AS (
     SELECT query_id, qv, partition_id FROM (
         SELECT q.query_id, q.qv, c.partition_id,
@@ -470,7 +502,7 @@ routed AS (
                    ORDER BY round(1.0 - list_dot_product(q.qv, c.centroid), 9),
                             c.partition_id) AS probe_rank
         FROM q CROSS JOIN centroids c
-    ) WHERE probe_rank <= 3
+    ) WHERE probe_rank <= 3{routed_filter}
 ),
 scored AS (
     SELECT r.query_id, co.partition_id, co.vec_id AS neighbor_id,
@@ -490,8 +522,10 @@ SELECT query_id, neighbor_id, partition_id, distance, rank FROM (
            row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rank
     FROM local_topn
 ) WHERE rank <= 100
-""",
-)
+"""
+
+
+@register("ivf_search", oracle=_ivf_oracle())
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full two-tier scatter-gather search (O22+O23+O24+O27+O28):
     nprobe=3, top_n=10 per partition, global limit 100."""
@@ -499,6 +533,22 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = fixture_centroids(spark, sf_dir)
     corpus = assigned_corpus(spark, sf_dir)
     return ivf_search(queries, corpus, cent, nprobe=3, top_n=10, global_limit=100)
+
+
+@register("ivf_search_partial_server", oracle=_ivf_oracle("0-3,5,7"))
+def q_ivf_search_partial_server(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23's loaded-partition restriction [Q]: the same search on a server
+    that has only partitions 0-3,5,7 loaded — routed probes landing on
+    unloaded partitions are silently skipped, exactly the
+    ``partitions_to_search`` / ``self._indexes`` intersection of the
+    reference (neighborhood_server.py:208-225)."""
+    queries = _fixture_queries(spark, sf_dir)
+    cent = fixture_centroids(spark, sf_dir)
+    corpus = assigned_corpus(spark, sf_dir)
+    return ivf_search(
+        queries, corpus, cent, nprobe=3, top_n=10, global_limit=100,
+        loaded_partitions="0-3,5,7",
+    )
 
 
 @register(

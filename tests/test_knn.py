@@ -22,6 +22,7 @@ KNN_QUERIES = [
     "leader_routing",
     "partition_assignment",
     "ivf_search",
+    "ivf_search_partial_server",
     "knn_batch_join",
     "similarity_threshold_join",
     "health_aggregates",
