@@ -29,7 +29,11 @@ watermark).
 
 from __future__ import annotations
 
+import datetime as _dt
+import hashlib
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -193,6 +197,108 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands batch formulation of Spark's session_window state
     merge (end = last event + gap, matching Spark's session extent)."""
     return session_stats(load_table(spark, sf_dir, "events"), SESSION_GAP)
+
+
+# --- late-data / watermark query (multi-batch staged feed) -----------------
+
+#: Hour-aligned split points over the Jan-2024 events fixture. Rows >= HI
+#: arrive FIRST (establishing the watermark), rows in [LO, HI) second, and
+#: rows < LO arrive LAST — long behind the watermark, so every one is
+#: dropped. Hour alignment guarantees the mid and late files never share a
+#: tumbling window.
+LATE_SPLIT_LO = _dt.datetime(2024, 1, 8, tzinfo=_dt.timezone.utc)
+LATE_SPLIT_HI = _dt.datetime(2024, 1, 29, tzinfo=_dt.timezone.utc)
+LATE_DELAY = "1 hour"
+
+
+def _stage_late_feed(sf_dir: str) -> str:
+    """Split the events fixture into a 3-file micro-batch feed.
+
+    File order is pinned by explicit mtimes (FileStreamSource processes
+    oldest-mtime first with ``latestFirst=false``); ``ts`` is materialized
+    as plain INT64 nanos so the staged files need no nanosAsLong conf.
+    Staging is cached per (source path, source mtime) — repeat invocations
+    in a bench loop reuse the same feed.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"bvds_late_feed_{key}")
+    marker = os.path.join(out, "_STAGED")
+    stamp = str(os.path.getmtime(src))
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    tbl = pq.read_table(src)
+    ts_ns = pc.cast(tbl["ts"], pa.int64())
+    tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns)
+    lo = int(LATE_SPLIT_LO.timestamp()) * 10**9
+    hi = int(LATE_SPLIT_HI.timestamp()) * 10**9
+    splits = (
+        ("f1_head", pc.greater_equal(ts_ns, hi), 1000),
+        ("f2_mid", pc.and_(pc.greater_equal(ts_ns, lo), pc.less(ts_ns, hi)), 2000),
+        ("f3_late", pc.less(ts_ns, lo), 3000),
+    )
+    for name, mask, mtime in splits:
+        path = os.path.join(out, f"{name}.parquet")
+        pq.write_table(tbl.filter(mask), path)
+        os.utime(path, (mtime, mtime))
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out
+
+
+@register(
+    "events_late_data_drop",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '{LATE_SPLIT_LO:%Y-%m-%d %H:%M:%S}'
+  AND date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+GROUP BY 1, 2
+""",
+)
+def q_events_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 [Q]: watermark/late-data semantics as a REAL multi-batch streaming
+    query. The events fixture is staged as three files fed one per
+    micro-batch (newest rows first). Spark 4's pinned behavior (verified
+    empirically, tests/test_streaming.py): an input row is dropped iff its
+    window was already evicted — i.e. window_end <= the watermark used by a
+    PRIOR batch's eviction — and a trailing no-data batch evicts everything
+    up to the final watermark (global max ts - delay). Hence the emitted
+    set is exactly: hourly windows with end <= max(ts) - 1h, counting only
+    head+mid rows (every late-file row's window closed in batch 2's
+    eviction, batches being 0-indexed head/mid/late).
+
+    The reference has no streaming surface (vector_db.py:84,124 — batch
+    loop, streaming=False); this extends X7 beyond the single-batch
+    ``events_stream_tumbling`` gate.
+    """
+    staged = _stage_late_feed(sf_dir)
+    stream = read_events_stream(
+        spark, staged, pathGlobFilter="*.parquet", maxFilesPerTrigger="1"
+    )
+    agg = tumbling_stats(stream.withWatermark("ts", LATE_DELAY), "1 hour")
+    name = "events_late_data_drop_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 @register(

@@ -104,3 +104,18 @@ def test_stream_batch_equivalence(spark, sf_dir):
         for r in QUERIES["events_tumbling_hourly"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_late_data_drop_gated_query(spark, sf_dir, duck):
+    """The gated multi-batch feed: (a) oracle-exact, (b) stable under
+    re-invocation in one session (memory sink must not accumulate),
+    (c) strictly smaller than the no-late-data tumbling result — i.e. the
+    late file's windows and the unemittable watermark tail really are
+    absent."""
+    name = "events_late_data_drop"
+    df = QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, duck, ORACLES[name])
+    n1 = df.count()
+    n2 = QUERIES[name](spark, sf_dir).count()
+    assert n1 == n2
+    assert n1 < QUERIES["events_tumbling_hourly"](spark, sf_dir).count()
