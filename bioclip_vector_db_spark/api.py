@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .operators.indexing import build_index
 from .operators.knn import ivf_search
 
 #: The reference's request/limit defaults (neighborhood_server.py:312,
@@ -111,12 +110,64 @@ class VectorSearchEngine:
         return self.id_mapping.filter(F.col("original_id") == original_id)
 
     def add_batch(self, vectors: DataFrame) -> "VectorSearchEngine":
-        """batch_add_embeddings analog: rebuild with the union appended —
-        append-as-rebuild keeps assignment/faiss ids consistent; an
-        incremental variant would assign against the EXISTING centroids
-        and append per-partition files."""
-        new_corpus = self.corpus.select(vectors.columns).unionByName(vectors)
-        build_index(new_corpus, self.index_dir, k=self.centroids.count())
+        """batch_add_embeddings analog, INCREMENTAL: new rows are
+        deduplicated against the stored ids (O12), assigned against the
+        EXISTING centroids (no re-fit — the reference never retrains its
+        quantizer after the initial fit either, storage_impl.py:103-111),
+        given faiss_ids continuing each partition's dense sequence (O20),
+        and appended as new per-partition files. Cost is O(|batch|) plus
+        one tiny max-per-partition aggregate over the stored corpus —
+        independent of corpus size at the write layer, since
+        ``partitionBy`` append only creates files under the touched
+        partition directories.
+
+        Equivalence contract (tests/test_api.py): with centroids fixed and
+        batch ids above the stored ids, append-then-search ==
+        rebuild-then-search, byte for byte.
+        """
+        from pyspark.sql import Window
+
+        from .operators.knn import assign_partitions
+
+        incoming = vectors.select("vec_id", "embedding", "label").join(
+            self.corpus.select("vec_id"), "vec_id", "left_anti"
+        )
+        assigned = assign_partitions(incoming, self.centroids)
+        # Continue each partition's dense faiss_id sequence: next id =
+        # stored max + 1 (0 for a partition the batch opens). The base
+        # table is k rows — broadcast by size.
+        base = self.corpus.groupBy("partition_id").agg(
+            (F.max("faiss_id") + 1).alias("_next_id")
+        )
+        w = Window.partitionBy("partition_id").orderBy(F.col("vec_id").asc())
+        new_corpus = (
+            assigned.join(F.broadcast(base), "partition_id", "left")
+            .withColumn(
+                "faiss_id",
+                (F.row_number().over(w) - 1 + F.coalesce("_next_id", F.lit(0))).cast(
+                    "bigint"
+                ),
+            )
+            .drop("_next_id")
+            # Eager lineage break, NOT persist(): the first append below
+            # invalidates any cached plan that reads the corpus path, so a
+            # merely-persisted batch would be recomputed against the
+            # already-appended corpus — and the anti-join would then erase
+            # the whole batch from the second write.
+            .localCheckpoint(eager=True)
+        )
+        new_corpus.write.mode("append").partitionBy("partition_id").parquet(
+            f"{self.index_dir}/corpus"
+        )
+        new_corpus.select(
+            "partition_id",
+            "faiss_id",
+            F.col("vec_id").cast("string").alias("original_id"),
+            F.to_json(F.struct("label")).alias("metadata"),
+            F.current_timestamp().alias("created_at"),
+        ).write.mode("append").partitionBy("partition_id").parquet(
+            f"{self.index_dir}/id_mapping"
+        )
         return VectorSearchEngine(self.spark, self.index_dir)
 
     def reset(self, force: bool = False) -> None:

@@ -128,9 +128,14 @@ def build_index(
     *,
     k: int | None = None,
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The full offline build (entry point 1, SURVEY.md §3.1) as one job:
     train -> assign -> faiss ids -> partitioned writes.
+
+    Pass ``centroids`` to build against an EXISTING leader table (no
+    re-fit) — the rebuild half of the incremental-append equivalence
+    contract (api.VectorSearchEngine.add_batch).
 
     Writes three tables under ``output_dir``: ``corpus`` (partitioned by
     partition_id — the IVF layout; O3/O4), ``centroids`` (the leader index;
@@ -148,8 +153,12 @@ def build_index(
 
     t0 = time.perf_counter()
     n = vectors.count()
-    k = k or derive_nlist(n)
-    cent = train_kmeans_centroids(vectors, k, seed=seed)
+    if centroids is not None:
+        cent = centroids
+        k = k or cent.count()
+    else:
+        k = k or derive_nlist(n)
+        cent = train_kmeans_centroids(vectors, k, seed=seed)
     t_train = time.perf_counter()
     assigned = assign_partitions(vectors, cent)
     # Persist: the corpus lineage (assignment argmin + faiss-id window over

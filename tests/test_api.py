@@ -42,3 +42,37 @@ def test_point_lookup(engine):
 def test_reset_requires_force(engine):
     with pytest.raises(ValueError):
         engine.reset()
+
+
+def test_add_batch_incremental_equals_rebuild(spark, sf_dir, tmp_path):
+    """The incremental append contract: with centroids FIXED, building on
+    the prefix then add_batch-ing the suffix yields the same three index
+    tables — and the same search results — as one rebuild over the union.
+    The append path must not re-fit (it never calls train_kmeans)."""
+    from bioclip_vector_db_spark.operators.knn import fixture_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = fixture_centroids(spark, sf_dir)
+    prefix, suffix = emb.filter(F.col("vec_id") < 400), emb.filter(F.col("vec_id") >= 400)
+
+    full_dir = str(tmp_path / "full")
+    incr_dir = str(tmp_path / "incr")
+    build_index(emb, full_dir, centroids=cent)
+    build_index(prefix, incr_dir, centroids=cent)
+    engine = VectorSearchEngine(spark, incr_dir).add_batch(suffix)
+
+    full = VectorSearchEngine(spark, full_dir)
+    key = ["partition_id", "faiss_id"]
+    for attr in ("corpus", "id_mapping"):
+        a = getattr(full, attr).drop("created_at").orderBy(*key).collect()
+        b = getattr(engine, attr).drop("created_at").orderBy(*key).collect()
+        assert a == b, f"{attr} diverged between rebuild and append"
+
+    qv = emb.filter(F.col("vec_id") == 450).collect()[0].embedding
+    got = engine.search(list(qv), top_n=5, nprobe=3).collect()
+    want = full.search(list(qv), top_n=5, nprobe=3).collect()
+    assert got == want and got[0].id == "450"
+
+    # Dedup guard (O12): re-adding the same rows must be a no-op.
+    again = engine.add_batch(suffix)
+    assert again.corpus.count() == full.corpus.count()
