@@ -5,6 +5,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced to full execution with a count-style action (no
 collect of payloads — we measure engine time, not driver materialization).
+
+Regression guard: when BENCH_REF.json (env SPARK_GRAFT_BENCH_REF) exists
+and was recorded at the same sf, any query slower than 2x its reference
+time is reported on stderr — stdout stays the single JSON line the round
+driver parses — and fails the process under SPARK_GRAFT_BENCH_STRICT=1.
+Queries missing from the reference (suite changes) are exempt; refresh the
+reference with SPARK_GRAFT_BENCH_WRITE_REF=1 after intentional changes.
 """
 
 from __future__ import annotations
@@ -21,11 +28,58 @@ from bioclip_vector_db_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entry_mod  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_REF = os.environ.get(
+    "SPARK_GRAFT_BENCH_REF",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REF.json"),
+)
+#: Ignore references under this many seconds: with min-of-two passes a
+#: sub-0.3s query's time is scheduler jitter, not plan cost.
+GUARD_FLOOR_SEC = 0.3
+GUARD_FACTOR = 2.0
+
+
+def find_regressions(
+    timings: dict[str, float],
+    ref_queries: dict[str, float],
+    factor: float = GUARD_FACTOR,
+    floor: float = GUARD_FLOOR_SEC,
+) -> dict[str, dict[str, float]]:
+    """Queries slower than ``factor`` x their reference time. Queries not
+    in the reference (new since it was recorded) are exempt by design."""
+    out = {}
+    for name, ref in ref_queries.items():
+        got = timings.get(name)
+        if got is not None and ref >= floor and got > factor * ref:
+            out[name] = {"ref": ref, "got": got}
+    return out
+
+
+def check_against_reference(timings: dict[str, float], sf_val) -> bool:
+    """Apply the guard; returns False when a strict run must fail."""
+    if not os.path.exists(BENCH_REF):
+        return True
+    with open(BENCH_REF) as fh:
+        ref = json.load(fh)
+    if ref.get("sf") != sf_val:
+        return True
+    floor = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", GUARD_FLOOR_SEC))
+    regressions = find_regressions(timings, ref.get("queries", {}), floor=floor)
+    for name, r in sorted(regressions.items()):
+        print(
+            f"BENCH-REGRESSION {name}: {r['got']:.3f}s vs ref {r['ref']:.3f}s "
+            f"(>{GUARD_FACTOR:g}x)",
+            file=sys.stderr,
+        )
+    return not regressions
 
 
 def main() -> None:
     spark = get_spark("bench")
     qs = entry_mod.queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",")}
+        qs = {n: f for n, f in qs.items() if n in keep}
     names = sorted(qs)
     # Warm the JVM, codegen, and parquet footer caches with one untimed
     # throwaway run so the alphabetically-first timed query doesn't silently
@@ -74,6 +128,13 @@ def main() -> None:
             }
         )
     )
+    if os.environ.get("SPARK_GRAFT_BENCH_WRITE_REF") == "1":
+        with open(BENCH_REF, "w") as fh:
+            json.dump({"sf": sf_val, "queries": timings}, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    elif not check_against_reference(timings, sf_val):
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+            sys.exit(3)
 
 
 if __name__ == "__main__":

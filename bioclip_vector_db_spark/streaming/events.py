@@ -290,14 +290,22 @@ def q_events_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = tumbling_stats(stream.withWatermark("ts", LATE_DELAY), "1 hour")
     name = "events_late_data_drop_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # 4 micro-batches x per-state-store open/commit cost: the ~1.5k-key
+    # window state does not need 32 stores (same sizing note as
+    # stateful.py; a cluster-sized keyspace would keep the default).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
