@@ -552,6 +552,92 @@ def q_ivf_search_partial_server(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_recall_eval",
+    oracle=f"""
+WITH {CENTROIDS_CTE.strip()},
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 25
+),
+assign_scored AS (
+    SELECT e.vec_id, e.embedding, c.partition_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9),
+                        c.partition_id) AS r
+    FROM embeddings e CROSS JOIN centroids c
+),
+corpus AS (
+    SELECT vec_id, embedding, partition_id FROM assign_scored WHERE r = 1
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(1.0 - list_dot_product(q.qv, e.embedding::DOUBLE[]), 9),
+                            e.vec_id) AS rank
+        FROM q CROSS JOIN embeddings e
+    ) WHERE rank <= 10
+),
+routed AS (
+    SELECT query_id, qv, partition_id FROM (
+        SELECT q.query_id, q.qv, c.partition_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(1.0 - list_dot_product(q.qv, c.centroid), 9),
+                            c.partition_id) AS probe_rank
+        FROM q CROSS JOIN centroids c
+    ) WHERE probe_rank <= 1
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY s.query_id ORDER BY s.distance, s.neighbor_id) AS rank
+        FROM (
+            SELECT r.query_id, co.vec_id AS neighbor_id,
+                   round(1.0 - list_dot_product(r.qv, co.embedding::DOUBLE[]), 9) AS distance
+            FROM routed r JOIN corpus co ON r.partition_id = co.partition_id
+        ) s
+    ) WHERE rank <= 10
+)
+SELECT e.query_id,
+       count(*)::BIGINT AS n_exact,
+       count(a.neighbor_id)::BIGINT AS n_hit,
+       round(count(a.neighbor_id)::DOUBLE / count(*), 9) AS recall_at_10
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+""",
+)
+def q_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality measurement [Q]: recall@10 of the routed search at the
+    reference's default nprobe=1 (neighborhood_server.py:312) against the
+    exact scan, per query — the recall/latency tradeoff FAISS IVF indexes
+    are tuned by. Both sides share the scoring kernel; the eval itself is
+    one broadcast hash join + aggregate, so it runs at corpus scale (the
+    exact side is the only O(Q x N) stage, and it is the yardstick)."""
+    queries = _fixture_queries(spark, sf_dir, n=25)
+    cent = fixture_centroids(spark, sf_dir)
+    corpus = assigned_corpus(spark, sf_dir)
+    exact = knn_join(queries, corpus, k=10)
+    approx = ivf_search(queries, corpus, cent, nprobe=1, top_n=10, global_limit=10)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.round(
+            F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)), 9
+        ).alias("recall_at_10"),
+    )
+
+
+@register(
     "knn_batch_join",
     oracle=f"""
 WITH {CENTROIDS_CTE.strip()},

@@ -199,6 +199,50 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load_table(spark, sf_dir, "events"), SESSION_GAP)
 
 
+@register(
+    "events_stream_to_parquet",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+GROUP BY 1, 2
+""",
+)
+def q_events_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 [Q]: the PRODUCTION sink — append-mode windowed aggregation
+    written to parquet files with a checkpointed exactly-once commit log
+    (the _spark_metadata protocol), then read back as a batch table. Unlike
+    the memory-sink gates this is the shape a 100-TB pipeline actually
+    runs: bounded state (append + watermark), files per state partition per
+    trigger, atomic via the sink log. Deterministic because the single-file
+    fixture is one data micro-batch and the trailing no-data batch evicts
+    exactly the windows ending at or before max(ts) - delay."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="bvds_stream_sink_")
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_stats(stream.withWatermark("ts", "1 hour"), "1 hour")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(f"{out}/data")
+
+
 # --- late-data / watermark query (multi-batch staged feed) -----------------
 
 #: Hour-aligned split points over the Jan-2024 events fixture. Rows >= HI

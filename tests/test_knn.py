@@ -23,6 +23,7 @@ KNN_QUERIES = [
     "partition_assignment",
     "ivf_search",
     "ivf_search_partial_server",
+    "knn_recall_eval",
     "knn_batch_join",
     "similarity_threshold_join",
     "health_aggregates",

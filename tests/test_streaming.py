@@ -20,6 +20,7 @@ EVENT_QUERIES = [
     "events_sliding_2h_1h",
     "events_session_windows",
     "events_stream_tumbling",
+    "events_stream_to_parquet",
 ]
 
 
