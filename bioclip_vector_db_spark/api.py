@@ -125,49 +125,9 @@ class VectorSearchEngine:
         batch ids above the stored ids, append-then-search ==
         rebuild-then-search, byte for byte.
         """
-        from pyspark.sql import Window
+        from .operators.indexing import append_to_index
 
-        from .operators.knn import assign_partitions
-
-        incoming = vectors.select("vec_id", "embedding", "label").join(
-            self.corpus.select("vec_id"), "vec_id", "left_anti"
-        )
-        assigned = assign_partitions(incoming, self.centroids)
-        # Continue each partition's dense faiss_id sequence: next id =
-        # stored max + 1 (0 for a partition the batch opens). The base
-        # table is k rows — broadcast by size.
-        base = self.corpus.groupBy("partition_id").agg(
-            (F.max("faiss_id") + 1).alias("_next_id")
-        )
-        w = Window.partitionBy("partition_id").orderBy(F.col("vec_id").asc())
-        new_corpus = (
-            assigned.join(F.broadcast(base), "partition_id", "left")
-            .withColumn(
-                "faiss_id",
-                (F.row_number().over(w) - 1 + F.coalesce("_next_id", F.lit(0))).cast(
-                    "bigint"
-                ),
-            )
-            .drop("_next_id")
-            # Eager lineage break, NOT persist(): the first append below
-            # invalidates any cached plan that reads the corpus path, so a
-            # merely-persisted batch would be recomputed against the
-            # already-appended corpus — and the anti-join would then erase
-            # the whole batch from the second write.
-            .localCheckpoint(eager=True)
-        )
-        new_corpus.write.mode("append").partitionBy("partition_id").parquet(
-            f"{self.index_dir}/corpus"
-        )
-        new_corpus.select(
-            "partition_id",
-            "faiss_id",
-            F.col("vec_id").cast("string").alias("original_id"),
-            F.to_json(F.struct("label")).alias("metadata"),
-            F.current_timestamp().alias("created_at"),
-        ).write.mode("append").partitionBy("partition_id").parquet(
-            f"{self.index_dir}/id_mapping"
-        )
+        append_to_index(self.spark, self.index_dir, vectors, self.centroids)
         return VectorSearchEngine(self.spark, self.index_dir)
 
     def reset(self, force: bool = False) -> None:

@@ -204,6 +204,58 @@ def build_index(
     }
 
 
+def append_to_index(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    centroids: DataFrame,
+) -> None:
+    """The incremental append core shared by api.add_batch and the
+    streaming ingest (streaming/ingest.py): dedup the batch against the
+    stored ids (O12), assign against the given centroids (no re-fit),
+    continue each partition's dense faiss_id sequence (O20), append
+    per-partition files to corpus + id_mapping. Bootstraps the index
+    (including the centroids table) when ``index_dir`` has no corpus yet.
+
+    The batch is eagerly localCheckpoint-ed before the writes: the first
+    append invalidates cached plans reading the corpus path, and a
+    recompute would see the batch as already stored and erase it from the
+    second write.
+    """
+    import os
+
+    batch = batch.select("vec_id", "embedding", "label")
+    bootstrap = not os.path.exists(f"{index_dir}/corpus")
+    if bootstrap:
+        next_ids = None
+    else:
+        stored = spark.read.parquet(f"{index_dir}/corpus")
+        batch = batch.join(stored.select("vec_id"), "vec_id", "left_anti")
+        next_ids = stored.groupBy("partition_id").agg(
+            (F.max("faiss_id") + 1).alias("_next_id")
+        )
+    assigned = assign_partitions(batch, centroids)
+    w = Window.partitionBy("partition_id").orderBy(F.col("vec_id").asc())
+    rows = assigned.withColumn("_rn", (F.row_number().over(w) - 1).cast("bigint"))
+    if next_ids is not None:
+        rows = rows.join(F.broadcast(next_ids), "partition_id", "left").withColumn(
+            "_rn", F.col("_rn") + F.coalesce("_next_id", F.lit(0))
+        ).drop("_next_id")
+    rows = (
+        rows.withColumn("faiss_id", F.col("_rn")).drop("_rn").localCheckpoint(eager=True)
+    )
+    rows.write.mode("append").partitionBy("partition_id").parquet(f"{index_dir}/corpus")
+    rows.select(
+        "partition_id",
+        "faiss_id",
+        F.col("vec_id").cast("string").alias("original_id"),
+        F.to_json(F.struct("label")).alias("metadata"),
+        F.current_timestamp().alias("created_at"),
+    ).write.mode("append").partitionBy("partition_id").parquet(f"{index_dir}/id_mapping")
+    if bootstrap:
+        centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
 # ---------------------------------------------------------------------------
 # Shared oracle CTE: corpus with partition assignment + id_mapping
 # ---------------------------------------------------------------------------

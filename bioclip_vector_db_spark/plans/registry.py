@@ -39,6 +39,7 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.operators.tpch",
     "bioclip_vector_db_spark.operators.quantization",
     "bioclip_vector_db_spark.streaming.stateful",
+    "bioclip_vector_db_spark.streaming.ingest",
 )
 
 

@@ -1,0 +1,126 @@
+"""Streaming index ingest — the reference's batch-only ingest loop
+re-expressed as a Structured Streaming pipeline.
+
+The reference ingests with a sequential driver loop and explicitly no
+streaming (src/bioclip_vector_db/vector_db.py:84 ``streaming=False``,
+:124,153 — the loop buffers records and flushes per storage batch). Here
+the same lifecycle — arrive, dedup, assign to a partition under FIXED
+centroids, take the next dense faiss_id, land in the partitioned layout —
+runs as ``readStream -> foreachBatch(append_to_index)``: each micro-batch
+is one incremental append (operators.indexing.append_to_index, the exact
+code path api.add_batch uses), so the streaming and serving ingest paths
+cannot drift apart.
+
+Scale notes: state lives entirely in the index tables (no streaming state
+store); per-batch cost is the batch assignment plus one broadcast
+max-faiss_id aggregate over the stored corpus; appends only touch the
+partition directories the batch lands in. The per-batch anti-join dedup
+scans stored vec_ids — at 100 TB that becomes a bloom-filter or
+partition-pruned semi-join, which Spark's AQE already rewrites when the
+id side is small.
+
+Determinism of the gated query: the feed files split vec_id into three
+ascending ranges processed in mtime order, so each partition's appended
+rows arrive already sorted by vec_id and the final id_mapping is
+byte-identical to the one-shot batch build — the ``id_mapping_build``
+oracle applies verbatim.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.indexing import ASSIGNED_CTE, append_to_index
+from ..operators.knn import fixture_centroids
+from ..plans.registry import register
+
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def _stage_embedding_feed(sf_dir: str, n_files: int = 3) -> str:
+    """Split the embeddings fixture into ``n_files`` ascending-vec_id
+    files with pinned mtimes (FileStreamSource processes oldest first),
+    cached per (source path, source mtime)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"bvds_ingest_feed_{key}")
+    marker = os.path.join(out, "_STAGED")
+    stamp = str(os.path.getmtime(src))
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    tbl = pq.read_table(src)
+    hi = pc.max(tbl["vec_id"]).as_py() + 1
+    step = max(1, hi // n_files)
+    for i in range(n_files):
+        lo_i, hi_i = i * step, (i + 1) * step if i < n_files - 1 else hi
+        mask = pc.and_(
+            pc.greater_equal(tbl["vec_id"], lo_i), pc.less(tbl["vec_id"], hi_i)
+        )
+        path = os.path.join(out, f"f{i}.parquet")
+        pq.write_table(tbl.filter(mask), path)
+        os.utime(path, (1000 * (i + 1), 1000 * (i + 1)))
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out
+
+
+def stream_ingest(
+    spark: SparkSession, feed_dir: str, index_dir: str, centroids: DataFrame
+) -> None:
+    """Run the streaming ingest to completion (availableNow): one
+    incremental index append per micro-batch."""
+
+    def _append(batch: DataFrame, _batch_id: int) -> None:
+        append_to_index(spark, index_dir, batch, centroids)
+
+    q = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", f"{index_dir}/_ingest_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "streaming_index_ingest",
+    oracle=f"""
+WITH {ASSIGNED_CTE.strip()}
+SELECT partition_id, faiss_id, original_id, metadata FROM id_mapping
+""",
+)
+def q_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7+O3/O6 [Q]: ingest the corpus as a 3-micro-batch stream of
+    incremental appends under fixed centroids, then return the resulting
+    id_mapping — byte-identical to the one-shot batch build's
+    (same oracle as ``id_mapping_build``)."""
+    feed = _stage_embedding_feed(sf_dir)
+    index_dir = tempfile.mkdtemp(prefix="bvds_stream_ingest_")
+    cent = fixture_centroids(spark, sf_dir)
+    stream_ingest(spark, feed, index_dir, cent)
+    return spark.read.parquet(f"{index_dir}/id_mapping").select(
+        "partition_id", "faiss_id", "original_id", "metadata"
+    )

@@ -120,3 +120,11 @@ def test_late_data_drop_gated_query(spark, sf_dir, duck):
     n2 = QUERIES[name](spark, sf_dir).count()
     assert n1 == n2
     assert n1 < QUERIES["events_tumbling_hourly"](spark, sf_dir).count()
+
+
+def test_streaming_ingest_equals_batch_build(spark, sf_dir):
+    """Micro-batch incremental appends under fixed centroids must land
+    byte-identical to the one-shot batch build's id_mapping."""
+    got = sorted(map(tuple, QUERIES["streaming_index_ingest"](spark, sf_dir).collect()))
+    want = sorted(map(tuple, QUERIES["id_mapping_build"](spark, sf_dir).collect()))
+    assert got == want
