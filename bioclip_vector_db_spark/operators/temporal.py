@@ -1,0 +1,182 @@
+"""Temporal joins over event streams — as-of and range joins.
+
+Neither exists in the reference (its only temporal artifact is the
+``created_at`` column, metadata_storage.py:85) nor as a Spark builtin;
+both are table stakes for an event/training-data pipeline (SURVEY §2.6
+north-star scope), so they are implemented here Spark-first:
+
+- **As-of join** (``asof_join``): for each probe row, the latest build row
+  at-or-before its timestamp within a key group. NOT implemented as an
+  inequality join + argmax — that expands every probe row by its whole
+  build history before re-collapsing. Instead: union-tag both sides and
+  take a running ``last(ignorenulls)`` over (key, ts) — ONE shuffle on the
+  key, zero row expansion, and the sort is the shuffle's sort. This is the
+  gaps-and-islands trick session_stats already uses, applied to carrying
+  payloads forward.
+- **Range join** (``range_join_aggregate``): match build rows in a
+  trailing window [probe.ts - width, probe.ts). A raw inequality join is a
+  cartesian-per-key; instead build rows are replicated into the two
+  ``width``-sized time buckets they can serve, the join is EQUI on
+  (key, bucket) — a plain hash join Catalyst can plan — and the exact
+  range predicate is the join residual. Replication factor is exactly 2
+  regardless of data volume or skew, so the plan survives 100x scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    *,
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    payload: tuple[str, ...] = ("event_id", "value"),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Probe rows + the latest build row with ``build.ts <= probe.ts`` in
+    the same ``on`` group (null payload when no build row precedes).
+
+    Build payloads ride in ONE struct so every output column comes from
+    the SAME matched row even if individual payload fields are null.
+    Ordering puts build rows before probe rows at equal ts (at-or-before
+    semantics) with a total ``tiebreak``; later build rows win.
+    """
+    b = build.select(
+        *on,
+        F.col(ts_col),
+        F.col(tiebreak),
+        F.struct(F.col(ts_col).alias(f"{prefix}{ts_col}"), *payload).alias("_payload"),
+        F.lit(True).alias("_is_build"),
+    )
+    p = probe.withColumn("_is_build", F.lit(False))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_build").desc(), F.col(tiebreak).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        p.unionByName(b, allowMissingColumns=True)
+        .withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+        .filter(~F.col("_is_build"))
+        .drop("_is_build", "_payload")
+    )
+    carried = carried.withColumn(f"{prefix}{ts_col}", F.col(f"_match.{prefix}{ts_col}"))
+    for c in payload:
+        carried = carried.withColumn(f"{prefix}{c}", F.col(f"_match.{c}"))
+    return carried.drop("_match")
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+WITH tagged AS (
+    SELECT user_id, ts, event_id, value,
+           event_type = 'click' AS is_build
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+runs AS (
+    SELECT *,
+           last_value(CASE WHEN is_build THEN event_id END IGNORE NULLS) OVER w AS click_id,
+           last_value(CASE WHEN is_build THEN ts END IGNORE NULLS) OVER w AS click_ts
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts, is_build DESC, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       event_id AS purchase_id,
+       ts AS purchase_ts,
+       click_id,
+       click_ts,
+       epoch_us(ts) - epoch_us(click_ts) AS wait_us
+FROM runs WHERE NOT is_build
+""",
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join [Q]: every purchase matched to the same user's most
+    recent click at-or-before it (time-to-convert analysis). One shuffle
+    by user_id, no row expansion — see asof_join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(purchases, clicks, ["user_id"], payload=("event_id",))
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_event_id").alias("click_id"),
+        F.col("asof_ts").alias("click_ts"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("wait_us"),
+    )
+
+
+@register(
+    "events_range_join",
+    oracle="""
+SELECT e.user_id,
+       e.event_id AS error_id,
+       e.ts AS error_ts,
+       count(v.ts)::BIGINT AS n_views,
+       round(coalesce(sum(v.value), 0), 6) AS views_value
+FROM events e
+LEFT JOIN events v
+  ON v.user_id = e.user_id
+ AND v.event_type = 'view'
+ AND v.ts >= e.ts - INTERVAL 10 MINUTE
+ AND v.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY 1, 2, 3
+""",
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join [Q]: per error event, the same user's view activity in
+    the trailing 10 minutes (what was the user looking at when it broke).
+    Bucket-replicated equi-join — replication factor exactly 2, plain hash
+    join, zero-match errors preserved."""
+    ev = load_table(spark, sf_dir, "events")
+    width_sec = 600
+    width_us = width_sec * 1_000_000
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "ts", "event_id")
+        .withColumn("_bucket", F.floor(F.unix_micros("ts") / F.lit(width_us)))
+        .alias("e")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "value")
+        .withColumn("_b0", F.floor(F.unix_micros("ts") / F.lit(width_us)))
+        .withColumn("_bucket", F.explode(F.array(F.col("_b0"), F.col("_b0") + 1)))
+        .drop("_b0")
+        .alias("v")
+    )
+    cond = (
+        (F.col("e._bucket") == F.col("v._bucket"))
+        & (F.col("e.user_id") == F.col("v.user_id"))
+        & (F.col("v.ts") >= F.col("e.ts") - F.expr(f"INTERVAL {width_sec} SECOND"))
+        & (F.col("v.ts") < F.col("e.ts"))
+    )
+    return (
+        errors.join(views, cond, "left")
+        .groupBy(
+            F.col("e.user_id").alias("user_id"),
+            F.col("e.event_id").alias("error_id"),
+            F.col("e.ts").alias("error_ts"),
+        )
+        .agg(
+            F.count(F.col("v.ts")).cast("bigint").alias("n_views"),
+            F.round(F.coalesce(F.sum("v.value"), F.lit(0.0)), 6).alias("views_value"),
+        )
+    )

@@ -40,6 +40,7 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.operators.quantization",
     "bioclip_vector_db_spark.streaming.stateful",
     "bioclip_vector_db_spark.streaming.ingest",
+    "bioclip_vector_db_spark.operators.temporal",
 )
 
 

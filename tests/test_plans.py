@@ -82,3 +82,24 @@ def test_embedding_scan_prunes_columns(spark, sf_dir):
     """A 2-column projection over embeddings must not read `label`."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assert "label" not in _plan(emb.filter(F.col("vec_id") < 5)).split("ReadSchema:")[1]
+
+
+def test_asof_join_is_one_shuffle_no_join(spark, sf_dir):
+    """The as-of join must compile to ONE hash exchange + a running-last
+    window — never an inequality join (which expands every probe row by
+    its build history)."""
+    plan = _plan(QUERIES["events_asof_join"](spark, sf_dir))
+    assert "Window" in plan
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"):
+        assert bad not in plan, bad
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_bucketed_hash_join(spark, sf_dir):
+    """The trailing-window range join must be an EQUI join on
+    (bucket, key) with the range predicate as residual — a raw
+    inequality join would be a per-key cartesian."""
+    plan = _plan(QUERIES["events_range_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bucket" in plan  # the equi keys include the time bucket
