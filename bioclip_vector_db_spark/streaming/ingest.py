@@ -120,7 +120,15 @@ def q_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = _stage_embedding_feed(sf_dir)
     index_dir = tempfile.mkdtemp(prefix="bvds_stream_ingest_")
     cent = fixture_centroids(spark, sf_dir)
-    stream_ingest(spark, feed, index_dir, cent)
+    # Per-batch shuffles (anti-join, faiss-id window) move k*batch-sized
+    # data; 32-way exchanges pay pure scheduling latency here (same sizing
+    # note as the other streaming gates — a cluster keeps the default).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream_ingest(spark, feed, index_dir, cent)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(f"{index_dir}/id_mapping").select(
         "partition_id", "faiss_id", "original_id", "metadata"
     )
