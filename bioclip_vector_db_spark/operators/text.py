@@ -263,6 +263,136 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, 3).filter(F.col("doc_id") < 20)
 
 
+_ALL_STOPWORDS = tuple(w for wl in STOPWORDS.values() for w in wl)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws, text FROM documents),
+m AS (
+    SELECT doc_id,
+           len(ws) AS n_words,
+           round(len(list_filter(ws, x -> list_contains(
+               [{", ".join(f"'{s}'" for s in _ALL_STOPWORDS)}], lower(x)))) * 1.0
+               / len(ws), 9) AS stopword_ratio,
+           round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+               / length(text), 9) AS symbol_ratio
+    FROM w
+)
+SELECT doc_id, n_words::BIGINT AS n_words, stopword_ratio, symbol_ratio,
+       round(stopword_ratio + (1.0 - symbol_ratio), 9) AS quality,
+       (n_words >= 5 AND symbol_ratio < 0.1 AND stopword_ratio >= 0.02) AS keep
+FROM m
+""",
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: C4/Gopher-style quality gate — stopword ratio (over the
+    union stoplist), symbol ratio, word-count floor, a composite score,
+    and the boolean keep decision a filtering pipeline applies. Pure
+    Catalyst expressions fused into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _ALL_STOPWORDS])
+    m = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.round(
+            F.size(F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x))))
+            / F.size(w),
+            9,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")) / F.length("text"), 9
+        ).alias("symbol_ratio"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "stopword_ratio",
+        "symbol_ratio",
+        # Sum, not mean: halving two 9-decimal ratios lands exactly on
+        # decimal rounding ties, which the two engines break differently.
+        F.round(
+            F.col("stopword_ratio") + (F.lit(1.0) - F.col("symbol_ratio")), 9
+        ).alias("quality"),
+        (
+            (F.col("n_words") >= 5)
+            & (F.col("symbol_ratio") < 0.1)
+            & (F.col("stopword_ratio") >= 0.02)
+        ).alias("keep"),
+    )
+
+
+@register(
+    "documents_train_split",
+    oracle="""
+WITH assigned AS (
+    SELECT lang,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+        SELECT lang,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        FROM documents
+    )
+)
+SELECT lang, split, count(*)::BIGINT AS n_docs
+FROM assigned GROUP BY lang, split
+""",
+)
+def q_documents_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-independent
+    id hash (md5 — the cross-engine stable hash), reported per language
+    to check stratification. Hash-based assignment is the only split that
+    stays stable under corpus growth, re-partitioning, and re-runs — a
+    training-data pipeline must never split by row position."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@register(
+    "text_length_quantiles",
+    oracle=f"""
+WITH w AS (SELECT lang, len({_WORDS_SQL}) AS n_words FROM documents),
+q AS (SELECT lang, quantile_cont(n_words, [0.5, 0.9, 0.99]) AS qs FROM w GROUP BY lang)
+SELECT lang,
+       round(qs[1], 6) AS p50_words,
+       round(qs[2], 6) AS p90_words,
+       round(qs[3], 6) AS p99_words
+FROM q
+""",
+)
+def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: per-language exact interpolated word-count quantiles (the
+    sequence-length histogram that sizes batches/context windows). Exact
+    ``percentile`` matches DuckDB's quantile_cont bit-for-bit on the
+    fixture; at 100 TB the one-line swap is ``percentile_approx`` (t-digest
+    sketch, mergeable map-side, no sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("lang", F.size(words(F.col("text"))).alias("n_words"))
+    q = w.groupBy("lang").agg(
+        F.expr("percentile(n_words, array(0.5D, 0.9D, 0.99D))").alias("qs")
+    )
+    return q.select(
+        "lang",
+        F.round(F.col("qs")[0], 6).alias("p50_words"),
+        F.round(F.col("qs")[1], 6).alias("p90_words"),
+        F.round(F.col("qs")[2], 6).alias("p99_words"),
+    )
+
+
 @register(
     "text_fingerprints",
     oracle=f"""

@@ -14,6 +14,9 @@ from .conftest import assert_matches_oracle
 load_all_plans()
 
 TEXT_QUERIES = [
+    "text_quality_score",
+    "documents_train_split",
+    "text_length_quantiles",
     "text_doc_stats",
     "text_word_counts",
     "text_token_counts",
