@@ -531,6 +531,54 @@ def q_dedup_near_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, 0.8)
 
 
+from .text import QUALITY_SQL as _QUALITY_SQL  # noqa: E402  (no cycle: text imports nothing from dedup)
+
+
+@register(
+    "dedup_survivorship",
+    oracle=f"""
+WITH pairs AS (SELECT * FROM ({_NEAR_DUP_ORACLE.strip()})),
+quality AS ({_QUALITY_SQL.strip()})
+SELECT p.a_id, p.b_id, p.jaccard,
+       CASE WHEN qa.quality > qb.quality THEN p.a_id
+            WHEN qb.quality > qa.quality THEN p.b_id
+            ELSE least(p.a_id, p.b_id) END AS keep_id
+FROM pairs p
+JOIN quality qa ON qa.doc_id = p.a_id
+JOIN quality qb ON qb.doc_id = p.b_id
+""",
+)
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 survivorship policy [Q]: near-dup pairs resolved by QUALITY,
+    not arrival order — for each verified MinHash pair, keep the
+    higher-quality document (text.quality_scores; ties break to the lower
+    id). The policy layer a real training-data dedup applies on top of
+    candidate generation: swap the score column to prefer longest,
+    newest, or most-licensed instead."""
+    from .text import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = near_dup_pairs(docs, 0.8)
+    q = quality_scores(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    qa = q.select(F.col("doc_id").alias("a_id"), F.col("quality").alias("a_q"))
+    qb = q.select(F.col("doc_id").alias("b_id"), F.col("quality").alias("b_q"))
+    return (
+        pairs.join(qa, "a_id")
+        .join(qb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "jaccard",
+            F.when(F.col("a_q") > F.col("b_q"), F.col("a_id"))
+            .when(F.col("b_q") > F.col("a_q"), F.col("b_id"))
+            .otherwise(F.least("a_id", "b_id"))
+            .alias("keep_id"),
+        )
+    )
+
+
 @register("dedup_near_minhash", oracle=_NEAR_DUP_ORACLE)
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 [Q]: MinHash banded-LSH near-dup pairs over documents, exact

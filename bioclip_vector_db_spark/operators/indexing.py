@@ -256,6 +256,44 @@ def append_to_index(
         centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
 
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    target_rows_per_file: int = 1_000_000,
+) -> dict[str, int]:
+    """Small-file compaction for the appended index tables (O3 ops).
+
+    Incremental appends (append_to_index) create one file set per batch
+    per touched partition; at streaming cadence that is the classic
+    small-file problem — scan cost becomes per-file overhead, not bytes.
+    Compaction rewrites corpus and id_mapping with files re-sized toward
+    ``target_rows_per_file``, preserving rows and the partitionBy layout
+    bit-for-bit. The read is eagerly localCheckpoint-ed before the
+    overwrite (same self-read-write hazard as append_to_index).
+
+    Returns per-table file counts before/after. On a cluster this runs
+    per-partition-subtree with dynamic partition overwrite; the full
+    rewrite here is the local[*] form of the same job.
+    """
+    import glob
+
+    counts: dict[str, int] = {}
+    for table in ("corpus", "id_mapping"):
+        path = f"{index_dir}/{table}"
+        n_before = len(glob.glob(f"{path}/partition_id=*/*.parquet"))
+        df = spark.read.parquet(path)
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        compacted = df.repartition(n_files, "partition_id").localCheckpoint(eager=True)
+        compacted.write.mode("overwrite").partitionBy("partition_id").parquet(path)
+        counts[f"{table}_files_before"] = n_before
+        counts[f"{table}_files_after"] = len(
+            glob.glob(f"{path}/partition_id=*/*.parquet")
+        )
+    return counts
+
+
 # ---------------------------------------------------------------------------
 # Shared oracle CTE: corpus with partition assignment + id_mapping
 # ---------------------------------------------------------------------------

@@ -265,6 +265,55 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ALL_STOPWORDS = tuple(w for wl in STOPWORDS.values() for w in wl)
 
+#: DuckDB subquery producing (doc_id, quality) with EXACTLY the rounding
+#: sequence quality_scores applies — shared by the text gate's oracle and
+#: dedup survivorship's.
+QUALITY_SQL = f"""
+SELECT doc_id,
+       round(round(len(list_filter(ws, x -> list_contains(
+                 [{", ".join(f"'{s}'" for s in _ALL_STOPWORDS)}], lower(x)))) * 1.0
+                 / len(ws), 9)
+             + (1.0 - round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+                 / length(text), 9)), 9) AS quality
+FROM (SELECT doc_id, {_WORDS_SQL} AS ws, text FROM documents)
+"""
+
+
+def quality_scores(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics + composite score + keep gate —
+    the Spark twin of QUALITY_SQL (plus the component columns)."""
+    w = words(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in _ALL_STOPWORDS])
+    m = df.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.round(
+            F.size(F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x))))
+            / F.size(w),
+            9,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(text_col, "[a-zA-Z0-9 ]", "")) / F.length(text_col),
+            9,
+        ).alias("symbol_ratio"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "stopword_ratio",
+        "symbol_ratio",
+        # Sum, not mean: halving two 9-decimal ratios lands exactly on
+        # decimal rounding ties, which the two engines break differently.
+        F.round(
+            F.col("stopword_ratio") + (F.lit(1.0) - F.col("symbol_ratio")), 9
+        ).alias("quality"),
+        (
+            (F.col("n_words") >= 5)
+            & (F.col("symbol_ratio") < 0.1)
+            & (F.col("stopword_ratio") >= 0.02)
+        ).alias("keep"),
+    )
+
 
 @register(
     "text_quality_score",
@@ -291,37 +340,7 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     union stoplist), symbol ratio, word-count floor, a composite score,
     and the boolean keep decision a filtering pipeline applies. Pure
     Catalyst expressions fused into the scan."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = words(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in _ALL_STOPWORDS])
-    m = docs.select(
-        "doc_id",
-        F.size(w).alias("n_words"),
-        F.round(
-            F.size(F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x))))
-            / F.size(w),
-            9,
-        ).alias("stopword_ratio"),
-        F.round(
-            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")) / F.length("text"), 9
-        ).alias("symbol_ratio"),
-    )
-    return m.select(
-        "doc_id",
-        F.col("n_words").cast("bigint").alias("n_words"),
-        "stopword_ratio",
-        "symbol_ratio",
-        # Sum, not mean: halving two 9-decimal ratios lands exactly on
-        # decimal rounding ties, which the two engines break differently.
-        F.round(
-            F.col("stopword_ratio") + (F.lit(1.0) - F.col("symbol_ratio")), 9
-        ).alias("quality"),
-        (
-            (F.col("n_words") >= 5)
-            & (F.col("symbol_ratio") < 0.1)
-            & (F.col("stopword_ratio") >= 0.02)
-        ).alias("keep"),
-    )
+    return quality_scores(load_table(spark, sf_dir, "documents"))
 
 
 @register(

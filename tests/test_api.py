@@ -76,3 +76,32 @@ def test_add_batch_incremental_equals_rebuild(spark, sf_dir, tmp_path):
     # Dedup guard (O12): re-adding the same rows must be a no-op.
     again = engine.add_batch(suffix)
     assert again.corpus.count() == full.corpus.count()
+
+
+def test_compact_index_preserves_tables(spark, sf_dir, tmp_path):
+    """After fragmenting appends, compaction must reduce file counts while
+    keeping both tables and search results bit-identical."""
+    from bioclip_vector_db_spark.operators.indexing import compact_index
+    from bioclip_vector_db_spark.operators.knn import fixture_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = fixture_centroids(spark, sf_dir)
+    d = str(tmp_path / "frag")
+    build_index(emb.filter(F.col("vec_id") < 300), d, centroids=cent)
+    engine = VectorSearchEngine(spark, d)
+    engine = engine.add_batch(emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)))
+    engine = engine.add_batch(emb.filter(F.col("vec_id") >= 400))
+
+    key = ["partition_id", "faiss_id"]
+    before = {
+        t: getattr(engine, t).drop("created_at").orderBy(*key).collect()
+        for t in ("corpus", "id_mapping")
+    }
+    counts = compact_index(spark, d)
+    after_engine = VectorSearchEngine(spark, d)
+    for t in ("corpus", "id_mapping"):
+        assert getattr(after_engine, t).drop("created_at").orderBy(*key).collect() == before[t], t
+        assert counts[f"{t}_files_after"] < counts[f"{t}_files_before"], counts
+
+    qv = emb.filter(F.col("vec_id") == 123).collect()[0].embedding
+    assert after_engine.search(list(qv), top_n=5, nprobe=3).collect()[0].id == "123"

@@ -15,6 +15,7 @@ from .conftest import assert_matches_oracle
 load_all_plans()
 
 DEDUP_QUERIES = [
+    "dedup_survivorship",
     "dedup_exact_content",
     "dedup_near_minhash",
     "dedup_near_jaccard_exact",
