@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_distance
+from ..functions.vector import cosine_distance, dot_product
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -148,3 +148,218 @@ def q_knn_quantized_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     return knn_quantized_rescore(queries, corpus, coarse_k=20, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+#: 64-dim fixture embeddings -> 4 subspaces x 16 dims; one codebook entry
+#: per label (10 codes) keeps the codebooks deterministic and
+#: SQL-derivable, standing in for per-subspace k-means exactly as
+#: fixture_centroids stands in for the trained coarse quantizer.
+PQ_M = 4
+PQ_SUB_DIM = 16
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 via dot products — ``(aa - 2ab) + bb`` with this exact
+    association in BOTH engines, so the float result is bit-identical."""
+    return (dot_product(a, a) - 2 * dot_product(a, b)) + dot_product(b, b)
+
+
+def pq_codebooks(vectors: DataFrame) -> DataFrame:
+    """``(code, mean_vec)`` — per-label mean embedding (unnormalized; PQ
+    codebooks live in raw subvector space). Slicing per subspace happens at
+    encode/ADC time so one table serves all subspaces."""
+    pos = vectors.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    means = pos.groupBy("label", "pos").agg(F.avg("val").alias("v"))
+    return (
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            F.col("label").cast("int").alias("code"),
+            F.expr("transform(pv, x -> x.v)").alias("mean_vec"),
+        )
+    )
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Add ``pq_code_0..m-1`` columns: per subspace, the argmin-L2 code.
+
+    Same shape as assign_partitions' collapsed-argmin: the codebook table
+    (codes x dim doubles — KBs) collapses to ONE broadcast row and each
+    subspace's argmin is an ``array_min`` over a scored struct array —
+    map-side, zero row expansion, no shuffle. At the fixture's 10 codes
+    this is the small-k regime where the expression path wins; a real
+    256-code PQ would switch to the blocked-BLAS mapInPandas kernel
+    exactly as assignment does above LARGE_NLIST_THRESHOLD
+    (knn_numpy.py).
+    """
+    cb = F.broadcast(
+        codebooks.agg(
+            F.array_sort(F.collect_list(F.struct("code", "mean_vec"))).alias("cb")
+        )
+    )
+
+    # Factory closures, NOT default-arg lambdas: PySpark infers the HOF
+    # lambda's arity from its parameter count, so extra defaulted params
+    # read as element/index slots.
+    def scored_for(s: int):
+        lo = s * PQ_SUB_DIM + 1
+        sub_v = F.slice(F.col("embedding").cast("array<double>"), lo, PQ_SUB_DIM)
+
+        def score(c):
+            return F.struct(
+                F.round(_l2sq(sub_v, F.slice(c["mean_vec"], lo, PQ_SUB_DIM)), 9).alias(
+                    "d"
+                ),
+                c["code"].alias("code"),
+            )
+
+        return F.transform(F.col("cb"), score)
+
+    out = corpus.crossJoin(cb)
+    for s in range(PQ_M):
+        out = out.withColumn(f"pq_code_{s}", F.array_min(scored_for(s))["code"])
+    return out.drop("cb")
+
+
+def pq_adc_search(
+    queries: DataFrame, encoded: DataFrame, codebooks: DataFrame, *, k: int = 10
+) -> DataFrame:
+    """Top-``k`` per query by asymmetric distance: the query stays fp32,
+    corpus rows are just their ``m`` codes, and the distance is the sum of
+    per-subspace L2² between the query slice and the coded centroid —
+    reconstructed via an ``element_at(filter(codebook))`` lookup on the
+    same broadcast row the encoder used. Storage per corpus row is m bytes
+    instead of dim floats (64x here); the scan never touches raw vectors.
+    """
+    cb = F.broadcast(
+        codebooks.agg(
+            F.array_sort(F.collect_list(F.struct("code", "mean_vec"))).alias("cb")
+        )
+    )
+    rows = encoded.crossJoin(cb).join(F.broadcast(queries))
+
+    def term_for(s: int):
+        lo = s * PQ_SUB_DIM + 1
+        sub_q = F.slice(F.col("qv").cast("array<double>"), lo, PQ_SUB_DIM)
+        code_col = F.col(f"pq_code_{s}")
+        coded = F.element_at(
+            F.filter(F.col("cb"), lambda c: c["code"] == code_col), 1
+        )["mean_vec"]
+        return _l2sq(sub_q, F.slice(coded, lo, PQ_SUB_DIM))
+
+    terms = [term_for(s) for s in range(PQ_M)]
+    adc = F.round(((terms[0] + terms[1]) + terms[2]) + terms[3], 9)
+    scored = rows.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc.alias("adc_distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_distance").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
+_PQ_MEANV_SQL = """
+meanv AS (
+    SELECT label::INT AS code, list(v ORDER BY pos) AS mean_vec
+    FROM (
+        SELECT label, pos, avg(val::DOUBLE) AS v
+        FROM (
+            SELECT label,
+                   unnest(generate_series(1, len(embedding))) AS pos,
+                   unnest(embedding) AS val
+            FROM embeddings
+        ) GROUP BY label, pos
+    ) GROUP BY label
+)
+"""
+
+
+def _pq_l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"((list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b}))"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+def _pq_term_sql(s: int) -> str:
+    lo, hi = s * PQ_SUB_DIM + 1, (s + 1) * PQ_SUB_DIM
+    return _pq_l2sq_sql(f"q.qv[{lo}:{hi}]", f"m{s}.mean_vec[{lo}:{hi}]")
+
+
+_PQ_ADC_ORACLE = f"""
+WITH {_PQ_MEANV_SQL.strip()},
+corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5
+),
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+enc_scored AS (
+    SELECT c.vec_id, s.s, m.code,
+           row_number() OVER (
+               PARTITION BY c.vec_id, s.s
+               ORDER BY round({_pq_l2sq_sql(
+                   "c.v[s.s*16+1 : s.s*16+16]", "m.mean_vec[s.s*16+1 : s.s*16+16]"
+               )}, 9), m.code) AS r
+    FROM corpus c
+    CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) s
+    CROSS JOIN meanv m
+),
+enc AS (
+    SELECT vec_id,
+           max(CASE WHEN s = 0 THEN code END) AS c0,
+           max(CASE WHEN s = 1 THEN code END) AS c1,
+           max(CASE WHEN s = 2 THEN code END) AS c2,
+           max(CASE WHEN s = 3 THEN code END) AS c3
+    FROM enc_scored WHERE r = 1 GROUP BY vec_id
+),
+adc AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round((({_pq_term_sql(0)} + {_pq_term_sql(1)}) + {_pq_term_sql(2)})
+                 + {_pq_term_sql(3)}, 9) AS adc_distance
+    FROM q CROSS JOIN enc e
+    JOIN meanv m0 ON m0.code = e.c0
+    JOIN meanv m1 ON m1.code = e.c1
+    JOIN meanv m2 ON m2.code = e.c2
+    JOIN meanv m3 ON m3.code = e.c3
+)
+SELECT query_id, neighbor_id, adc_distance, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_distance, neighbor_id) AS rank
+    FROM adc
+) WHERE rank <= 10
+"""
+
+
+@register("knn_pq_adc", oracle=_PQ_ADC_ORACLE)
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21 extension [Q]: product quantization — 4x16-dim subspaces, 10
+    codes each (per-label subvector means as the deterministic codebook) —
+    with asymmetric-distance top-10 search. The FAISS-family quantizer the
+    reference's SQfp16 string does NOT include; at 100 TB the coded corpus
+    is m bytes/row (64x smaller than fp32), the scan's working set."""
+    from .knn import _cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # The codebook is a built artifact (like the trained centroids): derive
+    # once per (session, sf_dir), not per search.
+    cb = _cached(spark, sf_dir, "pq_codebooks", lambda: pq_codebooks(emb))
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    encoded = pq_encode(corpus, cb).select(
+        "vec_id", *[f"pq_code_{s}" for s in range(PQ_M)]
+    )
+    return pq_adc_search(queries, encoded, cb, k=10)

@@ -56,3 +56,29 @@ def test_rescore_recall_matches_exact(spark, sf_dir):
         for r in knn.knn_join(queries, corpus, k=5).collect()
     }
     assert got == want
+
+
+def test_pq_adc_oracle_parity(spark, sf_dir, duck):
+    assert_matches_oracle(
+        QUERIES["knn_pq_adc"](spark, sf_dir),
+        duck,
+        ORACLES["knn_pq_adc"],
+    )
+
+
+def test_pq_encode_no_row_expansion(spark, sf_dir):
+    """PQ encoding must stay a map-side argmin over the collapsed broadcast
+    codebook — no window, no corpus x codes expansion."""
+    from bioclip_vector_db_spark.operators.quantization import pq_codebooks, pq_encode
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id % 2 = 0")
+    plan = (
+        pq_encode(emb, pq_codebooks(load_table(spark, sf_dir, "embeddings")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row codebook join
