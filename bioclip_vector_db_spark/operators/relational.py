@@ -156,3 +156,37 @@ def q_partition_range_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O15: expand the server CLI's partition spec '1,2,5-10,3,5' into a
     sorted deduped partition-id table."""
     return expand_partition_spec_df(spark, "1,2,5-10,3,5")
+
+
+@register(
+    "events_cube",
+    oracle="""
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(h, -1) AS hour_of_day,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM (SELECT event_type, hour(ts)::INT AS h, value FROM events)
+GROUP BY CUBE (event_type, h)
+""",
+)
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 OLAP [Q]: CUBE over (event_type, hour-of-day) — all four
+    grouping sets in ONE pass (Catalyst expands the sets map-side; one
+    shuffle, not four jobs). Group keys are coalesced to 'ALL'/-1
+    sentinels so the subtotal rows carry no nulls into the compare."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("h"), "value"
+    )
+    return (
+        ev.cube("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("h", F.lit(-1)).alias("hour_of_day"),
+            "n_events",
+            "total_value",
+        )
+    )
