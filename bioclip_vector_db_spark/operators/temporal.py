@@ -180,3 +180,33 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.sum("v.value"), F.lit(0.0)), 6).alias("views_value"),
         )
     )
+
+
+@register(
+    "events_user_running_value",
+    oracle="""
+SELECT user_id, event_id, ts,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+       round(value - lag(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta_value
+FROM events
+WHERE user_id < 20
+""",
+)
+def q_events_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window coverage [Q]: per-user running value total + lag delta
+    (cumulative-behavior features). One shuffle by user_id; both window
+    frames share the same sort so WindowExec evaluates them in one pass."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
+        ).alias("running_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_value"),
+    )

@@ -199,6 +199,80 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load_table(spark, sf_dir, "events"), SESSION_GAP)
 
 
+def _stage_overlap_feed(sf_dir: str) -> str:
+    """Two files with OVERLAPPING content: f1 carries event_id % 3 in
+    (0, 1), f2 carries event_id % 3 in (1, 2) — every %3==1 row arrives
+    twice, in two different micro-batches. Pinned mtimes order the feed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"bvds_dupe_feed_{key}")
+    marker = os.path.join(out, "_STAGED")
+    stamp = str(os.path.getmtime(src))
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    tbl = pq.read_table(src)
+    ts_ns = pc.cast(tbl["ts"], pa.int64())
+    tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns)
+    rem = pc.subtract(tbl["event_id"], pc.multiply(pc.divide(tbl["event_id"], 3), 3))
+    for name, keep, mtime in (
+        ("f1", pc.less_equal(rem, 1), 1000),
+        ("f2", pc.greater_equal(rem, 1), 2000),
+    ):
+        path = os.path.join(out, f"{name}.parquet")
+        pq.write_table(tbl.filter(keep), path)
+        os.utime(path, (mtime, mtime))
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out
+
+
+@register(
+    "events_stream_dedup",
+    oracle="""
+SELECT event_id, ts, user_id, event_type FROM events
+""",
+)
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1xX7 [Q]: STREAMING dedup with bounded state —
+    ``dropDuplicatesWithinWatermark`` over a 2-micro-batch feed where every
+    event_id % 3 == 1 row arrives twice. Each row is emitted in its
+    first-seen batch; the second arrival hits live dedup state and is
+    suppressed, so the settled output is exactly the distinct event set.
+    State is bounded by the watermark (keys older than it are expired) —
+    the property plain dropDuplicates lacks at 100 TB; the delay here
+    exceeds the fixture's whole time span so no key expires mid-feed."""
+    staged = _stage_overlap_feed(sf_dir)
+    stream = read_events_stream(
+        spark, staged, pathGlobFilter="*.parquet", maxFilesPerTrigger="1"
+    ).select("event_id", "ts", "user_id", "event_type")
+    deduped = stream.withWatermark("ts", "40 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "events_stream_dedup_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 @register(
     "events_stream_to_parquet",
     oracle="""

@@ -21,6 +21,7 @@ EVENT_QUERIES = [
     "events_session_windows",
     "events_stream_tumbling",
     "events_stream_to_parquet",
+    "events_stream_dedup",
 ]
 
 
