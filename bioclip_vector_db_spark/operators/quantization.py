@@ -243,6 +243,23 @@ def pq_adc_search(
         )
     )
     rows = encoded.crossJoin(cb).join(F.broadcast(queries))
+    scored = rows.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc_distance_expr().alias("adc_distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_distance").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
+def adc_distance_expr() -> Column:
+    """The rounded ADC distance over columns ``qv``, ``pq_code_0..m-1``,
+    and the collapsed codebook ``cb`` — shared by flat-PQ and IVF-PQ
+    search so the metric cannot diverge between layouts."""
 
     def term_for(s: int):
         lo = s * PQ_SUB_DIM + 1
@@ -254,18 +271,7 @@ def pq_adc_search(
         return _l2sq(sub_q, F.slice(coded, lo, PQ_SUB_DIM))
 
     terms = [term_for(s) for s in range(PQ_M)]
-    adc = F.round(((terms[0] + terms[1]) + terms[2]) + terms[3], 9)
-    scored = rows.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        adc.alias("adc_distance"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_distance").asc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
-        F.col("rank") <= k
-    )
+    return F.round(((terms[0] + terms[1]) + terms[2]) + terms[3], 9)
 
 
 _PQ_MEANV_SQL = """
@@ -363,3 +369,116 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", *[f"pq_code_{s}" for s in range(PQ_M)]
     )
     return pq_adc_search(queries, encoded, cb, k=10)
+
+
+def _ivf_pq_oracle() -> str:
+    from .knn import CENTROIDS_CTE
+
+    return f"""
+WITH {CENTROIDS_CTE.strip()},
+{_PQ_MEANV_SQL.strip()},
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+assign_scored AS (
+    SELECT e.vec_id, e.embedding, c.partition_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9),
+                        c.partition_id) AS r
+    FROM embeddings e CROSS JOIN centroids c
+),
+corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, partition_id
+    FROM assign_scored WHERE r = 1
+),
+enc_scored AS (
+    SELECT c.vec_id, c.partition_id, s.s, m.code,
+           row_number() OVER (
+               PARTITION BY c.vec_id, s.s
+               ORDER BY round({_pq_l2sq_sql(
+                   "c.v[s.s*16+1 : s.s*16+16]", "m.mean_vec[s.s*16+1 : s.s*16+16]"
+               )}, 9), m.code) AS r
+    FROM corpus c
+    CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) s
+    CROSS JOIN meanv m
+),
+enc AS (
+    SELECT vec_id, any_value(partition_id) AS partition_id,
+           max(CASE WHEN s = 0 THEN code END) AS c0,
+           max(CASE WHEN s = 1 THEN code END) AS c1,
+           max(CASE WHEN s = 2 THEN code END) AS c2,
+           max(CASE WHEN s = 3 THEN code END) AS c3
+    FROM enc_scored WHERE r = 1 GROUP BY vec_id
+),
+routed AS (
+    SELECT query_id, qv, partition_id FROM (
+        SELECT q.query_id, q.qv, c.partition_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(1.0 - list_dot_product(q.qv, c.centroid), 9),
+                            c.partition_id) AS probe_rank
+        FROM q CROSS JOIN centroids c
+    ) WHERE probe_rank <= 3
+),
+adc AS (
+    SELECT r.query_id, e.vec_id AS neighbor_id, e.partition_id,
+           round((({_pq_term_sql(0).replace("q.qv", "r.qv")}
+                 + {_pq_term_sql(1).replace("q.qv", "r.qv")})
+                 + {_pq_term_sql(2).replace("q.qv", "r.qv")})
+                 + {_pq_term_sql(3).replace("q.qv", "r.qv")}, 9) AS adc_distance
+    FROM routed r
+    JOIN enc e ON e.partition_id = r.partition_id
+    JOIN meanv m0 ON m0.code = e.c0
+    JOIN meanv m1 ON m1.code = e.c1
+    JOIN meanv m2 ON m2.code = e.c2
+    JOIN meanv m3 ON m3.code = e.c3
+)
+SELECT query_id, neighbor_id, partition_id, adc_distance, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_distance, neighbor_id) AS rank
+    FROM adc
+) WHERE rank <= 10
+"""
+
+
+@register("ivf_pq_search", oracle=_ivf_pq_oracle())
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ [Q]: the full FAISS-IVFPQ layout — coarse routing to
+    nprobe=3 partitions (O22/O23), then ADC over the PQ codes of ONLY the
+    probed partitions' rows. Per-query work is nprobe/nlist of the corpus
+    at m bytes per row: the scan cost 100-TB serving actually pays. Shares
+    route_queries with ivf_search and adc_distance_expr with knn_pq_adc,
+    so neither routing nor the metric can drift between layouts."""
+    from .knn import _cached, assigned_corpus, fixture_centroids, route_queries
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = fixture_centroids(spark, sf_dir)
+    corpus = assigned_corpus(spark, sf_dir)
+    cb_tbl = _cached(spark, sf_dir, "pq_codebooks", lambda: pq_codebooks(emb))
+    encoded = pq_encode(corpus, cb_tbl).select(
+        "vec_id", "partition_id", *[f"pq_code_{s}" for s in range(PQ_M)]
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    routed = route_queries(queries, cent, nprobe=3)
+    cb = F.broadcast(
+        cb_tbl.agg(F.array_sort(F.collect_list(F.struct("code", "mean_vec"))).alias("cb"))
+    )
+    cands = encoded.join(
+        F.broadcast(routed.select("query_id", "qv", "partition_id")), "partition_id"
+    ).crossJoin(cb)
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "partition_id",
+        adc_distance_expr().alias("adc_distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_distance").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= 10
+    )

@@ -82,3 +82,30 @@ def test_pq_encode_no_row_expansion(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row codebook join
+
+
+def test_ivf_pq_oracle_parity(spark, sf_dir, duck):
+    assert_matches_oracle(
+        QUERIES["ivf_pq_search"](spark, sf_dir),
+        duck,
+        ORACLES["ivf_pq_search"],
+    )
+
+
+def test_ivf_pq_prunes_to_probed_partitions(spark, sf_dir):
+    """IVF-PQ candidates must come only from routed partitions: with
+    nprobe=3 of 10 partitions, every result row's partition_id is one of
+    its query's 3 probes."""
+    from bioclip_vector_db_spark.operators.knn import fixture_centroids, route_queries
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = {
+        (r.query_id, r.partition_id)
+        for r in route_queries(queries, fixture_centroids(spark, sf_dir), 3).collect()
+    }
+    for r in QUERIES["ivf_pq_search"](spark, sf_dir).collect():
+        assert (r.query_id, r.partition_id) in probes
