@@ -236,3 +236,53 @@ def knn_join_numpy(
         cands.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_encode_numpy(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    *,
+    m: int,
+    sub_dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding as blocked GEMMs — the large-codebook kernel behind
+    ``quantization.pq_encode(kernel='numpy'|'auto')``.
+
+    Per Arrow batch and subspace, squared-L2 to every code is one
+    ``sub @ csub.T`` BLAS call plus row/col norms; distances are rounded
+    to 9 decimals before the argmin (ties -> smallest code: the codebook
+    is sorted ascending and argmin takes the first minimum), matching the
+    expression kernel's ``array_min`` ordering. Map-side only — no join,
+    no shuffle, no row expansion. At a real 256-code book this replaces
+    m x 256 x sub_dim interpreted multiply-adds per row.
+    """
+    rows = codebooks.select("code", "mean_vec").orderBy("code").collect()
+    codes = np.array([r[0] for r in rows], dtype=np.int64)
+    cmat = np.array([r[1] for r in rows], dtype=np.float64)  # k x dim
+    bc = corpus.sparkSession.sparkContext.broadcast((codes, cmat))
+    out_schema = T.StructType(
+        list(corpus.schema.fields)
+        + [T.StructField(f"pq_code_{s}", T.IntegerType()) for s in range(m)]
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bcodes, bC = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.array(list(pdf[vec_col]), dtype=np.float64)  # b x dim
+            out = pdf.copy()
+            for s in range(m):
+                sub = emb[:, s * sub_dim : (s + 1) * sub_dim]
+                csub = bC[:, s * sub_dim : (s + 1) * sub_dim]
+                d = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ csub.T)
+                    + (csub * csub).sum(axis=1)[None, :]
+                )
+                np.round(d, 9, out=d)
+                out[f"pq_code_{s}"] = bcodes[d.argmin(axis=1)].astype(np.int32)
+            yield out
+
+    return corpus.mapInPandas(enc, out_schema)

@@ -186,18 +186,27 @@ def pq_codebooks(vectors: DataFrame) -> DataFrame:
     )
 
 
-def pq_encode(corpus: DataFrame, codebooks: DataFrame) -> DataFrame:
+def pq_encode(
+    corpus: DataFrame, codebooks: DataFrame, *, kernel: str = "auto"
+) -> DataFrame:
     """Add ``pq_code_0..m-1`` columns: per subspace, the argmin-L2 code.
 
     Same shape as assign_partitions' collapsed-argmin: the codebook table
     (codes x dim doubles — KBs) collapses to ONE broadcast row and each
     subspace's argmin is an ``array_min`` over a scored struct array —
     map-side, zero row expansion, no shuffle. At the fixture's 10 codes
-    this is the small-k regime where the expression path wins; a real
-    256-code PQ would switch to the blocked-BLAS mapInPandas kernel
-    exactly as assignment does above LARGE_NLIST_THRESHOLD
-    (knn_numpy.py).
+    this is the small-k regime where the expression path wins; above
+    LARGE_NLIST_THRESHOLD codes, ``kernel='auto'`` switches to the
+    blocked-BLAS mapInPandas encoder (knn_numpy.pq_encode_numpy) exactly
+    as centroid assignment does — kernels are round-9-argmin equal
+    (tests/test_quantization.py pins code equality).
     """
+    from .knn import _pick_kernel
+
+    if _pick_kernel(kernel, codebooks) == "numpy":
+        from .knn_numpy import pq_encode_numpy
+
+        return pq_encode_numpy(corpus, codebooks, m=PQ_M, sub_dim=PQ_SUB_DIM)
     cb = F.broadcast(
         codebooks.agg(
             F.array_sort(F.collect_list(F.struct("code", "mean_vec"))).alias("cb")

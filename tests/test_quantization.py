@@ -109,3 +109,21 @@ def test_ivf_pq_prunes_to_probed_partitions(spark, sf_dir):
     }
     for r in QUERIES["ivf_pq_search"](spark, sf_dir).collect():
         assert (r.query_id, r.partition_id) in probes
+
+
+def test_pq_encode_kernels_agree(spark, sf_dir):
+    """Expression and blocked-BLAS PQ encoders must assign IDENTICAL codes
+    (round-9-before-argmin, ties to smallest code, in both)."""
+    from bioclip_vector_db_spark.operators.quantization import (
+        PQ_M,
+        pq_codebooks,
+        pq_encode,
+    )
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb)
+    cols = ["vec_id"] + [f"pq_code_{s}" for s in range(PQ_M)]
+    expr = {r[0]: tuple(r[1:]) for r in pq_encode(emb, cb, kernel="expr").select(*cols).collect()}
+    blas = {r[0]: tuple(r[1:]) for r in pq_encode(emb, cb, kernel="numpy").select(*cols).collect()}
+    assert expr == blas
