@@ -614,3 +614,151 @@ def q_embedding_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 10000
     )
     return embedding_near_dups(emb.unionByName(reingest), 0.95)
+
+
+# ---------------------------------------------------------------------------
+# Text SimHash: 48-bit shingle fingerprints + banded hamming near-dup
+# ---------------------------------------------------------------------------
+
+#: 48 bits (12 md5 hex chars — BIGINT-safe in both engines) over SHINGLES,
+#: not words: the fixture's docs share most of a small vocabulary, so
+#: word-set simhash degenerates (hundreds of hamming-0 collisions);
+#: shingle-set simhash separates cleanly (near-dup pairs land at <=3,
+#: unrelated docs at >=10). 4 bands x 12 bits: hamming<=3 over 4 bands
+#: pigeonholes at least one clean band.
+SIMHASH_TEXT_BITS = 48
+SIMHASH_TEXT_BANDS = 4
+SIMHASH_TEXT_BAND_BITS = SIMHASH_TEXT_BITS // SIMHASH_TEXT_BANDS
+SIMHASH_TEXT_MAX_HAMMING = 3
+
+
+def text_simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc 48-bit SimHash over the distinct shingle set: bit b is set
+    iff more shingles have bit b of md5(shingle) set than clear (sum of
+    +/-1 votes > 0 — the deterministic tie rule). One explode + one
+    groupBy with map-side combine; the fingerprint is 6 bytes per doc
+    regardless of length."""
+    sh = doc_shingles(df, text_col=text_col, id_col=id_col).withColumn(
+        "h", F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("bigint")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_TEXT_BITS)
+    ]
+    agg = sh.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(SIMHASH_TEXT_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def text_simhash_pairs(
+    df: DataFrame, *, max_hamming: int = SIMHASH_TEXT_MAX_HAMMING
+) -> DataFrame:
+    """Near-dup pairs by banded SimHash: candidates share at least one of
+    4 8-bit bands (a pair within hamming distance 3 must agree on >= 1
+    band), verified by exact hamming distance over the XOR. Equi-join on
+    (band, value) — never all-pairs."""
+    band_mask = (1 << SIMHASH_TEXT_BAND_BITS) - 1
+    fps = text_simhash(df).persist()
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * SIMHASH_TEXT_BAND_BITS)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("val"),
+                    )
+                    for i in range(SIMHASH_TEXT_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("bigint")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+_TEXT_SIMHASH_SQL = """
+sh_hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h FROM shingles
+),
+sh_votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM sh_hashed GROUP BY doc_id
+),
+fps AS (
+    SELECT doc_id, ({fp}) AS simhash FROM sh_votes
+)
+""".format(
+    votes=",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_TEXT_BITS)
+    ),
+    fp=" + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2**b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_TEXT_BITS)
+    ),
+)
+
+_TEXT_SIMHASH_ORACLE = f"""
+WITH doc_corpus AS (SELECT doc_id, text FROM documents),
+{_SHINGLES_CTE.strip()},
+{_TEXT_SIMHASH_SQL.strip()},
+bands AS (
+    SELECT doc_id, simhash, b.band,
+           (simhash >> (b.band * {SIMHASH_TEXT_BAND_BITS})) & {(1 << SIMHASH_TEXT_BAND_BITS) - 1} AS val
+    FROM fps CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_TEXT_BANDS - 1})) AS band) b
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           a.simhash AS fp_a, b.simhash AS fp_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
+FROM cands
+WHERE bit_count(xor(fp_a, fp_b)) <= {SIMHASH_TEXT_MAX_HAMMING}
+"""
+
+
+@register("dedup_near_simhash_text", oracle=_TEXT_SIMHASH_ORACLE)
+def q_dedup_near_simhash_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 [Q]: TEXT SimHash near-dup — the third dedup family next to
+    MinHash-Jaccard and embedding-cosine: 48-bit majority-vote fingerprint
+    over the distinct shingle set, 4x12-bit banded candidate join
+    (hamming<=3 pigeonholes a shared band), exact hamming verify.
+    Fingerprints are 6 bytes per doc; candidates only form inside
+    (band, value) buckets — never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_simhash_pairs(docs)

@@ -190,3 +190,64 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "dq_audit",
+    oracle="""
+SELECT 'lineitem_orphans' AS check_name,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+       )::BIGINT AS violations
+UNION ALL
+SELECT 'order_customer_orphans',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
+UNION ALL
+SELECT 'lineitem_nonpositive_quantity',
+       (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)::BIGINT
+UNION ALL
+SELECT 'lineitem_discount_out_of_range',
+       (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)::BIGINT
+UNION ALL
+SELECT 'orders_null_keys',
+       (SELECT count(*) FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL)::BIGINT
+UNION ALL
+SELECT 'lineitem_ship_before_order',
+       (SELECT count(*) FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate < o.o_orderdate)::BIGINT
+""",
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit [Q]: the expectations pass a pipeline runs before
+    trusting a drop — referential integrity (anti joins, not per-row
+    lookups), domain ranges, null keys, and cross-table temporal sanity.
+    Six checks, each a count the optimizer can evaluate with pruned scans;
+    the union is one job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("violations"),
+        )
+
+    checks = [
+        one("lineitem_orphans", li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")),
+        one("order_customer_orphans", orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")),
+        one("lineitem_nonpositive_quantity", li.filter(F.col("l_quantity") <= 0)),
+        one("lineitem_discount_out_of_range", li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))),
+        one("orders_null_keys", orders.filter(F.col("o_orderkey").isNull() | F.col("o_custkey").isNull())),
+        one(
+            "lineitem_ship_before_order",
+            li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+                F.col("l_shipdate") < F.col("o_orderdate")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

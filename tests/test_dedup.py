@@ -16,6 +16,7 @@ load_all_plans()
 
 DEDUP_QUERIES = [
     "dedup_survivorship",
+    "dedup_near_simhash_text",
     "dedup_exact_content",
     "dedup_near_minhash",
     "dedup_near_jaccard_exact",

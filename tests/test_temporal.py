@@ -15,6 +15,7 @@ TEMPORAL_QUERIES = [
     "events_range_join",
     "events_user_running_value",
     "events_cube",
+    "dq_audit",
 ]
 
 
