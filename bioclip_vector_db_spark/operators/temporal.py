@@ -210,3 +210,62 @@ def q_events_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_value"),
         F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_value"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v WHERE t_view IS NOT NULL)::BIGINT AS viewed,
+       (SELECT count(*) FROM c)::BIGINT AS clicked_after_view,
+       (SELECT count(*) FROM p)::BIGINT AS purchased_after_click
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis [Q]: users progressing through ordered
+    view -> click -> purchase stages (each stage strictly after the
+    user's FIRST event of the prior stage). Three keyed aggregations
+    chained by joins — per-user state never materializes more than one
+    timestamp per stage, so the funnel holds at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("bigint").alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint").alias("clicked_after_view")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("bigint").alias("purchased_after_click"))
+        )
+    )
