@@ -246,16 +246,11 @@ def pq_adc_search(
     same broadcast row the encoder used. Storage per corpus row is m bytes
     instead of dim floats (64x here); the scan never touches raw vectors.
     """
-    cb = F.broadcast(
-        codebooks.agg(
-            F.array_sort(F.collect_list(F.struct("code", "mean_vec"))).alias("cb")
-        )
-    )
-    rows = encoded.crossJoin(cb).join(F.broadcast(queries))
-    scored = rows.select(
+    rows = encoded.crossJoin(F.broadcast(queries.select("query_id")))
+    scored = adc_score(rows, adc_lut(queries, codebooks)).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        adc_distance_expr().alias("adc_distance"),
+        "adc_distance",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_distance").asc(), F.col("neighbor_id").asc()
@@ -265,22 +260,55 @@ def pq_adc_search(
     )
 
 
-def adc_distance_expr() -> Column:
-    """The rounded ADC distance over columns ``qv``, ``pq_code_0..m-1``,
-    and the collapsed codebook ``cb`` — shared by flat-PQ and IVF-PQ
-    search so the metric cannot diverge between layouts."""
+def adc_lut(queries: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """The ADC lookup table — the textbook PQ trick: per (query, subspace,
+    code) the squared-L2 between the query slice and that code's centroid
+    slice. queries x m x n_codes rows (tiny by construction), computed
+    ONCE; the candidate scan then never touches vectors at all."""
+    cb = F.broadcast(
+        codebooks.agg(
+            F.array_sort(F.collect_list(F.struct("code", "mean_vec"))).alias("cb")
+        )
+    )
 
-    def term_for(s: int):
+    def entries_for(s: int):
         lo = s * PQ_SUB_DIM + 1
         sub_q = F.slice(F.col("qv").cast("array<double>"), lo, PQ_SUB_DIM)
-        code_col = F.col(f"pq_code_{s}")
-        coded = F.element_at(
-            F.filter(F.col("cb"), lambda c: c["code"] == code_col), 1
-        )["mean_vec"]
-        return _l2sq(sub_q, F.slice(coded, lo, PQ_SUB_DIM))
 
-    terms = [term_for(s) for s in range(PQ_M)]
-    return F.round(((terms[0] + terms[1]) + terms[2]) + terms[3], 9)
+        def entry(c):
+            return F.struct(
+                F.lit(s).alias("s"),
+                c["code"].alias("code"),
+                _l2sq(sub_q, F.slice(c["mean_vec"], lo, PQ_SUB_DIM)).alias("d"),
+            )
+
+        return F.transform(F.col("cb"), entry)
+
+    all_entries = F.flatten(F.array(*[entries_for(s) for s in range(PQ_M)]))
+    return (
+        queries.crossJoin(cb)
+        .select("query_id", F.explode(all_entries).alias("e"))
+        .select("query_id", F.col("e.s").alias("s"), F.col("e.code").alias("code"), F.col("e.d").alias("d"))
+    )
+
+
+def adc_score(rows: DataFrame, lut: DataFrame) -> DataFrame:
+    """Attach ``adc_distance`` to rows carrying ``query_id`` +
+    ``pq_code_0..m-1``: m broadcast hash joins against the LUT (codegen'd
+    lookups, no per-row vector math), summed in fixed subspace order and
+    rounded to 9 — float-identical to scoring against the codebook
+    directly, so flat-PQ and IVF-PQ share one metric."""
+    for s in range(PQ_M):
+        lut_s = lut.filter(F.col("s") == s).select(
+            "query_id",
+            F.col("code").alias(f"pq_code_{s}"),
+            F.col("d").alias(f"_d{s}"),
+        )
+        rows = rows.join(F.broadcast(lut_s), ["query_id", f"pq_code_{s}"])
+    adc = F.round(
+        ((F.col("_d0") + F.col("_d1")) + F.col("_d2")) + F.col("_d3"), 9
+    )
+    return rows.withColumn("adc_distance", adc).drop(*[f"_d{s}" for s in range(PQ_M)])
 
 
 _PQ_MEANV_SQL = """
@@ -364,20 +392,47 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     with asymmetric-distance top-10 search. The FAISS-family quantizer the
     reference's SQfp16 string does NOT include; at 100 TB the coded corpus
     is m bytes/row (64x smaller than fp32), the scan's working set."""
-    from .knn import _cached
-
     emb = load_table(spark, sf_dir, "embeddings")
-    # The codebook is a built artifact (like the trained centroids): derive
-    # once per (session, sf_dir), not per search.
-    cb = _cached(spark, sf_dir, "pq_codebooks", lambda: pq_codebooks(emb))
-    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    cb = _cached_codebooks(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    encoded = pq_encode(corpus, cb).select(
+    encoded = _cached_encoded_corpus(spark, sf_dir).filter(F.col("vec_id") >= 5).select(
         "vec_id", *[f"pq_code_{s}" for s in range(PQ_M)]
     )
     return pq_adc_search(queries, encoded, cb, k=10)
+
+
+def _cached_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ codebook — a built artifact (like the trained centroids):
+    derived once per (session, sf_dir), not per search."""
+    from .knn import _cached
+
+    return _cached(
+        spark,
+        sf_dir,
+        "pq_codebooks",
+        lambda: pq_codebooks(load_table(spark, sf_dir, "embeddings")),
+    )
+
+
+def _cached_encoded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ-coded corpus WITH partition assignment — the other half of
+    the built IVFPQ index (on a deployment this is a table build_index
+    writes; serving scans codes, it never re-encodes). Cached per
+    (session, sf_dir) like assigned_corpus."""
+    from .knn import _cached, assigned_corpus
+
+    return _cached(
+        spark,
+        sf_dir,
+        "pq_encoded_corpus",
+        lambda: pq_encode(assigned_corpus(spark, sf_dir), _cached_codebooks(spark, sf_dir)).select(
+            "vec_id",
+            "partition_id",
+            *[f"pq_code_{s}" for s in range(PQ_M)],
+        ),
+    )
 
 
 def _ivf_pq_oracle() -> str:
@@ -460,30 +515,24 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     at m bytes per row: the scan cost 100-TB serving actually pays. Shares
     route_queries with ivf_search and adc_distance_expr with knn_pq_adc,
     so neither routing nor the metric can drift between layouts."""
-    from .knn import _cached, assigned_corpus, fixture_centroids, route_queries
+    from .knn import fixture_centroids, route_queries
 
     emb = load_table(spark, sf_dir, "embeddings")
     cent = fixture_centroids(spark, sf_dir)
-    corpus = assigned_corpus(spark, sf_dir)
-    cb_tbl = _cached(spark, sf_dir, "pq_codebooks", lambda: pq_codebooks(emb))
-    encoded = pq_encode(corpus, cb_tbl).select(
-        "vec_id", "partition_id", *[f"pq_code_{s}" for s in range(PQ_M)]
-    )
+    cb_tbl = _cached_codebooks(spark, sf_dir)
+    encoded = _cached_encoded_corpus(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     routed = route_queries(queries, cent, nprobe=3)
-    cb = F.broadcast(
-        cb_tbl.agg(F.array_sort(F.collect_list(F.struct("code", "mean_vec"))).alias("cb"))
-    )
     cands = encoded.join(
-        F.broadcast(routed.select("query_id", "qv", "partition_id")), "partition_id"
-    ).crossJoin(cb)
-    scored = cands.select(
+        F.broadcast(routed.select("query_id", "partition_id")), "partition_id"
+    )
+    scored = adc_score(cands, adc_lut(queries, cb_tbl)).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         "partition_id",
-        adc_distance_expr().alias("adc_distance"),
+        "adc_distance",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_distance").asc(), F.col("neighbor_id").asc()
