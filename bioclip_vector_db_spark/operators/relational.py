@@ -251,3 +251,47 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+@register(
+    "json_malformed_handling",
+    oracle="""
+WITH raw AS (
+    SELECT event_id,
+           CASE WHEN event_id % 11 = 0 THEN substr(props, 1, length(props) - 1)
+                ELSE props END AS payload
+    FROM events WHERE event_id < 2000
+),
+parsed AS (
+    SELECT event_id, payload,
+           CASE WHEN json_valid(payload) THEN json_extract(payload, '$.k')::INT END AS k
+    FROM raw
+)
+SELECT (count(*) FILTER (WHERE k IS NOT NULL))::BIGINT AS n_parsed,
+       (count(*) FILTER (WHERE k IS NULL))::BIGINT AS n_corrupt,
+       sum(k)::BIGINT AS k_total
+FROM parsed
+""",
+)
+def q_json_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest robustness [Q]: malformed JSON must be ACCOUNTED, not crash
+    the job or silently vanish — every 11th payload is truncated (the
+    fixture's JSON is all valid, so corruption is injected
+    deterministically) and ``from_json`` PERMISSIVE parsing nulls it;
+    the query reports parsed/corrupt/aggregate in one pass. The
+    reference's per-record try/except loop (vector_db.py:134-137)
+    becomes a columnar classify-and-aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    payload = F.when(
+        F.col("event_id") % 11 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        "event_id",
+        F.from_json(payload, "k INT").getField("k").alias("k"),
+    )
+    return parsed.agg(
+        F.count("k").cast("bigint").alias("n_parsed"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
+        F.sum("k").cast("bigint").alias("k_total"),
+    )

@@ -17,6 +17,7 @@ TEMPORAL_QUERIES = [
     "events_cube",
     "dq_audit",
     "events_funnel",
+    "json_malformed_handling",
 ]
 
 
