@@ -103,3 +103,11 @@ def test_range_join_is_bucketed_hash_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "_bucket" in plan  # the equi keys include the time bucket
+
+
+def test_simhash_text_join_is_bucketed(spark, sf_dir):
+    """Text SimHash candidates must form only inside (band, value)
+    buckets — an equi hash join, never an all-pairs stage."""
+    plan = _plan(QUERIES["dedup_near_simhash_text"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
