@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vector import cosine_distance, dot_product
 from ..plans.registry import register
@@ -183,6 +184,55 @@ def pq_codebooks(vectors: DataFrame) -> DataFrame:
             F.col("label").cast("int").alias("code"),
             F.expr("transform(pv, x -> x.v)").alias("mean_vec"),
         )
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    n_codes: int = 16,
+    *,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """REAL PQ training: per-subspace k-means (the FAISS ``PQ{m}x{b}``
+    trainer), assembled into the same ``(code, mean_vec)`` schema the
+    rest of the PQ stack consumes — code c's subspace-s centroid lives at
+    slice s of row c, so encode/LUT slice exactly as with the fixture
+    codebooks. Seed-dependent like kmeans_train (no SQL oracle; recall
+    and shape are pytest-gated) — the [Q] gates stay on the deterministic
+    per-label stand-in, which exercises the identical mechanism.
+
+    Why this matters: a stand-in codebook with one code per cluster
+    cannot rank WITHIN a cluster (every member encodes identically);
+    trained sub-codebooks give n_codes^m distinct reconstructions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    per_sub: list[list[list[float]]] = []
+    feats_base = vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # Tiny iterative fits: coalesce like train_kmeans_centroids so each
+    # KMeans iteration is one dense task, not 32 empty ones.
+    feats_base = feats_base.coalesce(max(1, feats_base.sparkSession.sparkContext.defaultParallelism // 8)).cache()
+    for s in range(PQ_M):
+        lo = s * PQ_SUB_DIM + 1
+        feats = feats_base.select(
+            array_to_vector(F.slice(F.col("v"), lo, PQ_SUB_DIM)).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + s, maxIter=10, initMode="random").fit(feats)
+        per_sub.append([[float(x) for x in c] for c in model.clusterCenters()])
+    rows = [
+        (c, [x for s in range(PQ_M) for x in per_sub[s][c]]) for c in range(n_codes)
+    ]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("code", T.IntegerType(), False),
+                T.StructField("mean_vec", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
     )
 
 

@@ -127,3 +127,39 @@ def test_pq_encode_kernels_agree(spark, sf_dir):
     expr = {r[0]: tuple(r[1:]) for r in pq_encode(emb, cb, kernel="expr").select(*cols).collect()}
     blas = {r[0]: tuple(r[1:]) for r in pq_encode(emb, cb, kernel="numpy").select(*cols).collect()}
     assert expr == blas
+
+
+def test_pq_recall_floor_with_trained_codebooks(spark, sf_dir):
+    """Quantization-loss sanity on REAL (per-subspace k-means) codebooks:
+    ADC top-10 must recover a meaningful fraction of the exact top-10.
+    The deterministic per-label stand-in cannot rank within a cluster
+    (every member encodes identically — measured recall ~0.04, i.e.
+    tiebreak-random), which is exactly why pq_train exists. Measured
+    curve on the fixture (seed 42): 16 codes -> 0.14, 32 -> 0.22,
+    64 -> 0.24, 128 -> 0.36 — the expected PQ size/recall tradeoff on
+    high-noise vectors; the floor sits at half the 64-code point."""
+    from bioclip_vector_db_spark.operators.knn import knn_join
+    from bioclip_vector_db_spark.operators.quantization import (
+        pq_adc_search,
+        pq_encode,
+        pq_train,
+    )
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cb = pq_train(emb, n_codes=64)
+    encoded = pq_encode(corpus.select("vec_id", "embedding"), cb)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_search(queries, encoded, cb, k=10).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_join(queries, corpus, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.12, f"PQ recall@10 collapsed: {recall:.2f}"
