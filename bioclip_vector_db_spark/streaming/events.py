@@ -30,9 +30,7 @@ watermark).
 from __future__ import annotations
 
 import datetime as _dt
-import hashlib
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -202,36 +200,20 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stage_overlap_feed(sf_dir: str) -> str:
     """Two files with OVERLAPPING content: f1 carries event_id % 3 in
     (0, 1), f2 carries event_id % 3 in (1, 2) — every %3==1 row arrives
-    twice, in two different micro-batches. Pinned mtimes order the feed."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    twice, in two different micro-batches."""
+    from .staging import staged_feed, ts_as_int64_ns
 
-    src = os.path.join(sf_dir, "events.parquet")
-    key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"bvds_dupe_feed_{key}")
-    marker = os.path.join(out, "_STAGED")
-    stamp = str(os.path.getmtime(src))
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read() == stamp:
-                return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
-    tbl = pq.read_table(src)
-    ts_ns = pc.cast(tbl["ts"], pa.int64())
-    tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns)
-    rem = pc.subtract(tbl["event_id"], pc.multiply(pc.divide(tbl["event_id"], 3), 3))
-    for name, keep, mtime in (
-        ("f1", pc.less_equal(rem, 1), 1000),
-        ("f2", pc.greater_equal(rem, 1), 2000),
-    ):
-        path = os.path.join(out, f"{name}.parquet")
-        pq.write_table(tbl.filter(keep), path)
-        os.utime(path, (mtime, mtime))
-    with open(marker, "w") as fh:
-        fh.write(stamp)
-    return out
+    def splits(tbl):
+        import pyarrow.compute as pc
+
+        tbl, _ = ts_as_int64_ns(tbl)
+        rem = pc.subtract(
+            tbl["event_id"], pc.multiply(pc.divide(tbl["event_id"], 3), 3)
+        )
+        yield "f1", tbl.filter(pc.less_equal(rem, 1))
+        yield "f2", tbl.filter(pc.greater_equal(rem, 1))
+
+    return staged_feed(os.path.join(sf_dir, "events.parquet"), "bvds_dupe_feed", splits)
 
 
 @register(
@@ -330,46 +312,24 @@ LATE_DELAY = "1 hour"
 
 
 def _stage_late_feed(sf_dir: str) -> str:
-    """Split the events fixture into a 3-file micro-batch feed.
+    """The late-data feed: newest rows first (establishing the watermark),
+    oldest rows last (arriving long behind it). ``ts`` is materialized as
+    plain INT64 nanos so the staged files need no nanosAsLong conf."""
+    from .staging import staged_feed, ts_as_int64_ns
 
-    File order is pinned by explicit mtimes (FileStreamSource processes
-    oldest-mtime first with ``latestFirst=false``); ``ts`` is materialized
-    as plain INT64 nanos so the staged files need no nanosAsLong conf.
-    Staging is cached per (source path, source mtime) — repeat invocations
-    in a bench loop reuse the same feed.
-    """
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    def splits(tbl):
+        import pyarrow.compute as pc
 
-    src = os.path.join(sf_dir, "events.parquet")
-    key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"bvds_late_feed_{key}")
-    marker = os.path.join(out, "_STAGED")
-    stamp = str(os.path.getmtime(src))
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read() == stamp:
-                return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
-    tbl = pq.read_table(src)
-    ts_ns = pc.cast(tbl["ts"], pa.int64())
-    tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns)
-    lo = int(LATE_SPLIT_LO.timestamp()) * 10**9
-    hi = int(LATE_SPLIT_HI.timestamp()) * 10**9
-    splits = (
-        ("f1_head", pc.greater_equal(ts_ns, hi), 1000),
-        ("f2_mid", pc.and_(pc.greater_equal(ts_ns, lo), pc.less(ts_ns, hi)), 2000),
-        ("f3_late", pc.less(ts_ns, lo), 3000),
-    )
-    for name, mask, mtime in splits:
-        path = os.path.join(out, f"{name}.parquet")
-        pq.write_table(tbl.filter(mask), path)
-        os.utime(path, (mtime, mtime))
-    with open(marker, "w") as fh:
-        fh.write(stamp)
-    return out
+        tbl, ts_ns = ts_as_int64_ns(tbl)
+        lo = int(LATE_SPLIT_LO.timestamp()) * 10**9
+        hi = int(LATE_SPLIT_HI.timestamp()) * 10**9
+        yield "f1_head", tbl.filter(pc.greater_equal(ts_ns, hi))
+        yield "f2_mid", tbl.filter(
+            pc.and_(pc.greater_equal(ts_ns, lo), pc.less(ts_ns, hi))
+        )
+        yield "f3_late", tbl.filter(pc.less(ts_ns, lo))
+
+    return staged_feed(os.path.join(sf_dir, "events.parquet"), "bvds_late_feed", splits)
 
 
 @register(

@@ -28,9 +28,7 @@ oracle applies verbatim.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,36 +49,28 @@ EMBEDDINGS_SCHEMA = T.StructType(
 
 def _stage_embedding_feed(sf_dir: str, n_files: int = 3) -> str:
     """Split the embeddings fixture into ``n_files`` ascending-vec_id
-    files with pinned mtimes (FileStreamSource processes oldest first),
-    cached per (source path, source mtime)."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    files (arrival order = id order, so per-partition faiss_id sequences
+    match the one-shot build)."""
+    from .staging import staged_feed
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"bvds_ingest_feed_{key}")
-    marker = os.path.join(out, "_STAGED")
-    stamp = str(os.path.getmtime(src))
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read() == stamp:
-                return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
-    tbl = pq.read_table(src)
-    hi = pc.max(tbl["vec_id"]).as_py() + 1
-    step = max(1, hi // n_files)
-    for i in range(n_files):
-        lo_i, hi_i = i * step, (i + 1) * step if i < n_files - 1 else hi
-        mask = pc.and_(
-            pc.greater_equal(tbl["vec_id"], lo_i), pc.less(tbl["vec_id"], hi_i)
-        )
-        path = os.path.join(out, f"f{i}.parquet")
-        pq.write_table(tbl.filter(mask), path)
-        os.utime(path, (1000 * (i + 1), 1000 * (i + 1)))
-    with open(marker, "w") as fh:
-        fh.write(stamp)
-    return out
+    def splits(tbl):
+        import pyarrow.compute as pc
+
+        hi = pc.max(tbl["vec_id"]).as_py() + 1
+        step = max(1, hi // n_files)
+        for i in range(n_files):
+            lo_i = i * step
+            hi_i = (i + 1) * step if i < n_files - 1 else hi
+            yield f"f{i}", tbl.filter(
+                pc.and_(
+                    pc.greater_equal(tbl["vec_id"], lo_i),
+                    pc.less(tbl["vec_id"], hi_i),
+                )
+            )
+
+    return staged_feed(
+        os.path.join(sf_dir, "embeddings.parquet"), "bvds_ingest_feed", splits
+    )
 
 
 def stream_ingest(
