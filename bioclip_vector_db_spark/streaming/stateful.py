@@ -108,12 +108,14 @@ def q_events_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFra
     stream = read_events_stream(spark, sf_dir)
     profiles = running_user_profiles(stream)
     name = "events_stateful_profiles_sink"
-    # State-store count = shuffle partitions at first start. 150 users do
-    # not need 32 state stores; each store pays per-batch open/commit cost.
-    # (On a cluster-sized keyspace this would stay at the session default.)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # State-store count = shuffle partitions at first start. Unlike the
+    # JVM-side windowed gates (FIXTURE_STREAM_PARTITIONS=2), this operator
+    # runs a Python worker per partition — group processing parallelism
+    # dominates state-store open/commit cost, so it keeps 8 stores (150
+    # users still don't need 32; a cluster keyspace keeps the default).
+    from .staging import fixture_stream_conf
+
+    with fixture_stream_conf(spark, partitions=8):
         q = (
             profiles.writeStream.format("memory")
             .queryName(name)
@@ -122,8 +124,6 @@ def q_events_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFra
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # The oracle equality holds ONLY under one data-carrying micro-batch
     # (update mode emits per batch); fail loudly if the source ever splits
     # the fixture, instead of surfacing as a mysterious hash mismatch.
