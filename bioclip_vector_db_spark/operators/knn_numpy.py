@@ -168,7 +168,16 @@ def route_queries_numpy(
                 dblk = 1.0 - qmat @ bC[s : s + cblock].T  # b x cblock
                 np.round(dblk, 9, out=dblk)
                 t = min(take, dblk.shape[1])
-                idx = np.argpartition(dblk, t - 1, axis=1)[:, :t]  # b x t
+                # Stable per-block (distance, pid) truncation: column index
+                # ascends with pid (bpids is pid-sorted, the block slice is
+                # contiguous) and a stable argsort keeps ascending-column
+                # order among equal distances — so a boundary tie can never
+                # evict a smaller-pid centroid before the global (d, pid)
+                # lexsort below sees it. argpartition picked an arbitrary
+                # member among >t boundary ties, diverging from the expr
+                # kernel exactly at the reference's nlist=31,622 design
+                # point (neighborhood_server.py:181-185 routing order).
+                idx = np.argsort(dblk, axis=1, kind="stable")[:, :t]  # b x t
                 cand_d.append(np.take_along_axis(dblk, idx, axis=1))
                 cand_p.append(bpids[s + idx])
             dall = np.concatenate(cand_d, axis=1)  # b x (t*blocks)

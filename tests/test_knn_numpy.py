@@ -93,6 +93,70 @@ def test_route_kernels_agree_at_large_nlist(spark, sf_dir, monkeypatch):
     assert got == want and len(got) == 8 * 5
 
 
+def _tied_centroids(spark, k=LARGE_NLIST_THRESHOLD + 176, dim=64, n_distinct=8):
+    """Adversarial leader table above the kernel threshold with only
+    ``n_distinct`` distinct vectors: every query distance ties across
+    ~k/n_distinct duplicate pids, so any kernel that truncates per-block
+    candidates without a stable (distance, pid) order drops the small-pid
+    survivors the expression kernel keeps."""
+    return spark.range(k).select(
+        F.col("id").cast("int").alias("partition_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.sin(
+                (F.col("id") % n_distinct).cast("double") * (i.cast("double") + 1.0)
+            ),
+        ).alias("centroid"),
+    )
+
+
+def test_route_kernels_agree_with_tied_centroids(spark, sf_dir, monkeypatch):
+    """Block-boundary tie-break parity: with >t equal-distance centroids
+    inside one scoring block (forced by a tiny tile), the numpy kernel
+    must surface the same smallest-pid winners as the expression kernel's
+    (distance, pid) window order — byte-identical routing."""
+    monkeypatch.setattr(knn_numpy, "_TILE_ELEMS", 2048)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    tied = _tied_centroids(spark)
+    want = {
+        (r.query_id, r.probe_rank): r.partition_id
+        for r in knn.route_queries(queries, tied, 5, kernel="expr").collect()
+    }
+    got = {
+        (r.query_id, r.probe_rank): r.partition_id
+        for r in knn.route_queries(queries, tied, 5, kernel="numpy").collect()
+    }
+    assert got == want and len(got) == 8 * 5
+
+
+def test_assign_kernels_agree_with_tied_centroids(spark, sf_dir, monkeypatch):
+    """Assignment tie-break parity on the same adversarial geometry: both
+    kernels must resolve every all-duplicate argmin tie to the smallest
+    pid (expr: lexicographic (d, pid) fold; numpy: first-occurrence argmin
+    over pid-ascending blocks with strict-improvement updates)."""
+    monkeypatch.setattr(knn_numpy, "_TILE_ELEMS", 2048)
+    emb = load_table(spark, sf_dir, "embeddings").limit(64)
+    tied = _tied_centroids(spark)
+    want = {
+        r.vec_id: r.partition_id
+        for r in knn.assign_partitions(emb, tied, kernel="expr")
+        .select("vec_id", "partition_id")
+        .collect()
+    }
+    got = {
+        r.vec_id: r.partition_id
+        for r in knn.assign_partitions(emb, tied, kernel="numpy")
+        .select("vec_id", "partition_id")
+        .collect()
+    }
+    assert got == want and len(got) == 64
+    # Ties must land on the first duplicate block: every winner < n_distinct.
+    assert all(pid < 8 for pid in got.values())
+
+
 def test_auto_assignment_uses_blas_at_large_nlist(spark, sf_dir):
     """kernel='auto' must put large-nlist assignment on the mapInPandas
     GEMM — no interpreted per-row fold, no broadcast-nested-loop join —
