@@ -224,7 +224,13 @@ def append_to_index(
     """
     import os
 
-    batch = batch.select("vec_id", "embedding", "label")
+    # In-batch dedup first: the anti-join below only removes ids already
+    # STORED; duplicates arriving within one micro-batch would otherwise
+    # each draw a faiss_id, breaking the O12 existence-check contract and
+    # the dense-id invariant (reference checks per-id before insert,
+    # vector_db.py:141-150). The batch is already shuffled for the
+    # faiss-id window, so this costs no extra exchange.
+    batch = batch.select("vec_id", "embedding", "label").dropDuplicates(["vec_id"])
     bootstrap = not os.path.exists(f"{index_dir}/corpus")
     if bootstrap:
         next_ids = None

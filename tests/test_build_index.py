@@ -68,6 +68,45 @@ def test_build_index_layout_and_search(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_append_dedups_within_batch(spark, sf_dir, tmp_path):
+    """O12: duplicates arriving WITHIN one micro-batch must collapse to a
+    single row/faiss_id, not just duplicates of already-stored ids — the
+    reference's existence check runs per-id before every insert
+    (vector_db.py:141-150), so an in-batch twin can never double-insert.
+    Also re-checks the stored-id anti-join and the dense-id invariant
+    across a second append that mixes stored dups, in-batch dups, and
+    genuinely new ids."""
+    from bioclip_vector_db_spark.operators.indexing import append_to_index
+
+    out = str(tmp_path / "index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = knn.fixture_centroids(spark, sf_dir)
+
+    first = emb.filter(F.col("vec_id") < 20)
+    batch1 = first.unionAll(first.filter(F.col("vec_id") < 5))  # 5 in-batch dups
+    append_to_index(spark, out, batch1, cents)
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == 20
+    assert corpus.select("vec_id").distinct().count() == 20
+
+    second = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 40))
+    batch2 = second.unionAll(second.filter(F.col("vec_id") >= 35))  # stored+in-batch dups
+    append_to_index(spark, out, batch2, cents)
+    corpus = spark.read.parquet(f"{out}/corpus")
+    mapping = spark.read.parquet(f"{out}/id_mapping")
+    assert corpus.count() == 40 and mapping.count() == 40
+    assert corpus.select("vec_id").distinct().count() == 40
+    # Dense faiss_id per partition: 0..n-1 with no gaps or repeats.
+    dense = corpus.groupBy("partition_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("faiss_id").alias("nd"),
+        F.min("faiss_id").alias("lo"),
+        F.max("faiss_id").alias("hi"),
+    )
+    for r in dense.collect():
+        assert (r.n, r.lo, r.hi) == (r.nd, 0, r.n - 1)
+
+
 def test_reset_overwrite(spark, sf_dir, tmp_path):
     """O7: a rebuild into the same location fully replaces the previous
     index (the reference's reset(force=True) + re-init)."""
