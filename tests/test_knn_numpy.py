@@ -157,6 +157,26 @@ def test_assign_kernels_agree_with_tied_centroids(spark, sf_dir, monkeypatch):
     assert all(pid < 8 for pid in got.values())
 
 
+def test_pick_kernel_probe_memoized(spark, sf_dir):
+    """kernel='auto' must fire its LIMIT-count probe job once per distinct
+    centroid table per session — not once per route/assign/search call —
+    and must recognize a re-built DataFrame over the same plan as the
+    same table (semantic plan hash, no job)."""
+    knn._KERNEL_CACHE.clear()
+    tracker = spark.sparkContext.statusTracker()
+    assert knn._pick_kernel("auto", _big_centroids(spark)) == "numpy"
+    n_jobs = len(tracker.getJobIdsForGroup())
+    assert knn._pick_kernel("auto", _big_centroids(spark)) == "numpy"
+    assert knn._pick_kernel("auto", _big_centroids(spark)) == "numpy"
+    assert len(tracker.getJobIdsForGroup()) == n_jobs
+    # A semantically different table is a fresh probe (exactly one more).
+    assert knn._pick_kernel("auto", knn.fixture_centroids(spark, sf_dir)) == "expr"
+    n_jobs2 = len(tracker.getJobIdsForGroup())
+    assert n_jobs2 > n_jobs
+    assert knn._pick_kernel("auto", knn.fixture_centroids(spark, sf_dir)) == "expr"
+    assert len(tracker.getJobIdsForGroup()) == n_jobs2
+
+
 def test_auto_assignment_uses_blas_at_large_nlist(spark, sf_dir):
     """kernel='auto' must put large-nlist assignment on the mapInPandas
     GEMM — no interpreted per-row fold, no broadcast-nested-loop join —
