@@ -72,12 +72,19 @@ def set_events_confs(spark: SparkSession) -> None:
 
 
 def convert_event_ts(df: DataFrame) -> DataFrame:
-    """nanos BIGINT -> TIMESTAMP via integer DIV (float division loses
-    microsecond precision at ~1.7e18 magnitudes, past double's 53 bits)."""
+    """Normalize ``ts`` to TIMESTAMP whatever the fixture carries — the
+    regenerated testdata has switched units across rounds. nanos BIGINT
+    converts via integer DIV (float division loses microsecond precision
+    at ~1.7e18 magnitudes, past double's 53 bits); timestamp[us] without a
+    zone arrives as TIMESTAMP_NTZ, which watermarks reject — cast to
+    TIMESTAMP, value-preserving under the pinned UTC session zone."""
     from pyspark.sql import functions as F
 
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

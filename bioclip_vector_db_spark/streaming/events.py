@@ -34,7 +34,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -42,29 +41,20 @@ from .staging import fixture_stream_conf
 
 SESSION_GAP = "4 hours"
 
-#: Raw parquet schema for the streaming file source (ts is INT64 nanos in
-#: the fixture; converted right after read like sources.catalog.load_table).
-RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str, **reader_opts: str) -> DataFrame:
     """``readStream`` over the events parquet — the O1-analog streaming
-    scan. Conf handling and the nanos->micros conversion are shared with
-    the batch reader (sources.catalog) so both paths read identically."""
+    scan. The file-stream source needs an explicit schema; it is inferred
+    from the actual footers with the SAME confs as the batch reader, so
+    whatever unit the fixture's ts carries (the regenerated testdata has
+    switched between timestamp[ns]-read-as-long and timestamp[us]), batch
+    and stream read it identically and ``convert_event_ts`` normalizes."""
     from ..sources.catalog import convert_event_ts, set_events_confs
 
     set_events_confs(spark)
+    glob_pat = reader_opts.get("pathGlobFilter", "events.parquet")
+    schema = spark.read.option("pathGlobFilter", glob_pat).parquet(sf_dir).schema
     reader = (
-        spark.readStream.schema(RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
     )
     for k, v in reader_opts.items():
@@ -274,29 +264,33 @@ def q_events_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture is one data micro-batch and the trailing no-data batch evicts
     exactly the windows ending at or before max(ts) - delay.
 
-    The checkpoint+sink dir is durable per source fingerprint: a
+    The checkpoint+sink dir is durable per (source, logic) fingerprint: a
     re-invocation is a streaming RESTART against the existing checkpoint —
     availableNow sees no unprocessed files and terminates, and the sink's
     commit log already holds the full output (exactly-once restart
-    idempotence, which is itself part of the contract this gate covers)."""
-    from .staging import durable_stream_dir
+    idempotence, which is itself part of the contract this gate covers).
+    Editing the aggregation/watermark logic changes the fingerprint and
+    starts a new checkpoint instead of replaying the old one's output."""
+    from .staging import durable_stream_gate
 
-    out, _fresh = durable_stream_dir(
-        "bvds_stream_sink", os.path.join(sf_dir, "events.parquet")
-    )
-    stream = read_events_stream(spark, sf_dir)
-    agg = tumbling_stats(stream.withWatermark("ts", "1 hour"), "1 hour")
-    with fixture_stream_conf(spark):
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", f"{out}/data")
-            .option("checkpointLocation", f"{out}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.read.parquet(f"{out}/data")
+    with durable_stream_gate(
+        "bvds_stream_sink",
+        os.path.join(sf_dir, "events.parquet"),
+        logic=(read_events_stream, tumbling_stats, "1 hour"),
+    ) as (out, _fresh):
+        stream = read_events_stream(spark, sf_dir)
+        agg = tumbling_stats(stream.withWatermark("ts", "1 hour"), "1 hour")
+        with fixture_stream_conf(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", f"{out}/data")
+                .option("checkpointLocation", f"{out}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.read.parquet(f"{out}/data")
 
 
 # --- late-data / watermark query (multi-batch staged feed) -----------------

@@ -94,6 +94,19 @@ def stream_ingest(
     q.awaitTermination()
 
 
+def _index_consistent(spark: SparkSession, index_dir: str) -> bool:
+    """True when the durable index dir's two tables agree: every corpus
+    row has its id_mapping row (append_to_index writes them in that order
+    non-atomically, so a crash between the writes shows up as
+    corpus > id_mapping here). Empty/unreadable dirs are inconsistent."""
+    try:
+        n_corpus = spark.read.parquet(f"{index_dir}/corpus").count()
+        n_mapping = spark.read.parquet(f"{index_dir}/id_mapping").count()
+    except Exception:
+        return False
+    return n_corpus == n_mapping and n_corpus > 0
+
+
 @register(
     "streaming_index_ingest",
     oracle=f"""
@@ -107,25 +120,35 @@ def q_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     id_mapping — byte-identical to the one-shot batch build's
     (same oracle as ``id_mapping_build``).
 
-    The index dir is durable per source fingerprint: a re-invocation is a
-    streaming RESTART against the existing checkpoint — no unprocessed
-    files, so availableNow terminates without re-appending, and the
-    already-landed id_mapping is returned. (A replayed uncommitted batch
-    would be absorbed by append_to_index's vec_id anti-join — the dedup
-    that makes this foreachBatch sink idempotent and hence exactly-once.)
+    The index dir is durable per (source, logic) fingerprint: a
+    re-invocation is a streaming RESTART against the existing checkpoint —
+    no unprocessed files, so availableNow terminates without re-appending,
+    and the already-landed id_mapping is returned. A replayed uncommitted
+    batch is absorbed by append_to_index's vec_id anti-join, so the sink
+    is EFFECTIVELY-once at the corpus granularity — but append_to_index
+    writes corpus then id_mapping non-atomically, and a crash between the
+    two leaves corpus rows whose replay the anti-join removes before the
+    id_mapping write, permanently desyncing the tables. The gate therefore
+    VALIDATES a reused dir (corpus and id_mapping row counts must agree)
+    and rebuilds from scratch on mismatch — crash recovery is rebuild, not
+    repair.
     """
-    from .staging import durable_stream_dir, fixture_stream_conf
+    from .staging import durable_stream_gate, fixture_stream_conf
 
     feed = _stage_embedding_feed(sf_dir)
-    index_dir, _fresh = durable_stream_dir(
-        "bvds_stream_ingest", os.path.join(sf_dir, "embeddings.parquet")
-    )
     cent = fixture_centroids(spark, sf_dir)
-    # Per-batch shuffles (anti-join, faiss-id window) move k*batch-sized
-    # data; 32-way exchanges pay pure scheduling latency here (same sizing
-    # note as the other streaming gates — a cluster keeps the default).
-    with fixture_stream_conf(spark):
-        stream_ingest(spark, feed, index_dir, cent)
-    return spark.read.parquet(f"{index_dir}/id_mapping").select(
-        "partition_id", "faiss_id", "original_id", "metadata"
-    )
+    with durable_stream_gate(
+        "bvds_stream_ingest",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        logic=(stream_ingest, append_to_index),
+        validate=lambda d: _index_consistent(spark, d),
+    ) as (index_dir, _fresh):
+        # Per-batch shuffles (anti-join, faiss-id window) move k*batch-sized
+        # data; 32-way exchanges pay pure scheduling latency here (same
+        # sizing note as the other streaming gates — a cluster keeps the
+        # default).
+        with fixture_stream_conf(spark):
+            stream_ingest(spark, feed, index_dir, cent)
+        return spark.read.parquet(f"{index_dir}/id_mapping").select(
+            "partition_id", "faiss_id", "original_id", "metadata"
+        )

@@ -4,14 +4,18 @@ The multi-batch streaming gates (late-data, dedup, index ingest) all need
 the same thing: a fixture table split into N files whose arrival ORDER is
 deterministic. FileStreamSource processes oldest-mtime first (with
 ``latestFirst=false``), so each file gets a pinned ascending mtime; the
-staged directory is cached per (source path, source mtime, split version)
+staged directory is cached per (source path, source mtime, split logic)
 and rebuilt only when the fixture or the split logic changes, so bench
 loops reuse one feed.
 
 Directories are built into a process-private temp dir and published with an
 atomic ``os.rename`` — a concurrent builder (pytest workers + bench) either
 wins the rename or discards its copy and reuses the winner's; readers never
-observe a partially written feed.
+observe a partially written feed. Durable checkpoint+sink gates additionally
+take an exclusive cross-process file lock for the duration of the streaming
+run: Spark's streaming-query lock is per-driver-JVM only, and two processes
+sharing one checkpoint dir on a local FS can race (duplicate foreachBatch
+appends, HDFSMetadataLog write collisions).
 """
 
 from __future__ import annotations
@@ -50,20 +54,115 @@ def fixture_stream_conf(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+_STABLE_CONST_TYPES = (
+    type(None),
+    bool,
+    int,
+    float,
+    complex,
+    str,
+    bytes,
+    frozenset,
+    tuple,
+)
+
+
+def _code_bytes(code) -> bytes:
+    """Bytecode plus constants of a code object, recursing into nested
+    code objects (comprehensions, lambdas defined inside the function)."""
+    parts = [code.co_code]
+    for c in code.co_consts:
+        if hasattr(c, "co_code"):
+            parts.append(_code_bytes(c))
+        else:
+            parts.append(repr(c).encode())
+    return b"\x00".join(parts)
+
+
+def logic_token(*objs: object) -> str:
+    """Deterministic fingerprint of query LOGIC used to key cached staged
+    feeds and durable stream dirs.
+
+    Callables contribute their bytecode, constants (recursively through
+    nested code objects), and closure cell values; module globals a
+    callable reads contribute their repr when they are plain constants
+    (ints, strings, datetimes-via-repr, ...). Non-callables contribute
+    their repr. Best-effort by design: anything it cannot see must be
+    covered by an explicit ``version`` bump at the call site.
+    """
+    h = hashlib.md5()
+    for obj in objs:
+        code = getattr(obj, "__code__", None)
+        if code is None:
+            h.update(repr(obj).encode())
+        else:
+            h.update(_code_bytes(code))
+            for cell in getattr(obj, "__closure__", None) or ():
+                try:
+                    val = cell.cell_contents
+                except ValueError:
+                    h.update(b"<empty-cell>")
+                    continue
+                if isinstance(val, _STABLE_CONST_TYPES):
+                    h.update(repr(val).encode())
+                elif callable(val):
+                    h.update(logic_token(val).encode())
+            g = getattr(obj, "__globals__", {})
+            for name in code.co_names:
+                val = g.get(name)
+                if val is None:
+                    continue
+                if isinstance(val, _STABLE_CONST_TYPES):
+                    h.update(name.encode() + b"=" + repr(val).encode())
+                else:
+                    # datetimes etc. have stable reprs; anything with an
+                    # address-bearing repr would thrash the cache, so fold
+                    # only reprs that round-trip across processes.
+                    r = repr(val)
+                    if "0x" not in r:
+                        h.update(name.encode() + b"=" + r.encode())
+        h.update(b"\x1f")
+    return h.hexdigest()[:12]
+
+
+@contextlib.contextmanager
+def process_lock(path: str) -> Iterator[None]:
+    """Exclusive cross-process advisory lock (``fcntl.flock``) on
+    ``path``; blocks until acquired. Reentrancy is NOT provided — callers
+    hold it across one streaming run."""
+    import fcntl
+
+    fh = open(path, "a+")
+    try:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+    finally:
+        fh.close()
+
+
 def _publish_atomically(build: "Callable[[str], None]", out: str, stamp: str) -> str:
     """Run ``build(tmp_dir)`` then atomically rename it to ``out``.
 
     The ``_STAGED`` marker (holding ``stamp``) is written INSIDE the temp
     dir before the rename, so a published dir is always complete. Losing a
-    publish race is fine — the other builder produced identical content.
+    publish race to a builder with the SAME stamp is fine — it produced
+    identical content. A dir whose stamp does not match is moved aside and
+    the publish retried; if stale content persists after that, this raises
+    rather than silently returning it.
     """
     marker = os.path.join(out, "_STAGED")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read() == stamp:
-                return out
-        # Stale (source or logic changed): move aside and rebuild. Renaming
-        # before rmtree keeps the window where `out` is absent minimal.
+
+    def _current_stamp() -> "str | None":
+        try:
+            with open(marker) as fh:
+                return fh.read()
+        except OSError:
+            return None
+
+    def _evict_stale() -> None:
         stale = f"{out}.stale.{os.getpid()}"
         try:
             os.rename(out, stale)
@@ -71,18 +170,32 @@ def _publish_atomically(build: "Callable[[str], None]", out: str, stamp: str) ->
             pass
         else:
             shutil.rmtree(stale, ignore_errors=True)
+
+    if _current_stamp() == stamp:
+        return out
+    if os.path.exists(out):
+        _evict_stale()
     tmp = f"{out}.build.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     build(tmp)
     with open(os.path.join(tmp, "_STAGED"), "w") as fh:
         fh.write(stamp)
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        # A concurrent builder published first; use theirs.
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    for _attempt in range(2):
+        try:
+            os.rename(tmp, out)
+            return out
+        except OSError:
+            if _current_stamp() == stamp:
+                # A concurrent builder published identical content first.
+                shutil.rmtree(tmp, ignore_errors=True)
+                return out
+            _evict_stale()
+    shutil.rmtree(tmp, ignore_errors=True)
+    raise RuntimeError(
+        f"staged dir {out} holds content for a different source/logic "
+        "fingerprint and could not be replaced"
+    )
 
 
 def staged_feed(
@@ -97,16 +210,21 @@ def staged_feed(
     ``(file_stem, table_slice)`` in ARRIVAL order; slices are written as
     ``<stem>.parquet`` with mtimes 1000, 2000, ... Returns the feed dir.
 
-    ``version`` is a cache-buster for the SPLIT LOGIC: bump it (or pass a
-    token derived from split parameters) whenever ``splits`` changes
-    meaning, so stale staged feeds are not silently reused. The split
-    function's bytecode is folded in automatically as a best-effort guard.
+    ``version`` is a cache-buster for anything :func:`logic_token` cannot
+    see in ``splits`` (the token already folds in bytecode, constants,
+    closure cells, and constant module globals): pass a token derived from
+    external split parameters when they live outside the function.
     """
     import pyarrow.parquet as pq
 
-    code = getattr(getattr(splits, "__code__", None), "co_code", b"")
     token = hashlib.md5(
-        b"|".join([os.path.abspath(src).encode(), version.encode(), code])
+        b"|".join(
+            [
+                os.path.abspath(src).encode(),
+                version.encode(),
+                logic_token(splits).encode(),
+            ]
+        )
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"{prefix}_{token}")
     stamp = str(os.path.getmtime(src))
@@ -122,48 +240,73 @@ def staged_feed(
     return _publish_atomically(build, out, stamp)
 
 
-def durable_stream_dir(prefix: str, src: str, version: str = "1") -> tuple[str, bool]:
+@contextlib.contextmanager
+def durable_stream_gate(
+    prefix: str,
+    src: str,
+    version: str = "1",
+    logic: "Iterable[object]" = (),
+    validate: "Callable[[str], bool] | None" = None,
+) -> Iterator[tuple[str, bool]]:
     """A STABLE checkpoint+sink directory for a file-sink streaming gate,
-    keyed on (source path, source mtime, logic version).
+    keyed on (source path, source mtime, logic fingerprint, version), held
+    under an exclusive cross-process lock for the body's duration.
 
-    Returns ``(dir, fresh)`` — ``fresh`` is True when the caller should run
+    Yields ``(dir, fresh)`` — ``fresh`` is True when the caller should run
     the pipeline from scratch. When the directory already exists for the
-    same source fingerprint, re-running the SAME query against it is the
+    same fingerprint, re-running the SAME query against it is the
     production restart path: the checkpoint's offset log shows every input
     file processed, availableNow terminates after a no-data pass, and the
-    sink's exactly-once commit log already holds the full output. That
+    sink's commit log already holds the full output. That
     restart-idempotence is part of what the gate verifies (and it stops
-    bench/pytest loops from leaking one sink tree per invocation —
-    re-invocations reuse one directory instead).
+    bench/pytest loops from leaking one sink tree per invocation).
 
-    Unlike :func:`staged_feed` there is no atomic publish here — the
-    STREAMING CHECKPOINT is the consistency mechanism (a crashed run's
-    uncommitted files are invisible to the sink log and are reconciled on
-    restart), and two concurrent starts on one checkpoint are excluded by
-    Spark's own streaming query lock.
+    ``logic`` — callables/constants whose :func:`logic_token` fingerprint
+    keys the dir, so editing the aggregation, watermark, or sink logic
+    starts a NEW checkpoint instead of silently replaying the old one's
+    committed output. ``validate(dir)`` — run before yielding a reused
+    dir; returning False wipes it and yields fresh (recovery path for a
+    crash that left the sink's tables inconsistent).
+
+    The cross-process lock (not Spark's per-JVM streaming lock) is what
+    excludes concurrent pytest/bench processes from racing one checkpoint:
+    duplicate foreachBatch appends and HDFSMetadataLog write collisions on
+    a local FS are otherwise possible.
     """
     token = hashlib.md5(
-        b"|".join([os.path.abspath(src).encode(), version.encode()])
+        b"|".join(
+            [
+                os.path.abspath(src).encode(),
+                version.encode(),
+                logic_token(*logic).encode(),
+            ]
+        )
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"{prefix}_{token}")
     marker = os.path.join(out, "_SRC_STAMP")
     stamp = str(os.path.getmtime(src))
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read() == stamp:
-                return out, False
-        shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    with open(marker, "w") as fh:
-        fh.write(stamp)
-    return out, True
+    with process_lock(f"{out}.lock"):
+        fresh = True
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                fresh = fh.read() != stamp
+            if not fresh and validate is not None and not validate(out):
+                fresh = True
+            if fresh:
+                shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+        yield out, fresh
 
 
 def ts_as_int64_ns(tbl):
     """Replace a ``ts`` timestamp column with plain INT64 nanos so staged
-    files need no nanosAsLong conf on the streaming reader."""
+    files need no nanosAsLong conf on the streaming reader. Unit-agnostic:
+    the source fixture has carried both timestamp[ns] and timestamp[us]
+    across regenerations, so normalize through timestamp[ns] first."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    ts_ns = pc.cast(tbl["ts"], pa.int64())
+    ts_ns = pc.cast(pc.cast(tbl["ts"], pa.timestamp("ns")), pa.int64())
     return tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns), ts_ns

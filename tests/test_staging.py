@@ -1,0 +1,257 @@
+"""Staging scaffolding hardening: logic fingerprints, atomic publish
+recovery, cross-process locking, and durable-gate validation/recovery."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from bioclip_vector_db_spark.streaming.staging import (
+    _publish_atomically,
+    durable_stream_gate,
+    logic_token,
+    process_lock,
+    staged_feed,
+)
+
+
+def _make_src(tmp_path, name="src.parquet"):
+    p = str(tmp_path / name)
+    pq.write_table(pa.table({"x": list(range(10))}), p)
+    return p
+
+
+# --- logic_token -----------------------------------------------------------
+
+
+def test_logic_token_sees_closure_cells():
+    def make(n):
+        def splits(tbl):
+            return tbl[:n]
+
+        return splits
+
+    assert logic_token(make(3)) == logic_token(make(3))
+    assert logic_token(make(3)) != logic_token(make(4))
+
+
+def test_logic_token_sees_constant_globals():
+    ns1 = {"LIMIT": 5}
+    ns2 = {"LIMIT": 7}
+    src = "def f(t):\n    return t[:LIMIT]\n"
+    exec(src, ns1)
+    exec(src, ns2)
+    assert logic_token(ns1["f"]) != logic_token(ns2["f"])
+    ns3 = {"LIMIT": 5}
+    exec(src, ns3)
+    assert logic_token(ns1["f"]) == logic_token(ns3["f"])
+
+
+def test_logic_token_sees_bytecode_and_plain_values():
+    def f(t):
+        return t + 1
+
+    def g(t):
+        return t + 2
+
+    assert logic_token(f) != logic_token(g)
+    assert logic_token("1 hour") != logic_token("2 hours")
+    assert logic_token(f, "1 hour") == logic_token(f, "1 hour")
+
+
+def test_logic_token_skips_address_reprs():
+    class Opaque:
+        pass
+
+    o = Opaque()  # repr carries a 0x address — must not thrash the token
+    ns = {"HELPER": o}
+    exec("def f(t):\n    return HELPER\n", ns)
+    t1 = logic_token(ns["f"])
+    ns["HELPER"] = Opaque()
+    assert logic_token(ns["f"]) == t1
+
+
+# --- _publish_atomically ---------------------------------------------------
+
+
+def test_publish_reuses_matching_stamp(tmp_path):
+    out = str(tmp_path / "feed")
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        with open(os.path.join(d, "data"), "w") as fh:
+            fh.write("v1")
+
+    assert _publish_atomically(build, out, "stamp1") == out
+    assert _publish_atomically(build, out, "stamp1") == out
+    assert len(calls) == 1
+
+
+def test_publish_replaces_stale_and_verifies(tmp_path):
+    out = str(tmp_path / "feed")
+
+    def build_v1(d):
+        with open(os.path.join(d, "data"), "w") as fh:
+            fh.write("v1")
+
+    def build_v2(d):
+        with open(os.path.join(d, "data"), "w") as fh:
+            fh.write("v2")
+
+    _publish_atomically(build_v1, out, "stamp1")
+    _publish_atomically(build_v2, out, "stamp2")
+    with open(os.path.join(out, "data")) as fh:
+        assert fh.read() == "v2"
+    with open(os.path.join(out, "_STAGED")) as fh:
+        assert fh.read() == "stamp2"
+
+
+def test_staged_feed_rekeys_on_split_logic_change(tmp_path):
+    src = _make_src(tmp_path)
+
+    def make(n):
+        def splits(tbl):
+            yield "f0", tbl[:n]
+
+        return splits
+
+    d1 = staged_feed(src, "bvds_test_feed", make(3))
+    d2 = staged_feed(src, "bvds_test_feed", make(4))
+    d3 = staged_feed(src, "bvds_test_feed", make(3))
+    try:
+        assert d1 != d2  # closure value change -> new feed dir
+        assert d1 == d3  # same logic -> cached
+        assert pq.read_table(os.path.join(d2, "f0.parquet")).num_rows == 4
+    finally:
+        import shutil
+
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+# --- process_lock ----------------------------------------------------------
+
+
+def test_process_lock_excludes_second_holder(tmp_path):
+    import fcntl
+
+    path = str(tmp_path / "lk")
+    with process_lock(path):
+        fh = open(path, "a+")
+        try:
+            try:
+                fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                held = True
+            else:
+                held = False
+                fcntl.flock(fh, fcntl.LOCK_UN)
+        finally:
+            fh.close()
+    assert held
+    # Released after the context exits.
+    fh = open(path, "a+")
+    fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    fcntl.flock(fh, fcntl.LOCK_UN)
+    fh.close()
+
+
+# --- durable_stream_gate ---------------------------------------------------
+
+
+def _gate_dirs(prefix):
+    return set(glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")))
+
+
+def test_durable_gate_fresh_reuse_and_logic_rekey(tmp_path):
+    src = _make_src(tmp_path)
+    import shutil
+
+    before = _gate_dirs("bvds_test_gate")
+    try:
+        with durable_stream_gate("bvds_test_gate", src, logic=("v1",)) as (d1, fresh1):
+            assert fresh1
+        with durable_stream_gate("bvds_test_gate", src, logic=("v1",)) as (d2, fresh2):
+            assert d2 == d1 and not fresh2
+        with durable_stream_gate("bvds_test_gate", src, logic=("v2",)) as (d3, fresh3):
+            assert d3 != d1 and fresh3
+        # Source change (mtime) -> fresh again on the same key.
+        os.utime(src, (1, 1))
+        with durable_stream_gate("bvds_test_gate", src, logic=("v1",)) as (d4, fresh4):
+            assert d4 == d1 and fresh4
+    finally:
+        for d in _gate_dirs("bvds_test_gate") - before:
+            shutil.rmtree(d, ignore_errors=True)
+            try:
+                os.unlink(f"{d}.lock")
+            except OSError:
+                pass
+
+
+def test_durable_gate_validate_failure_rebuilds(tmp_path):
+    src = _make_src(tmp_path)
+    import shutil
+
+    before = _gate_dirs("bvds_test_gatev")
+    try:
+        with durable_stream_gate("bvds_test_gatev", src) as (d, fresh):
+            assert fresh
+            with open(os.path.join(d, "payload"), "w") as fh:
+                fh.write("x")
+        with durable_stream_gate(
+            "bvds_test_gatev", src, validate=lambda p: os.path.exists(f"{p}/payload")
+        ) as (d2, fresh2):
+            assert d2 == d and not fresh2
+        with durable_stream_gate(
+            "bvds_test_gatev", src, validate=lambda p: False
+        ) as (d3, fresh3):
+            assert d3 == d and fresh3
+            assert not os.path.exists(os.path.join(d3, "payload"))  # wiped
+    finally:
+        for d in _gate_dirs("bvds_test_gatev") - before:
+            shutil.rmtree(d, ignore_errors=True)
+            try:
+                os.unlink(f"{d}.lock")
+            except OSError:
+                pass
+
+
+def test_ingest_gate_recovers_from_desynced_tables(spark, sf_dir, duck):
+    """ADVICE recovery path: a crash between append_to_index's corpus and
+    id_mapping writes desyncs the durable index; the gate's validator must
+    detect the mismatch on reuse and rebuild, keeping the query
+    oracle-exact."""
+    from .conftest import assert_matches_oracle
+    from bioclip_vector_db_spark.plans.registry import (
+        ORACLES,
+        QUERIES,
+        load_all_plans,
+    )
+    from bioclip_vector_db_spark.streaming.ingest import _index_consistent
+
+    load_all_plans()
+    q, oracle = QUERIES["streaming_index_ingest"], ORACLES["streaming_index_ingest"]
+    q(spark, sf_dir).count()  # ensure the durable dir exists
+    # Find the gate dir and simulate the partial-write crash: drop one
+    # id_mapping partition's files so corpus > id_mapping.
+    dirs = [
+        d
+        for d in glob.glob(os.path.join(tempfile.gettempdir(), "bvds_stream_ingest_*"))
+        if os.path.isdir(d) and os.path.isdir(os.path.join(d, "id_mapping"))
+    ]
+    assert dirs, "durable ingest dir not found"
+    corrupted = 0
+    for d in dirs:
+        files = glob.glob(os.path.join(d, "id_mapping", "partition_id=*", "*.parquet"))
+        if files:
+            os.unlink(files[0])
+            corrupted += 1
+            assert not _index_consistent(spark, d)
+    assert corrupted
+    spark.catalog.clearCache()
+    assert_matches_oracle(q(spark, sf_dir), duck, oracle)
