@@ -37,6 +37,33 @@ BENCH_REF = os.environ.get(
 GUARD_FLOOR_SEC = 0.3
 GUARD_FACTOR = 2.0
 
+#: Queries whose checkpoint+sink dir is durable across invocations
+#: (streaming/staging.durable_stream_gate), mapped to the gate's tempdir
+#: prefix. Re-invoking one is a streaming RESTART (availableNow finds no
+#: unprocessed files; the committed output is read back) — a different,
+#: much cheaper code path than the ingest itself. The headline number in
+#: "queries" is the COLD path (gate dirs wiped before every timed pass,
+#: comparable to the pre-durable reference); the restart path is timed
+#: once more afterwards and reported separately under "durable_restart".
+DURABLE_GATES = {
+    "streaming_index_ingest": "bvds_stream_ingest",
+    "events_stream_to_parquet": "bvds_stream_sink",
+}
+
+
+def wipe_durable_gates(names) -> None:
+    """Remove the durable gate dirs for ``names`` so the next invocation
+    runs the pipeline from scratch (cold path)."""
+    import glob
+    import shutil
+    import tempfile
+
+    for name in names:
+        prefix = DURABLE_GATES[name]
+        for d in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+
 
 def find_regressions(
     timings: dict[str, float],
@@ -105,6 +132,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in names:
+            if name in DURABLE_GATES:
+                wipe_durable_gates([name])  # headline number = cold path
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             n = df.count()
@@ -112,6 +141,14 @@ def main() -> None:
             assert n >= 0
             prev = timings.get(name)
             timings[name] = elapsed if prev is None else min(prev, elapsed)
+    # The durable gates' restart path (checkpoint finds nothing new, the
+    # committed output is read back) — reported separately, never mixed
+    # into the cold numbers.
+    durable_restart: dict[str, float] = {}
+    for name in sorted(set(DURABLE_GATES) & set(qs)):
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        durable_restart[name] = round(time.perf_counter() - t0, 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -124,6 +161,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "durable_restart": durable_restart,
                 "sf": sf_val,
             }
         )
