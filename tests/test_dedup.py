@@ -3,32 +3,13 @@ survivor determinism, LSH candidate containment)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from bioclip_vector_db_spark.operators import dedup
-from bioclip_vector_db_spark.plans.registry import ORACLES, QUERIES, load_all_plans
+from bioclip_vector_db_spark.plans.registry import load_all_plans
 from bioclip_vector_db_spark.sources.catalog import load_table
 
-from .conftest import assert_matches_oracle
-
 load_all_plans()
-
-DEDUP_QUERIES = [
-    "dedup_survivorship",
-    "dedup_near_simhash_text",
-    "dedup_exact_content",
-    "dedup_near_minhash",
-    "dedup_near_jaccard_exact",
-    "embedding_near_dup_simhash",
-    "similarity_threshold_join_bucketed",
-]
-
-
-@pytest.mark.parametrize("name", DEDUP_QUERIES)
-def test_oracle_parity(name, spark, sf_dir, duck):
-    assert_matches_oracle(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
-
 
 def test_exact_dedup_survivor_is_lowest_id(spark):
     df = spark.createDataFrame(

@@ -1,41 +1,15 @@
-"""Indexing/relational queries: oracle parity (completing per-operator
-pytest coverage — the driver gate checks these too, but regressions should
-fail here first)."""
+"""Indexing operator invariants (oracle parity for the registered queries
+lives in test_registry_parity.py)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from bioclip_vector_db_spark.operators import indexing
-from bioclip_vector_db_spark.plans.registry import ORACLES, QUERIES, load_all_plans
-from bioclip_vector_db_spark.sources.catalog import load_table
-
-from .conftest import assert_matches_oracle
+from bioclip_vector_db_spark.plans.registry import load_all_plans
 
 load_all_plans()
 
-INDEXING_QUERIES = [
-    "id_mapping_build",
-    "id_remap_join",
-    "metadata_lookup",
-    "dedup_anti_join",
-    "id_derivation_null_filter",
-    "kmeans_assignment_balance",
-    "kmeans_train",
-    "json_metadata_roundtrip",
-    "partition_range_expansion",
-    "taxon_parse",
-    "embedding_udf_stub",
-    "multimodal_binary_manifest",
-    "multimodal_decode_stub",
-    "knn_quantized_rescore",
-]
-
-
-@pytest.mark.parametrize("name", INDEXING_QUERIES)
-def test_oracle_parity(name, spark, sf_dir, duck):
-    assert_matches_oracle(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
 
 
 def test_faiss_ids_dense_per_partition(spark, sf_dir):

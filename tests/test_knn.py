@@ -6,34 +6,13 @@ SURVEY.md §2.4; the oracle-parity asserts replicate the driver's gate.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from bioclip_vector_db_spark.operators import knn
-from bioclip_vector_db_spark.plans.registry import ORACLES, QUERIES, load_all_plans
+from bioclip_vector_db_spark.plans.registry import load_all_plans
 from bioclip_vector_db_spark.sources.catalog import load_table
 
-from .conftest import assert_matches_oracle
-
 load_all_plans()
-
-KNN_QUERIES = [
-    "knn_bruteforce",
-    "leader_routing",
-    "partition_assignment",
-    "ivf_search",
-    "ivf_search_partial_server",
-    "knn_recall_eval",
-    "knn_batch_join",
-    "similarity_threshold_join",
-    "health_aggregates",
-]
-
-
-@pytest.mark.parametrize("name", KNN_QUERIES)
-def test_oracle_parity(name, spark, sf_dir, duck):
-    assert_matches_oracle(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
-
 
 def test_knn_self_is_nearest(spark, sf_dir):
     """A vector's nearest neighbor in a corpus containing itself is itself

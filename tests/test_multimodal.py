@@ -2,31 +2,14 @@
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from bioclip_vector_db_spark.operators import embedding as emb_ops
 from bioclip_vector_db_spark.operators import multimodal as mm_ops
-from bioclip_vector_db_spark.plans.registry import ORACLES, QUERIES, load_all_plans
+from bioclip_vector_db_spark.plans.registry import load_all_plans
 from bioclip_vector_db_spark.sources.catalog import load_table
 
-from .conftest import assert_matches_oracle
-
 load_all_plans()
-
-MM_QUERIES = [
-    "embedding_udf_stub",
-    "multimodal_binary_manifest",
-    "multimodal_decode_stub",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-]
-
-
-@pytest.mark.parametrize("name", MM_QUERIES)
-def test_oracle_parity(name, spark, sf_dir, duck):
-    assert_matches_oracle(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
-
 
 def test_udf_matches_catalyst_expression(spark, sf_dir):
     """The Arrow UDF boundary is semantics-preserving: the pandas kernel

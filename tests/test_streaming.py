@@ -1,12 +1,12 @@
-"""X7 streaming: oracle parity for the window queries + a real
-watermark/late-data drop test over a two-micro-batch file feed."""
+"""X7 streaming: watermark/late-data semantics over real micro-batch
+feeds + stream/batch equivalence (per-query oracle parity lives in
+test_registry_parity.py)."""
 
 from __future__ import annotations
 
 import time
 
 import pandas as pd
-import pytest
 
 from bioclip_vector_db_spark.plans.registry import ORACLES, QUERIES, load_all_plans
 from bioclip_vector_db_spark.streaming import events as ev
@@ -14,21 +14,6 @@ from bioclip_vector_db_spark.streaming import events as ev
 from .conftest import assert_matches_oracle
 
 load_all_plans()
-
-EVENT_QUERIES = [
-    "events_tumbling_hourly",
-    "events_sliding_2h_1h",
-    "events_session_windows",
-    "events_stream_tumbling",
-    "events_stream_to_parquet",
-    "events_stream_dedup",
-]
-
-
-@pytest.mark.parametrize("name", EVENT_QUERIES)
-def test_oracle_parity(name, spark, sf_dir, duck):
-    assert_matches_oracle(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
-
 
 def _write_batch(path, rows):
     ns = 10**9

@@ -2,29 +2,9 @@
 
 from __future__ import annotations
 
-import pytest
-
-from bioclip_vector_db_spark.plans.registry import ORACLES, QUERIES, load_all_plans
-
-from .conftest import assert_matches_oracle
+from bioclip_vector_db_spark.plans.registry import load_all_plans
 
 load_all_plans()
-
-TEMPORAL_QUERIES = [
-    "events_asof_join",
-    "events_range_join",
-    "events_user_running_value",
-    "events_cube",
-    "dq_audit",
-    "events_funnel",
-    "json_malformed_handling",
-]
-
-
-@pytest.mark.parametrize("name", TEMPORAL_QUERIES)
-def test_oracle_parity(name, spark, sf_dir, duck):
-    assert_matches_oracle(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
-
 
 def test_asof_join_matches_bruteforce(spark):
     """Property: the union-tag as-of join equals the brute-force

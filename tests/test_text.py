@@ -2,34 +2,13 @@
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from bioclip_vector_db_spark.operators import text as text_ops
-from bioclip_vector_db_spark.plans.registry import ORACLES, QUERIES, load_all_plans
+from bioclip_vector_db_spark.plans.registry import load_all_plans
 from bioclip_vector_db_spark.sources.catalog import load_table
 
-from .conftest import assert_matches_oracle
-
 load_all_plans()
-
-TEXT_QUERIES = [
-    "text_quality_score",
-    "documents_train_split",
-    "text_length_quantiles",
-    "text_doc_stats",
-    "text_word_counts",
-    "text_token_counts",
-    "text_language_id",
-    "text_tfidf_top_terms",
-    "text_fingerprints",
-]
-
-
-@pytest.mark.parametrize("name", TEXT_QUERIES)
-def test_oracle_parity(name, spark, sf_dir, duck):
-    assert_matches_oracle(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
-
 
 def test_doc_stats_invariants(spark, sf_dir):
     stats = text_ops.doc_stats(load_table(spark, sf_dir, "documents"))
