@@ -157,6 +157,40 @@ def test_assign_kernels_agree_with_tied_centroids(spark, sf_dir, monkeypatch):
     assert all(pid < 8 for pid in got.values())
 
 
+def test_pq_encode_kernels_agree_with_tied_codebooks(spark, sf_dir):
+    """Kernel-switchover parity for PQ encode on adversarial geometry: a
+    codebook above LARGE_NLIST_THRESHOLD whose entries repeat every 8
+    codes, so every subspace argmin ties across ~k/8 duplicate codes.
+    Both kernels must resolve to the smallest code (expr: lexicographic
+    array_min over (d, code) structs; numpy: first-occurrence argmin over
+    the code-sorted book) — and 'auto' must route this size onto the
+    mapInPandas GEMM encoder."""
+    from bioclip_vector_db_spark.operators.quantization import PQ_M, pq_encode
+
+    k = LARGE_NLIST_THRESHOLD + 176
+    tied_books = spark.range(k).select(
+        F.col("id").cast("int").alias("code"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.sin(
+                (F.col("id") % 8).cast("double") * (i.cast("double") + 1.0)
+            ),
+        ).alias("mean_vec"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").limit(64).select("vec_id", "embedding")
+    cols = ["vec_id"] + [f"pq_code_{s}" for s in range(PQ_M)]
+    expr = {
+        r[0]: tuple(r[1:])
+        for r in pq_encode(emb, tied_books, kernel="expr").select(*cols).collect()
+    }
+    auto = pq_encode(emb, tied_books)  # auto -> numpy at this size
+    assert "MapInPandas" in _plan(auto)
+    blas = {r[0]: tuple(r[1:]) for r in auto.select(*cols).collect()}
+    assert blas == expr and len(blas) == 64
+    # Every tie must land in the first duplicate block of the codebook.
+    assert all(c < 8 for codes in blas.values() for c in codes)
+
+
 def test_pick_kernel_probe_memoized(spark, sf_dir):
     """kernel='auto' must fire its LIMIT-count probe job once per distinct
     centroid table per session — not once per route/assign/search call —
