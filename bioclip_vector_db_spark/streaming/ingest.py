@@ -31,19 +31,10 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
 
 from ..operators.indexing import ASSIGNED_CTE, append_to_index
 from ..operators.knn import fixture_centroids
 from ..plans.registry import register
-
-EMBEDDINGS_SCHEMA = T.StructType(
-    [
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("embedding", T.ArrayType(T.FloatType())),
-        T.StructField("label", T.IntegerType()),
-    ]
-)
 
 
 def _stage_embedding_feed(sf_dir: str, n_files: int = 3) -> str:
@@ -81,8 +72,13 @@ def stream_ingest(
     def _append(batch: DataFrame, _batch_id: int) -> None:
         append_to_index(spark, index_dir, batch, centroids)
 
+    # Infer the stream schema from the staged files themselves (footer
+    # read) rather than hardcoding one — the regenerated fixtures have
+    # changed physical types across rounds and the staged feed carries
+    # whatever the source carries.
+    schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(feed_dir).schema
     q = (
-        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(feed_dir)
