@@ -192,6 +192,113 @@ def near_dup_pairs(
     return _score_jaccard(inter, sh, threshold)
 
 
+def near_dup_clusters(pairs: DataFrame, *, max_rounds: int = 50) -> DataFrame:
+    """Distributed connected components over near-dup pairs: every doc
+    appearing in at least one pair gets ``cluster_id`` = the smallest
+    doc_id reachable through the pair graph. Pairwise output alone cannot
+    drive dedup at scale — A~B and B~C must collapse as ONE group even
+    when A~C was never emitted; this produces those groups.
+
+    Spark-first formulation: min-label propagation with pointer jumping.
+    Each round (a) takes the min label over graph neighbors — one shuffle
+    join edges->labels plus a groupBy — and (b) replaces every label with
+    its label's label (one self-join): the pointer-jumping step that
+    short-circuits chains, giving O(log diameter) rounds instead of
+    O(diameter). Every round is eagerly localCheckpoint-ed — iterative
+    self-joins otherwise grow the lineage exponentially and re-derive all
+    prior rounds on every action. The driver loop only orchestrates
+    (round count + one scalar `changed` count per round); all per-round
+    work is distributed, and the edge set is near-dup-pair-sized — LSH
+    has already reduced it orders of magnitude below the corpus, so the
+    per-round shuffles are small at any corpus scale.
+
+    Returns ``(id, cluster_id)``. Reference scope: the reference dedups
+    by exact id only (src/bioclip_vector_db/vector_db.py:141-150);
+    clustering is part of the X2 extension surface.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("cluster_id").alias("dl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dl").alias("nbr_label"))
+            .select(F.col("src").alias("id"), "nbr_label")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.col("cluster_id").alias("old_label"),
+            F.least("cluster_id", F.coalesce("nbr_label", "cluster_id")).alias(
+                "mid_label"
+            ),
+        )
+        # Pointer jumping: follow one hop through the label table. The
+        # min label is always some member's id, so the left join misses
+        # only when mid_label is already a root — keep it then.
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("id").alias("jid"), F.col("mid_label").alias("jlabel")
+                ),
+                F.col("s.mid_label") == F.col("jid"),
+                "left",
+            )
+            .select(
+                F.col("s.id").alias("id"),
+                F.col("s.old_label").alias("old_label"),
+                F.coalesce("jlabel", F.col("s.mid_label")).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = jumped.select("id", "cluster_id")
+        if jumped.filter(F.col("cluster_id") < F.col("old_label")).count() == 0:
+            break
+    return labels
+
+
+def decontaminate_ngrams(train: DataFrame, eval_docs: DataFrame) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least one word ``SHINGLE_WIDTH``-gram with any held-out evaluation
+    document — the standard n-gram-overlap contamination check an LLM
+    data pipeline runs before training.
+
+    Returns ``(doc_id, n_shared, first_eval_id)``: the contaminated
+    train doc, how many distinct n-grams it shares with the eval set,
+    and the smallest contaminating eval doc id.
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs
+    against a 100-TB corpus), so its shingle set is broadcast and the
+    check is a map-side hash semi-join over the train shingles — no
+    shuffle of the corpus, one aggregation keyed by the (already small)
+    contaminated subset.
+    """
+    tr = doc_shingles(train)
+    ev = doc_shingles(eval_docs).select(
+        "shingle", F.col("doc_id").alias("eval_id")
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").cast("bigint").alias("n_shared"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+    )
+
+
 def _score_jaccard(inter: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Shared verify tail for both X2 variants: join per-doc shingle-set
     sizes onto pair intersection counts, compute rounded Jaccard, filter.
@@ -358,8 +465,9 @@ _BAND_ROWS = " UNION ALL ".join(
     for b in range(N_BANDS)
 )
 
-_NEAR_DUP_ORACLE = f"""
-WITH doc_corpus AS (SELECT doc_id, text FROM documents),
+#: Shared CTE chain ending in ``nd`` = the verified MinHash near-dup
+#: pairs — composed by the pairs, survivorship, and clusters oracles.
+_ND_CTES = f"""doc_corpus AS (SELECT doc_id, text FROM documents),
 {_SHINGLES_CTE.strip()},
 sigs AS (
     SELECT doc_id, {_MINHASH_EXPRS}
@@ -378,13 +486,35 @@ inter AS (
     JOIN shingles sa ON sa.doc_id = c.a_id
     JOIN shingles sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
     GROUP BY c.a_id, c.b_id
+),
+nd AS (
+    SELECT i.a_id, i.b_id,
+           round(i.i * 1.0 / (za.sz + zb.sz - i.i), 9) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a_id
+    JOIN sizes zb ON zb.doc_id = i.b_id
+    WHERE round(i.i * 1.0 / (za.sz + zb.sz - i.i), 9) >= 0.8
+)"""
+
+_NEAR_DUP_ORACLE = f"""
+WITH {_ND_CTES}
+SELECT a_id, b_id, jaccard FROM nd
+"""
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_ND_CTES},
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM nd
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM nd
+),
+reach AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )
-SELECT i.a_id, i.b_id,
-       round(i.i * 1.0 / (za.sz + zb.sz - i.i), 9) AS jaccard
-FROM inter i
-JOIN sizes za ON za.doc_id = i.a_id
-JOIN sizes zb ON zb.doc_id = i.b_id
-WHERE round(i.i * 1.0 / (za.sz + zb.sz - i.i), 9) >= 0.8
+SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
+FROM reach GROUP BY src
 """
 
 
@@ -591,6 +721,70 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5) is engine-agnostic."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return near_dup_pairs(docs, 0.8)
+
+
+@register("dedup_near_clusters", oracle=_CLUSTERS_ORACLE)
+def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 [Q]: connected components over the verified MinHash near-dup
+    pairs — each doc in a pair mapped to its group's smallest doc_id
+    (min-label propagation + pointer jumping; the DuckDB twin is a
+    recursive-CTE transitive closure). Pairwise near-dup output undercounts
+    duplication whenever A~B and B~C without A~C; groups are what
+    survivorship actually collapses."""
+    from .knn import _cached
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _cached(
+        spark, sf_dir, "near_dup_pairs_08", lambda: near_dup_pairs(docs, 0.8)
+    )
+    return near_dup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+#: Sources held out as the "benchmark" slice for the decontamination gate.
+EVAL_SOURCES = ("src0", "src1")
+
+_SHINGLE_HI = SHINGLE_WIDTH - 1
+
+_DECONTAM_ORACLE = f"""
+WITH train_corpus AS (
+    SELECT doc_id, text FROM documents
+    WHERE source NOT IN {tuple(EVAL_SOURCES)!r}
+),
+eval_corpus AS (
+    SELECT doc_id, text FROM documents WHERE source IN {tuple(EVAL_SOURCES)!r}
+),
+train_toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM train_corpus),
+train_shingles AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_HI}], ' ') AS shingle
+    FROM train_toks,
+         unnest(generate_series(1, greatest(len(t) - {_SHINGLE_HI}, 0))) AS u(i)
+),
+eval_toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM eval_corpus),
+eval_shingles AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_HI}], ' ') AS shingle
+    FROM eval_toks,
+         unnest(generate_series(1, greatest(len(t) - {_SHINGLE_HI}, 0))) AS u(i)
+)
+SELECT t.doc_id,
+       count(DISTINCT t.shingle)::BIGINT AS n_shared,
+       min(e.doc_id) AS first_eval_id
+FROM train_shingles t
+JOIN eval_shingles e ON e.shingle = t.shingle
+GROUP BY t.doc_id
+"""
+
+
+@register("dedup_decontaminate", oracle=_DECONTAM_ORACLE)
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X5 [Q]: n-gram benchmark decontamination — training docs (all
+    sources outside EVAL_SOURCES) sharing at least one word trigram with
+    the held-out eval slice, with the shared-shingle count and the
+    smallest contaminating eval doc id. The eval shingle set is broadcast:
+    the corpus-side check is map-side, no corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    train = docs.filter(~F.col("source").isin(*EVAL_SOURCES)).select("doc_id", "text")
+    ev = docs.filter(F.col("source").isin(*EVAL_SOURCES)).select("doc_id", "text")
+    return decontaminate_ngrams(train, ev)
 
 
 @register("similarity_threshold_join_bucketed", oracle=_THRESHOLD_JOIN_ORACLE)

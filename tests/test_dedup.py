@@ -70,3 +70,65 @@ def test_simhash_identical_vectors_same_bucket(spark, sf_dir):
     got = {(r.a_id, r.b_id): r.similarity for r in out.collect()}
     assert set(got) == {(i, i + 10000) for i in range(10)}
     assert all(abs(s - 1.0) < 1e-6 for s in got.values())
+
+
+def test_near_dup_clusters_match_union_find(spark):
+    """Property: the distributed min-label/pointer-jumping components
+    equal a driver-side union-find on random pair graphs (chains, stars,
+    singleton pairs, cycles all arise at these sizes)."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 60
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randrange(10, 40))
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {
+            x: find(x) for x in range(n) if any(x in p for p in pairs)
+        }
+        df = spark.createDataFrame(pairs, "a_id long, b_id long")
+        got = {r.id: r.cluster_id for r in dedup.near_dup_clusters(df).collect()}
+        assert got == want, f"trial {trial}"
+
+
+def test_near_dup_clusters_chain_converges_fast(spark):
+    """A 64-node path graph is the worst case for plain propagation
+    (diameter 63); pointer jumping must collapse it in O(log n) rounds —
+    max_rounds=10 suffices where plain min-propagation would need 63."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a_id long, b_id long"
+    )
+    got = {r.id: r.cluster_id for r in dedup.near_dup_clusters(pairs, max_rounds=10).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must broadcast (benchmark-sized vs a 100-TB
+    corpus): no shuffle of the train side, no nested-loop join; and no
+    eval doc may flag itself as contaminated train."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    train = docs.filter(~F.col("source").isin("src0", "src1")).select("doc_id", "text")
+    ev = docs.filter(F.col("source").isin("src0", "src1")).select("doc_id", "text")
+    out = dedup.decontaminate_ngrams(train, ev)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    eval_ids = {r.doc_id for r in ev.select("doc_id").collect()}
+    flagged = {r.doc_id for r in out.collect()}
+    assert flagged and not (flagged & eval_ids)
