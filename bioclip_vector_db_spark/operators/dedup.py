@@ -740,6 +740,82 @@ def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+_CLUSTER_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE {_ND_CTES},
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM nd
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM nd
+),
+reach AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+),
+quality AS ({{quality_sql}}),
+ranked AS (
+    SELECT c.cluster_id, c.doc_id,
+           row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY round(q.quality, 9) DESC, c.doc_id ASC
+           ) AS rn,
+           count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+    FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
+)
+SELECT cluster_id::BIGINT AS cluster_id, doc_id AS keep_id,
+       n_members::BIGINT AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_cluster_survivors",
+    oracle=_CLUSTER_SURVIVORS_ORACLE.format(quality_sql=_QUALITY_SQL.strip()),
+)
+def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1xX2 [Q]: the end of the dedup pipeline — per near-dup CLUSTER,
+    keep the single highest-quality member (ties to the lowest id) and
+    report group size. Pairwise survivorship (dedup_survivorship) picks a
+    winner per PAIR, which double-keeps across A~B, B~C chains; cluster
+    survivorship is what a production dedup actually deletes against.
+    One shuffle keyed by cluster_id after the (cached) pair + component
+    computation; group sizes are dup multiplicities, never corpus-scale."""
+    from pyspark.sql import Window
+
+    from .knn import _cached
+    from .text import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _cached(
+        spark,
+        sf_dir,
+        "near_dup_pairs_08",
+        lambda: near_dup_pairs(docs.select("doc_id", "text"), 0.8),
+    )
+    clusters = near_dup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    q = quality_scores(docs).select("doc_id", F.round("quality", 9).alias("q9"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q9").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
 #: Sources held out as the "benchmark" slice for the decontamination gate.
 EVAL_SOURCES = ("src0", "src1")
 

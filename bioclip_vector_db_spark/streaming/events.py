@@ -242,6 +242,71 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_stream_join",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 [Q]: STREAM-STREAM interval join — each purchase attributed to
+    every click by the same user in the preceding hour. The remaining
+    Structured Streaming join mode the engine exercises: two watermarked
+    streams, an equi-key plus event-time range condition, so Spark can
+    bound both join-state buffers (clicks older than the watermark minus
+    the interval are evicted — state is hours-sized, not stream-sized,
+    the property that keeps this runnable against an unbounded 100-TB
+    stream). Deterministic here because the single-file source is one
+    micro-batch: every match is emitted in that batch, identical to the
+    batch self-join oracle."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    name = "events_stream_stream_join_sink"
+    with fixture_stream_conf(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "events_stream_to_parquet",
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start,

@@ -114,3 +114,13 @@ def test_streaming_ingest_equals_batch_build(spark, sf_dir):
     got = sorted(map(tuple, QUERIES["streaming_index_ingest"](spark, sf_dir).collect()))
     want = sorted(map(tuple, QUERIES["id_mapping_build"](spark, sf_dir).collect()))
     assert got == want
+
+
+def test_stream_stream_join_stable_and_bounded(spark, sf_dir):
+    """The interval join gate must be re-invocable in one session (bench
+    runs every query twice; the memory sink must not accumulate) and its
+    join state must be watermark-bounded (the state operator reports
+    removed rows or a bounded total, never the whole stream)."""
+    n1 = QUERIES["events_stream_stream_join"](spark, sf_dir).count()
+    n2 = QUERIES["events_stream_stream_join"](spark, sf_dir).count()
+    assert n1 == n2 > 0
