@@ -796,9 +796,12 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "near_dup_pairs_08",
         lambda: near_dup_pairs(docs.select("doc_id", "text"), 0.8),
     )
-    clusters = near_dup_clusters(pairs).select(
-        F.col("id").alias("doc_id"), "cluster_id"
-    )
+    # The component table is itself a pipeline intermediate (the clusters
+    # gate measures computing it fresh); survivorship reuses it the same
+    # way it reuses the pair table.
+    clusters = _cached(
+        spark, sf_dir, "near_dup_clusters_08", lambda: near_dup_clusters(pairs)
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
     q = quality_scores(docs).select("doc_id", F.round("quality", 9).alias("q9"))
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("q9").desc(), F.col("doc_id").asc()

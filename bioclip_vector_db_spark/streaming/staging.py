@@ -286,6 +286,7 @@ def durable_stream_gate(
     marker = os.path.join(out, "_SRC_STAMP")
     stamp = str(os.path.getmtime(src))
     with process_lock(f"{out}.lock"):
+        _reap_stale_gate_siblings(prefix, keep=out)
         fresh = True
         if os.path.exists(marker):
             with open(marker) as fh:
@@ -298,6 +299,34 @@ def durable_stream_gate(
         with open(marker, "w") as fh:
             fh.write(stamp)
         yield out, fresh
+
+
+def _reap_stale_gate_siblings(prefix: str, keep: str) -> None:
+    """Remove this prefix's OTHER gate dirs — a logic-fingerprint or
+    version change re-keys the dir, and without reaping every edit leaks a
+    full checkpoint+sink tree in the temp dir forever. Only dirs whose
+    lock can be taken without blocking are touched (a concurrent process
+    on an older code version keeps its dir); the reaped dir's lockfile is
+    kept — unlinking it would race a process about to lock it."""
+    import fcntl
+    import glob
+
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
+        if d == keep or not os.path.isdir(d):
+            continue
+        try:
+            fh = open(f"{d}.lock", "a+")
+        except OSError:
+            continue
+        try:
+            try:
+                fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                continue  # in use by a concurrent run
+            shutil.rmtree(d, ignore_errors=True)
+            fcntl.flock(fh, fcntl.LOCK_UN)
+        finally:
+            fh.close()
 
 
 def ts_as_int64_ns(tbl):

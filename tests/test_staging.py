@@ -255,3 +255,37 @@ def test_ingest_gate_recovers_from_desynced_tables(spark, sf_dir, duck):
     assert corrupted
     spark.catalog.clearCache()
     assert_matches_oracle(q(spark, sf_dir), duck, oracle)
+
+
+def test_durable_gate_reaps_stale_siblings(tmp_path):
+    """A logic change re-keys the gate dir; the old dir must be reaped on
+    the next gate entry instead of leaking a checkpoint tree per edit —
+    unless a concurrent process holds its lock."""
+    import fcntl
+
+    src = _make_src(tmp_path)
+    import shutil
+
+    before = _gate_dirs("bvds_test_gater")
+    try:
+        with durable_stream_gate("bvds_test_gater", src, logic=("v1",)) as (d1, _):
+            pass
+        with durable_stream_gate("bvds_test_gater", src, logic=("v2",)) as (d2, _):
+            assert not os.path.exists(d1)  # v1's tree reaped
+        # A held lock protects a sibling from reaping.
+        fh = open(f"{d2}.lock", "a+")
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            with durable_stream_gate("bvds_test_gater", src, logic=("v3",)) as (d3, _):
+                assert os.path.exists(d3)
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+            fh.close()
+        assert os.path.exists(d2)  # survived: its lock was held
+    finally:
+        for d in _gate_dirs("bvds_test_gater") - before:
+            shutil.rmtree(d, ignore_errors=True)
+            try:
+                os.unlink(f"{d}.lock")
+            except OSError:
+                pass
