@@ -427,3 +427,85 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 [Q]: exact + order-insensitive lexical document fingerprints."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return fingerprints(docs)
+
+
+def repetition_scores(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals: the duplicate
+    fraction of words, word 2-grams, and word 3-grams, plus the keep gate
+    a training pipeline applies (repetitious boilerplate and generated
+    spam score high). Pure map-side Catalyst — array windows +
+    array_distinct per row, no shuffle, no UDF.
+
+    Reference scope: out of the reference's surface entirely (its text
+    handling is the taxon-tag parser, parse_utils.py); this is part of
+    the X5 LLM-data-pipeline extension alongside quality_scores.
+    """
+    w = words(F.col(text_col))
+
+    def grams(n: int):
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(arr):
+        return F.when(
+            F.size(arr) > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(arr)) / F.size(arr), 9),
+        ).otherwise(F.lit(0.0))
+
+    return df.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        dup_frac(w).alias("dup_word_frac"),
+        dup_frac(grams(2)).alias("dup_2gram_frac"),
+        dup_frac(grams(3)).alias("dup_3gram_frac"),
+    ).withColumn(
+        "keep_repetition",
+        (F.col("dup_word_frac") <= 0.7) & (F.col("dup_3gram_frac") <= 0.3),
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+w AS (
+    SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS d_words
+    FROM base
+),
+g2 AS (
+    SELECT b.doc_id, count(*) AS n,
+           count(DISTINCT array_to_string(ws[i:i+1], ' ')) AS d
+    FROM base b, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)
+    GROUP BY b.doc_id
+),
+g3 AS (
+    SELECT b.doc_id, count(*) AS n,
+           count(DISTINCT array_to_string(ws[i:i+2], ' ')) AS d
+    FROM base b, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    GROUP BY b.doc_id
+)
+SELECT w.doc_id,
+       w.n_words::BIGINT AS n_words,
+       CASE WHEN w.n_words > 0
+            THEN round(1.0 - w.d_words * 1.0 / w.n_words, 9) ELSE 0.0
+       END AS dup_word_frac,
+       coalesce(round(1.0 - g2.d * 1.0 / g2.n, 9), 0.0) AS dup_2gram_frac,
+       coalesce(round(1.0 - g3.d * 1.0 / g3.n, 9), 0.0) AS dup_3gram_frac,
+       (CASE WHEN w.n_words > 0
+             THEN round(1.0 - w.d_words * 1.0 / w.n_words, 9) ELSE 0.0 END) <= 0.7
+       AND coalesce(round(1.0 - g3.d * 1.0 / g3.n, 9), 0.0) <= 0.3
+           AS keep_repetition
+FROM w
+LEFT JOIN g2 ON g2.doc_id = w.doc_id
+LEFT JOIN g3 ON g3.doc_id = w.doc_id
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: within-document repetition fractions (words, 2-grams,
+    3-grams) and the Gopher-style repetition keep gate."""
+    return repetition_scores(load_table(spark, sf_dir, "documents"))
