@@ -300,6 +300,45 @@ def compact_index(
     return counts
 
 
+def write_bucketed_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    id_mapping: DataFrame,
+    *,
+    database: str = "bvds_bucketed",
+    n_buckets: int = 8,
+) -> tuple[str, str]:
+    """Persist corpus and id_mapping as tables BUCKETED on the join key
+    ``(partition_id, faiss_id)`` — the cluster-deployment layout that
+    makes the O25 remap join (and any hit->metadata lookup) co-located:
+    both sides are pre-hashed into the same bucket files at write time,
+    so the join plans with ZERO Exchange on either side. On a 100-TB
+    corpus this converts the serving path's one remaining corpus-sized
+    shuffle into a bucket-local merge — paid once at index-build time,
+    amortized over every search.
+
+    Spark bucketing requires the table catalog (``saveAsTable``); plain
+    ``.parquet(path)`` writes cannot carry bucket metadata. Returns the
+    two table names. The partitioned-directory layout written by
+    build_index stays the serving default — bucketing is the documented
+    cluster tuning (README 'what we'd tune'), here made real and
+    plan-tested (tests/test_plans.py) instead of speculated.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    names = []
+    for name, df in (("corpus_bkt", corpus), ("id_mapping_bkt", id_mapping)):
+        full = f"{database}.{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {full}")
+        (
+            df.write.bucketBy(n_buckets, "partition_id", "faiss_id")
+            .sortBy("partition_id", "faiss_id")
+            .format("parquet")
+            .saveAsTable(full)
+        )
+        names.append(full)
+    return names[0], names[1]
+
+
 # ---------------------------------------------------------------------------
 # Shared oracle CTE: corpus with partition assignment + id_mapping
 # ---------------------------------------------------------------------------

@@ -111,3 +111,44 @@ def test_simhash_text_join_is_bucketed(spark, sf_dir):
     plan = _plan(QUERIES["dedup_near_simhash_text"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_remap_join_has_no_exchange(spark, sf_dir):
+    """The cluster layout: corpus and id_mapping bucketed on the join key
+    (partition_id, faiss_id) must make the O25 remap join exchange-free —
+    both sides read pre-hashed bucket files, no shuffle of either table.
+    This is the 'bucketing makes the remap join co-located' tuning from
+    the README, asserted on a real plan instead of speculated."""
+    from bioclip_vector_db_spark.operators.indexing import (
+        build_id_mapping,
+        write_bucketed_index,
+    )
+    from bioclip_vector_db_spark.operators.knn import assigned_corpus
+
+    corpus = assigned_corpus(spark, sf_dir).select(
+        "partition_id", "vec_id", "embedding"
+    )
+    mapping = build_id_mapping(assigned_corpus(spark, sf_dir))
+    corpus_with_fid = mapping.select("partition_id", "faiss_id", "original_id")
+    t_corpus, t_map = write_bucketed_index(
+        spark, corpus_with_fid, mapping, n_buckets=4
+    )
+    try:
+        a = spark.table(t_corpus).select("partition_id", "faiss_id")
+        joined = a.join(spark.table(t_map), ["partition_id", "faiss_id"]).select(
+            "partition_id", "faiss_id", "original_id", "metadata"
+        )
+        # Disable broadcast so the join strategy question is real: a
+        # co-located sort-merge join over bucket files, not an exchange.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == mapping.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_corpus}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_map}")
