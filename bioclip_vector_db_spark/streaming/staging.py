@@ -67,6 +67,14 @@ _STABLE_CONST_TYPES = (
 )
 
 
+def _stable_repr(val: object) -> str:
+    """repr that is identical across processes: set/frozenset iteration
+    order depends on hash randomization, so those are sorted first."""
+    if isinstance(val, (set, frozenset)):
+        return "{" + ", ".join(sorted(repr(x) for x in val)) + "}"
+    return repr(val)
+
+
 def _code_bytes(code) -> bytes:
     """Bytecode plus constants of a code object, recursing into nested
     code objects (comprehensions, lambdas defined inside the function)."""
@@ -94,7 +102,7 @@ def logic_token(*objs: object) -> str:
     for obj in objs:
         code = getattr(obj, "__code__", None)
         if code is None:
-            h.update(repr(obj).encode())
+            h.update(_stable_repr(obj).encode())
         else:
             h.update(_code_bytes(code))
             for cell in getattr(obj, "__closure__", None) or ():
@@ -104,7 +112,7 @@ def logic_token(*objs: object) -> str:
                     h.update(b"<empty-cell>")
                     continue
                 if isinstance(val, _STABLE_CONST_TYPES):
-                    h.update(repr(val).encode())
+                    h.update(_stable_repr(val).encode())
                 elif callable(val):
                     h.update(logic_token(val).encode())
             g = getattr(obj, "__globals__", {})
@@ -112,8 +120,10 @@ def logic_token(*objs: object) -> str:
                 val = g.get(name)
                 if val is None:
                     continue
-                if isinstance(val, _STABLE_CONST_TYPES):
-                    h.update(name.encode() + b"=" + repr(val).encode())
+                if isinstance(val, (set, frozenset)) or isinstance(
+                    val, _STABLE_CONST_TYPES
+                ):
+                    h.update(name.encode() + b"=" + _stable_repr(val).encode())
                 else:
                     # datetimes etc. have stable reprs; anything with an
                     # address-bearing repr would thrash the cache, so fold

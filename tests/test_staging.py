@@ -289,3 +289,19 @@ def test_durable_gate_reaps_stale_siblings(tmp_path):
                 os.unlink(f"{d}.lock")
             except OSError:
                 pass
+
+
+def test_logic_token_canonicalizes_sets():
+    """Set iteration order varies with hash randomization across
+    processes; the token must not (a thrashing token rebuilds the durable
+    gate every run). Same set content -> same token regardless of
+    insertion order."""
+    ns1 = {"KEEP": {"b", "a", "c"}}
+    ns2 = {"KEEP": {"c", "a", "b"}}
+    src = "def f(t):\n    return KEEP\n"
+    exec(src, ns1)
+    exec(src, ns2)
+    assert logic_token(ns1["f"]) == logic_token(ns2["f"])
+    ns3 = {"KEEP": {"a", "b"}}
+    exec(src, ns3)
+    assert logic_token(ns1["f"]) != logic_token(ns3["f"])
