@@ -132,3 +132,48 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     eval_ids = {r.doc_id for r in ev.select("doc_id").collect()}
     flagged = {r.doc_id for r in out.collect()}
     assert flagged and not (flagged & eval_ids)
+
+
+def test_decontaminate_matches_python_reference(spark):
+    """Engine-independent check: planted shared trigrams between random
+    train and eval docs must be found exactly — same distinct-shingle
+    counts and first contaminating eval id as a direct Python scan."""
+    import random
+
+    rng = random.Random(37)
+    vocab = [f"t{i}" for i in range(30)]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 25)))
+
+    train = [(i, doc()) for i in range(60)]
+    ev = [(1000 + i, doc()) for i in range(15)]
+    # Plant exact contamination: train doc 0 contains eval doc 1000's text.
+    train[0] = (0, ev[0][1] + " filler tail words")
+
+    def shingles(text):
+        ws = [w for w in text.split(" ") if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    ev_sh = {}
+    for eid, text in ev:
+        for s in shingles(text):
+            ev_sh.setdefault(s, set()).add(eid)
+    want = {}
+    for did, text in train:
+        shared = {s for s in shingles(text) if s in ev_sh}
+        if shared:
+            want[did] = (
+                len(shared),
+                min(min(ev_sh[s]) for s in shared),
+            )
+    assert 0 in want  # the planted contamination is detectable
+
+    got = {
+        r.doc_id: (r.n_shared, r.first_eval_id)
+        for r in dedup.decontaminate_ngrams(
+            spark.createDataFrame(train, "doc_id long, text string"),
+            spark.createDataFrame(ev, "doc_id long, text string"),
+        ).collect()
+    }
+    assert got == want

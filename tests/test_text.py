@@ -34,3 +34,48 @@ def test_word_count_total_matches_sum_of_doc_words(spark, sf_dir):
     total_from_counts = text_ops.word_counts(docs).agg(F.sum("n")).collect()[0][0]
     total_from_stats = text_ops.doc_stats(docs).agg(F.sum("n_words")).collect()[0][0]
     assert total_from_counts == total_from_stats
+
+
+def test_repetition_matches_python_reference(spark):
+    """Engine-independent check (no DuckDB): repetition fractions over a
+    randomized corpus — including degenerate all-one-word, alternating,
+    empty, and single-word docs — must equal a direct Python computation
+    with the same round-9 semantics."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (0, ""),
+        (1, "solo"),
+        (2, "x x x x x x"),
+        (3, "a b a b a b a b"),
+    ]
+    docs += [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 40))))
+        for i in range(4, 100)
+    ]
+
+    def py_frac(items):
+        return round(1.0 - len(set(items)) / len(items), 9) if items else 0.0
+
+    want = {}
+    for doc_id, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        g2 = [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+        g3 = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        dw, d3 = py_frac(ws), py_frac(g3)
+        want[doc_id] = (len(ws), dw, py_frac(g2), d3, dw <= 0.7 and d3 <= 0.3)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_words,
+            r.dup_word_frac,
+            r.dup_2gram_frac,
+            r.dup_3gram_frac,
+            r.keep_repetition,
+        )
+        for r in text_ops.repetition_scores(df).collect()
+    }
+    assert got == want
