@@ -509,3 +509,58 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 [Q]: within-document repetition fractions (words, 2-grams,
     3-grams) and the Gopher-style repetition keep gate."""
     return repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+#: Token budget per packed training batch for the packing gate.
+PACK_BUDGET = 512
+
+
+def pack_batches(
+    df: DataFrame, *, budget: int = PACK_BUDGET, text_col: str = "text"
+) -> DataFrame:
+    """Token-budget batch packing — the contiguous approximation of
+    training sequence packing: within each language, documents are taken
+    in doc_id order and assigned to batches by cumulative token count, a
+    new batch starting whenever the running total crosses the budget
+    (``batch_id = floor((cumsum - n_tokens) / budget)`` — a doc lands in
+    the batch its PREFIX sum selects, so one oversized doc occupies its
+    own batch instead of shifting every successor).
+
+    Scale shape: one window keyed by language — the partition column any
+    real pipeline already packs within (mixed-language batches are
+    undesirable anyway), so no single-partition global window; cumsum is
+    the only pass, no iterative driver loop. True bin-packing is
+    NP-hard and order-sensitive; contiguous-in-id packing is the
+    deterministic, shuffle-minimal form used at data scale.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(
+        F.regexp_extract_all(text_col, F.lit(TOKEN_REGEX), F.lit(0))
+    ).cast("bigint")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    out = df.select("doc_id", "lang", toks.alias("n_tokens"))
+    return out.withColumn(
+        "batch_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).cast(
+            "bigint"
+        ),
+    )
+
+
+@register(
+    "documents_pack_batches",
+    oracle=f"""
+SELECT doc_id, lang,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tokens,
+       floor((sum(len(regexp_extract_all(text, '{TOKEN_REGEX}')))
+                  OVER (PARTITION BY lang ORDER BY doc_id)
+              - len(regexp_extract_all(text, '{TOKEN_REGEX}'))) * 1.0
+             / {PACK_BUDGET})::BIGINT AS batch_id
+FROM documents
+""",
+)
+def q_documents_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: per-language token-budget batch packing (prefix-sum batch
+    assignment) — deterministic sequence-packing approximation."""
+    return pack_batches(load_table(spark, sf_dir, "documents"))

@@ -79,3 +79,29 @@ def test_repetition_matches_python_reference(spark):
         for r in text_ops.repetition_scores(df).collect()
     }
     assert got == want
+
+
+def test_pack_batches_budget_invariants(spark, sf_dir):
+    """Every batch's token total stays under budget + its largest member
+    (the prefix-sum rule's bound), batches are contiguous in doc_id
+    within a language, and ids start at 0 per language."""
+    from bioclip_vector_db_spark.operators.text import PACK_BUDGET, pack_batches
+
+    out = pack_batches(load_table(spark, sf_dir, "documents")).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r.doc_id)
+        assert rows and min(r.batch_id for r in rows) == 0
+        seen = []
+        for r in rows:
+            assert not seen or r.batch_id >= seen[-1]  # contiguous, monotone
+            seen.append(r.batch_id)
+        totals = {}
+        maxes = {}
+        for r in rows:
+            totals[r.batch_id] = totals.get(r.batch_id, 0) + r.n_tokens
+            maxes[r.batch_id] = max(maxes.get(r.batch_id, 0), r.n_tokens)
+        for b, tot in totals.items():
+            assert tot <= PACK_BUDGET + maxes[b], (lang, b, tot)
