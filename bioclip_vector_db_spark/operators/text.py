@@ -9,7 +9,9 @@ Everything here is pure Catalyst string/array expressions + aggregations:
 - word counts / document frequencies are groupBy aggregations with map-side
   partial combine — the classic linear-scan shape that holds at 100 TB;
 - TF-IDF joins the per-word document-frequency table back to term counts:
-  the DF table is vocabulary-sized (small side), so Catalyst broadcasts it;
+  the DF table is vocabulary-sized — unbounded at web scale — so the join
+  carries NO broadcast hint; AQE broadcasts small vocabularies and falls
+  back to a word-keyed shuffled hash join (exchange reuse) for large ones;
 - fingerprints are md5 digests — constant bytes per doc downstream no
   matter the document size (the same "digest, then operate on digests"
   pattern as operators.dedup).
@@ -88,12 +90,22 @@ def language_id(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 
 
 def tfidf_top_terms(df: DataFrame, top_k: int = 3, *, text_col: str = "text") -> DataFrame:
-    """Per-document top-k TF-IDF terms. DF table is vocab-sized ->
-    broadcast join; ranking is a per-doc window (WindowGroupLimit).
+    """Per-document top-k TF-IDF terms; ranking is a per-doc window
+    (WindowGroupLimit).
+
+    The document-frequency table is VOCABULARY-sized — at web scale
+    distinct tokens (typos, numbers, code identifiers) run to billions, so
+    it must NOT carry a forced broadcast hint: the terms->dfreq join is
+    left unhinted and AQE picks broadcast when the measured vocabulary fits
+    under ``autoBroadcastJoinThreshold`` and a shuffled hash join keyed on
+    ``word`` otherwise (both sides are already word-keyed shuffles from
+    their aggregations, so the fallback reuses the exchange). A plan test
+    pins the absence of the hint (tests/test_plans.py).
 
     ``n_docs`` rides the SAME job as a broadcast 1-row aggregate joined
-    onto every term (BroadcastNestedLoopJoin of one row — constant-sized),
-    instead of a separate driver-side ``count()`` action per invocation."""
+    onto every term (BroadcastNestedLoopJoin of one row — constant-sized,
+    the one force-broadcast that is always safe), instead of a separate
+    driver-side ``count()`` action per invocation."""
     from pyspark.sql import Window
 
     n_docs = df.select(F.count(F.lit(1)).cast("double").alias("_n_docs"))
@@ -104,7 +116,7 @@ def tfidf_top_terms(df: DataFrame, top_k: int = 3, *, text_col: str = "text") ->
     )
     dfreq = terms.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        terms.join(F.broadcast(dfreq), "word")
+        terms.join(dfreq, "word")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -514,9 +526,19 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Token budget per packed training batch for the packing gate.
 PACK_BUDGET = 512
 
+#: doc_id range width of one prefix-sum block. ``floor(doc_id / width)``
+#: is monotone in doc_id, so blocks tile the per-language order; each block
+#: is an independent window partition. At web scale this is the
+#: parallelism knob: tasks per language = id_range / width.
+PACK_BLOCK_WIDTH = 256
+
 
 def pack_batches(
-    df: DataFrame, *, budget: int = PACK_BUDGET, text_col: str = "text"
+    df: DataFrame,
+    *,
+    budget: int = PACK_BUDGET,
+    block_width: int = PACK_BLOCK_WIDTH,
+    text_col: str = "text",
 ) -> DataFrame:
     """Token-budget batch packing — the contiguous approximation of
     training sequence packing: within each language, documents are taken
@@ -526,25 +548,59 @@ def pack_batches(
     the batch its PREFIX sum selects, so one oversized doc occupies its
     own batch instead of shifting every successor).
 
-    Scale shape: one window keyed by language — the partition column any
-    real pipeline already packs within (mixed-language batches are
-    undesirable anyway), so no single-partition global window; cumsum is
-    the only pass, no iterative driver loop. True bin-packing is
-    NP-hard and order-sensitive; contiguous-in-id packing is the
-    deterministic, shuffle-minimal form used at data scale.
+    The prefix sum is the classic TWO-PASS distributed scan, never a
+    per-language single-partition window (language is wildly skewed — 90%+
+    of a real crawl is one language, which would funnel the corpus through
+    one task):
+
+    1. blocks: ``block = floor(doc_id / block_width)`` — order-preserving
+       within language, so (lang, block) windows tile the global order;
+       pass 1 computes the running sum WITHIN each (lang, block) in
+       parallel across all blocks;
+    2. pass 2 computes per-block totals (a map-side-combinable groupBy)
+       and turns them into exclusive per-block offsets with a window over
+       the BLOCK-TOTALS table — one row per (lang, block), i.e.
+       ``n_docs / block_width`` rows total, O(corpus / width) not
+       O(corpus);
+    3. offsets join back on (lang, block) — an equi-join AQE sizes
+       (broadcast while the block table is small, word-keyed shuffle
+       otherwise; no forced hint).
+
+    ``global_cumsum = block_offset + local_cumsum`` exactly, so the result
+    is byte-identical to the single-window formulation (and to the SQL
+    oracle, which uses the naive window — DuckDB's scale is not at issue).
+    True bin-packing is NP-hard and order-sensitive; contiguous-in-id
+    packing is the deterministic, shuffle-minimal form used at data scale.
     """
     from pyspark.sql import Window
 
     toks = F.size(
         F.regexp_extract_all(text_col, F.lit(TOKEN_REGEX), F.lit(0))
     ).cast("bigint")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    out = df.select("doc_id", "lang", toks.alias("n_tokens"))
-    return out.withColumn(
-        "batch_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).cast(
-            "bigint"
-        ),
+    base = df.select(
+        "doc_id",
+        "lang",
+        toks.alias("n_tokens"),
+        F.floor(F.col("doc_id") / block_width).cast("bigint").alias("_block"),
+    )
+    w_local = Window.partitionBy("lang", "_block").orderBy("doc_id")
+    local = base.withColumn("_local_cum", F.sum("n_tokens").over(w_local))
+    totals = base.groupBy("lang", "_block").agg(F.sum("n_tokens").alias("_bt"))
+    w_blocks = Window.partitionBy("lang").orderBy("_block")
+    offsets = totals.select(
+        "lang",
+        "_block",
+        (F.sum("_bt").over(w_blocks) - F.col("_bt")).alias("_off"),
+    )
+    return (
+        local.join(offsets, ["lang", "_block"])
+        .withColumn(
+            "batch_id",
+            F.floor(
+                (F.col("_off") + F.col("_local_cum") - F.col("n_tokens")) / budget
+            ).cast("bigint"),
+        )
+        .select("doc_id", "lang", "n_tokens", "batch_id")
     )
 
 
