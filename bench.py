@@ -53,7 +53,15 @@ DURABLE_GATES = {
 
 def wipe_durable_gates(names) -> None:
     """Remove the durable gate dirs for ``names`` so the next invocation
-    runs the pipeline from scratch (cold path)."""
+    runs the pipeline from scratch (cold path).
+
+    Mirrors staging._reap_stale_gate_siblings' locking discipline: only
+    dirs whose per-dir ``.lock`` can be taken without blocking are wiped —
+    a concurrent process mid-stream on the same gate keeps its
+    checkpoint (rmtree-ing under it is exactly the race the flock
+    exists to exclude). The lockfile itself is kept: unlinking it would
+    race a process about to lock it."""
+    import fcntl
     import glob
     import shutil
     import tempfile
@@ -61,8 +69,21 @@ def wipe_durable_gates(names) -> None:
     for name in names:
         prefix = DURABLE_GATES[name]
         for d in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
-            if os.path.isdir(d):
+            if not os.path.isdir(d):
+                continue
+            try:
+                fh = open(f"{d}.lock", "a+")
+            except OSError:
+                continue
+            try:
+                try:
+                    fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                except OSError:
+                    continue  # gate in use by a concurrent run — leave it
                 shutil.rmtree(d, ignore_errors=True)
+                fcntl.flock(fh, fcntl.LOCK_UN)
+            finally:
+                fh.close()
 
 
 def find_regressions(

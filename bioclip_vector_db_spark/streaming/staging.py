@@ -69,21 +69,41 @@ _STABLE_CONST_TYPES = (
 
 def _stable_repr(val: object) -> str:
     """repr that is identical across processes: set/frozenset iteration
-    order depends on hash randomization, so those are sorted first."""
+    order depends on hash randomization, so those are sorted first —
+    recursively, because code-object constants can be tuples CONTAINING
+    frozensets (``x in {'a', 'b'}`` compiles its literal to a frozenset
+    constant), and a plain repr of the enclosing tuple would leak the
+    randomized order right back in."""
     if isinstance(val, (set, frozenset)):
-        return "{" + ", ".join(sorted(repr(x) for x in val)) + "}"
+        return "{" + ", ".join(sorted(_stable_repr(x) for x in val)) + "}"
+    if isinstance(val, tuple):
+        inner = ", ".join(_stable_repr(x) for x in val)
+        return "(" + inner + ",)" if len(val) == 1 else "(" + inner + ")"
+    if isinstance(val, list):
+        return "[" + ", ".join(_stable_repr(x) for x in val) + "]"
+    if isinstance(val, dict):
+        return (
+            "{"
+            + ", ".join(
+                f"{_stable_repr(k)}: {_stable_repr(v)}" for k, v in val.items()
+            )
+            + "}"
+        )
     return repr(val)
 
 
 def _code_bytes(code) -> bytes:
     """Bytecode plus constants of a code object, recursing into nested
-    code objects (comprehensions, lambdas defined inside the function)."""
+    code objects (comprehensions, lambdas defined inside the function).
+    Constants go through _stable_repr, not repr: a frozenset constant's
+    repr order is hash-randomization-dependent, which would silently
+    re-key (and reap) durable gate dirs on every process."""
     parts = [code.co_code]
     for c in code.co_consts:
         if hasattr(c, "co_code"):
             parts.append(_code_bytes(c))
         else:
-            parts.append(repr(c).encode())
+            parts.append(_stable_repr(c).encode())
     return b"\x00".join(parts)
 
 
@@ -116,9 +136,16 @@ def logic_token(*objs: object) -> str:
                 elif callable(val):
                     h.update(logic_token(val).encode())
             g = getattr(obj, "__globals__", {})
+            _missing = object()
             for name in code.co_names:
-                val = g.get(name)
+                val = g.get(name, _missing)
+                if val is _missing:
+                    continue
                 if val is None:
+                    # Present-but-None is a VALUE, not a missing name: a
+                    # constant flipping to/from None must change the
+                    # fingerprint, so hash a sentinel for it.
+                    h.update(name.encode() + b"=<None>")
                     continue
                 if isinstance(val, (set, frozenset)) or isinstance(
                     val, _STABLE_CONST_TYPES
@@ -127,8 +154,14 @@ def logic_token(*objs: object) -> str:
                 else:
                     # datetimes etc. have stable reprs; anything with an
                     # address-bearing repr would thrash the cache, so fold
-                    # only reprs that round-trip across processes.
-                    r = repr(val)
+                    # only reprs that round-trip across processes. This
+                    # '0x' heuristic only ever sees non-str values: str
+                    # globals (legitimately containing '0x' or not) are
+                    # _STABLE_CONST_TYPES and took the branch above.
+                    # Containers are recursed through _stable_repr first
+                    # so a set nested in a list can't leak randomized
+                    # order past the heuristic.
+                    r = _stable_repr(val) if isinstance(val, (list, dict)) else repr(val)
                     if "0x" not in r:
                         h.update(name.encode() + b"=" + r.encode())
         h.update(b"\x1f")

@@ -47,3 +47,31 @@ def test_bench_strict_fails_on_regression(tmp_path):
     assert payload["metric"] == "total_query_wall_clock"
     assert "taxon_parse" in payload["queries"]
     assert "BENCH-REGRESSION taxon_parse" in proc.stderr
+
+
+def test_wipe_durable_gates_skips_locked_dirs(tmp_path, monkeypatch):
+    """A bench run concurrent with another process mid-stream on the same
+    gate must NOT rmtree its checkpoint out from under it: wipe takes the
+    per-dir flock non-blocking and skips dirs whose lock is held."""
+    import fcntl
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    name = next(iter(bench.DURABLE_GATES))
+    prefix = bench.DURABLE_GATES[name]
+    held = tmp_path / f"{prefix}_held"
+    free = tmp_path / f"{prefix}_free"
+    for d in (held, free):
+        d.mkdir()
+        (d / "chk").write_text("checkpoint")
+    fh = open(f"{held}.lock", "a+")
+    try:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        bench.wipe_durable_gates([name])
+        assert held.is_dir() and (held / "chk").exists()  # in use: kept
+        assert not free.exists()  # idle: wiped
+    finally:
+        fcntl.flock(fh, fcntl.LOCK_UN)
+        fh.close()
+    bench.wipe_durable_gates([name])
+    assert not held.exists()  # released: wiped on the next cold pass

@@ -305,3 +305,62 @@ def test_logic_token_canonicalizes_sets():
     ns3 = {"KEEP": {"a", "b"}}
     exec(src, ns3)
     assert logic_token(ns1["f"]) != logic_token(ns3["f"])
+
+
+def test_logic_token_frozenset_code_constant_is_hashseed_stable():
+    """``x in {'a','b'}`` compiles its literal to a frozenset CODE
+    CONSTANT whose repr order depends on hash randomization — a plain
+    repr would silently re-key (and reap) durable gate dirs across
+    processes. The token must be identical under different
+    PYTHONHASHSEEDs."""
+    import subprocess
+    import sys
+
+    prog = (
+        "from bioclip_vector_db_spark.streaming.staging import logic_token\n"
+        "def f(x):\n"
+        "    return x in {'alpha', 'beta', 'gamma', 'delta', 'epsilon'}\n"
+        "print(logic_token(f))\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tokens = set()
+    for seed in ("1", "42", "1234"):
+        env = os.environ | {"PYTHONHASHSEED": seed}
+        r = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=repo,
+        )
+        assert r.returncode == 0, r.stderr
+        tokens.add(r.stdout.strip())
+    assert len(tokens) == 1, tokens
+
+
+def test_stable_repr_recurses_containers():
+    """Tuples/lists/dicts CONTAINING sets must canonicalize the nested
+    set order too — code constants are often tuples with frozensets."""
+    from bioclip_vector_db_spark.streaming.staging import _stable_repr
+
+    a = _stable_repr((frozenset({"b", "a"}), 1, ["x", {"k": {"z", "y"}}]))
+    b = _stable_repr((frozenset({"a", "b"}), 1, ["x", {"k": {"y", "z"}}]))
+    assert a == b
+    assert "'a', 'b'" in a and "'y', 'z'" in a
+    assert _stable_repr((1,)) == "(1,)"  # 1-tuple round-trips
+
+
+def test_logic_token_distinguishes_none_global_from_missing():
+    """A module global flipping to/from None is a LOGIC change and must
+    re-key the gate; a name the module never defines must not."""
+    src = "def f():\n    return KEEP\n"
+    ns_missing: dict = {}
+    ns_none: dict = {"KEEP": None}
+    ns_val: dict = {"KEEP": 3}
+    for ns in (ns_missing, ns_none, ns_val):
+        exec(src, ns)
+    assert logic_token(ns_none["f"]) != logic_token(ns_missing["f"])
+    assert logic_token(ns_none["f"]) != logic_token(ns_val["f"])
+    ns_none2: dict = {"KEEP": None}
+    exec(src, ns_none2)
+    assert logic_token(ns_none["f"]) == logic_token(ns_none2["f"])
