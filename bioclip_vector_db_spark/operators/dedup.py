@@ -606,23 +606,49 @@ def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(corpus).select("doc_id", "content_hash")
 
 
+#: Document-frequency cap for the exact Jaccard join's blocking shingles.
+#: A shingle present in more than this many documents (a hot phrase —
+#: boilerplate, licenses, navigation chrome) is dropped from BOTH the
+#: intersection and the set-size accounting before any join: its bucket
+#: would otherwise go quadratic (df² candidate pairs) under real-corpus
+#: skew. Standard practice in shingle-join dedup; the cap is the knob
+#: trading a bounded similarity perturbation (hot shingles carry almost no
+#: discriminating signal) for a hard per-bucket work bound. The fixture
+#: corpus' max df is 7 (sf0.01), so the default cap leaves fixture results
+#: byte-identical while the plan bound is real.
+MAX_SHINGLE_DF = 32
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: "int | None" = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join — recall-1 baseline for X2.
+    """Exact n-gram Jaccard similarity join — recall-1 baseline for X2
+    over the capped shingle universe.
 
     Blocking is the shingle itself: a pair is formed only when two docs
     SHARE a shingle (equi-join on shingle), so disjoint documents never
     meet. Sub-quadratic whenever shingles are selective; hot shingles are
-    the skew risk, which the MinHash-LSH variant (near_dup_pairs) caps by
-    construction — use that at corpus scale, this one when exact recall is
-    required on bounded slices.
+    the skew risk, removed up front by the ``max_shingle_df`` cap (one
+    extra shingle-keyed aggregation + semi-join, reusing the same
+    partitioning as the intersection join that follows). MinHash-LSH
+    (near_dup_pairs) remains the scale path; this is the recall-1
+    reference the LSH recall gate measures against.
     """
-    sh = doc_shingles(df, text_col=text_col, id_col=id_col).persist()
+    sh = doc_shingles(df, text_col=text_col, id_col=id_col)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sh = sh.persist()
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b"))
     inter = (
@@ -636,10 +662,15 @@ def jaccard_pairs(
 _JACCARD_ORACLE = f"""
 WITH doc_corpus AS (SELECT doc_id, text FROM documents),
 {_SHINGLES_CTE.strip()},
-sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+kept AS (
+    SELECT s.doc_id, s.shingle FROM shingles s
+    JOIN (SELECT shingle FROM shingles GROUP BY shingle
+          HAVING count(*) <= {MAX_SHINGLE_DF}) k USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-    FROM shingles a JOIN shingles b
+    FROM kept a JOIN kept b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )

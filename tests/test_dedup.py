@@ -177,3 +177,65 @@ def test_decontaminate_matches_python_reference(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """A boilerplate phrase shared by EVERY document (df >> cap) must be
+    dropped from the exact Jaccard join's blocking — its bucket alone
+    would otherwise form df² candidate pairs — while true near-dup pairs
+    (selective shared shingles, df <= cap) keep recall. Results must
+    match a Python set reference computed over the same capped universe."""
+    from bioclip_vector_db_spark.operators.dedup import (
+        SHINGLE_WIDTH,
+        doc_shingles,
+        jaccard_pairs,
+    )
+
+    hot = "all rights reserved worldwide"  # 4 words -> 2 shingles at width 3
+    rows = []
+    for i in range(120):
+        body = f"unique alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        rows.append((2 * i, f"{hot} {body}"))
+        rows.append((2 * i + 1, f"{hot} {body} extra"))  # near-dup of 2*i
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = 32
+    out = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_pairs(df, 0.5, max_shingle_df=cap).collect()
+    }
+    # Python reference over the capped shingle universe.
+    def shingles(text):
+        t = [w for w in text.split(" ") if w]
+        return {
+            " ".join(t[i : i + SHINGLE_WIDTH])
+            for i in range(len(t) - SHINGLE_WIDTH + 1)
+        }
+
+    sets = {d: shingles(t) for d, t in rows}
+    from collections import Counter
+
+    dfreq = Counter(s for ss in sets.values() for s in ss)
+    capped = {d: {s for s in ss if dfreq[s] <= cap} for d, ss in sets.items()}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and capped[a] & capped[b]:
+                j = round(
+                    len(capped[a] & capped[b]) / len(capped[a] | capped[b]), 9
+                )
+                if j >= 0.5:
+                    want[(a, b)] = j
+    assert out == want
+    assert len(out) == 120  # every planted near-dup pair survives the cap
+    # The capped blocking relation itself must exclude the hot shingles.
+    sh = doc_shingles(df)
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= cap)
+        .select("shingle")
+    )
+    kept = sh.join(keep, "shingle", "left_semi")
+    hot_rows = kept.filter(F.col("shingle").startswith("all rights")).count()
+    assert hot_rows == 0
