@@ -66,16 +66,28 @@ def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 # X2: MinHash banded LSH near-dup
 # ---------------------------------------------------------------------------
 
-#: 3-word shingles; 6 hashes in 2 bands of 3 — catches Jaccard >= ~0.8 with
-#: high probability while keeping bucket cardinality tiny.
+#: DEFAULT MinHash/LSH parameters: 3-word shingles; 6 hashes in 2 bands of
+#: 3 — catches Jaccard >= ~0.8 with high probability while keeping bucket
+#: cardinality tiny. These are DEFAULTS, not constants: every stage
+#: threads (shingle_width, n_hashes, n_bands) through, and the oracle SQL
+#: is generated from the same arguments (nd_ctes_sql), so a tuned
+#: configuration — a real pipeline picks (K, B) from the target Jaccard
+#: via the 1-(1-t^(K/B))^B S-curve — is gated by the same parity harness
+#: as the default (dedup_near_minhash_wide registers one such tuning).
 SHINGLE_WIDTH = 3
 N_HASHES = 6
 N_BANDS = 2
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
-def doc_shingles(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word ``SHINGLE_WIDTH``-grams per document:
+def doc_shingles(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = SHINGLE_WIDTH,
+) -> DataFrame:
+    """Distinct word ``width``-grams per document:
     ``(doc_id, shingle)``. Pure Catalyst: split -> slice windows -> explode.
 
     The input is repartitioned by id first: the corpus often arrives as few
@@ -90,7 +102,7 @@ def doc_shingles(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_parts, F.col(id_col))
     toks = F.split(F.col(text_col), " ")
-    w = SHINGLE_WIDTH
+    w = width
     shingles = F.when(
         F.size(toks) >= w,
         F.array_distinct(
@@ -110,37 +122,57 @@ def doc_shingles(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
 #: shingle-set minima.
 MINHASH_SLICE = 5
 
-# All slices must fit in one 32-hex md5 digest.
+#: How many hash functions one md5 digest supplies.
+SLICES_PER_DIGEST = 32 // MINHASH_SLICE
+
+# The default configuration must fit in one digest (the g=0 fast path).
 assert N_HASHES * MINHASH_SLICE <= 32, "minhash slices overrun the md5 digest"
 
 
-def minhash_signatures(shingles: DataFrame) -> DataFrame:
+def _shingle_digest(group: int) -> Column:
+    """Digest ``group`` of the shingle: the plain md5 for group 0 (the
+    historical layout — default-config signatures and oracles are
+    byte-stable), a seeded ``md5('{g}:' || shingle)`` for each further
+    group of SLICES_PER_DIGEST hash functions. Mirrored verbatim in
+    _digest_sql."""
+    if group == 0:
+        return F.md5(F.col("shingle"))
+    return F.md5(F.concat(F.lit(f"{group}:"), F.col("shingle")))
+
+
+def minhash_signatures(shingles: DataFrame, *, n_hashes: int = N_HASHES) -> DataFrame:
     """Per-doc minhash vector: for hash h, the lexicographic min over the
-    doc's shingles of digest slice h of ``md5(shingle)``. One
-    map-side-combinable aggregation; the signature is a few bytes per doc
-    no matter how large the doc."""
-    digest = F.md5(F.col("shingle"))
-    aggs = [
-        F.min(F.substring(digest, 1 + h * MINHASH_SLICE, MINHASH_SLICE)).alias(f"mh{h}")
-        for h in range(N_HASHES)
-    ]
+    doc's shingles of digest slice h (seeded digests extend past one
+    md5's 6 slices). One map-side-combinable aggregation; the signature
+    is a few bytes per doc no matter how large the doc."""
+    aggs = []
+    for h in range(n_hashes):
+        g, i = divmod(h, SLICES_PER_DIGEST)
+        aggs.append(
+            F.min(
+                F.substring(_shingle_digest(g), 1 + i * MINHASH_SLICE, MINHASH_SLICE)
+            ).alias(f"mh{h}")
+        )
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_band_buckets(signatures: DataFrame) -> DataFrame:
+def lsh_band_buckets(
+    signatures: DataFrame, *, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
     """Explode signatures into ``(doc_id, band, sig)`` bucket keys —
     one md5 over each band's concatenated minhashes."""
+    rows_per_band = n_hashes // n_bands
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat(
-                        *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
                     )
                 ).alias("sig"),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     return signatures.select("doc_id", F.explode(bands).alias("bk")).select(
@@ -154,21 +186,33 @@ def near_dup_pairs(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_width: int = SHINGLE_WIDTH,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """The full X2 pipeline: shingle -> minhash -> band buckets -> candidate
     equi-join -> exact Jaccard verify. Returns ``(a_id, b_id, jaccard)`` for
     bucket-mate pairs with Jaccard >= threshold.
 
+    (n_hashes, n_bands) tune the LSH S-curve
+    ``P(candidate) = 1 - (1 - j^(K/B))^B``; shingle_width sets what
+    "similar" measures. Every configuration has an exact SQL oracle
+    generated from the SAME numbers (nd_ctes_sql).
+
     The physical plan is hash-join-on-bucket + hash-join-on-shingle: no
     BroadcastNestedLoopJoin, no all-pairs stage anywhere (the fix for the
     quadratic self-join flagged in round 1).
     """
+    if n_hashes % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide n_hashes={n_hashes}")
     # The shingle set feeds three branches (buckets, sizes, verify x2);
     # persist it so the explode runs once, not per branch. (Persisted
     # blocks are evicted LRU by the block manager; a long-lived session
     # hammering these repeatedly can spark.catalog.clearCache().)
-    sh = doc_shingles(df, text_col=text_col, id_col=id_col).persist()
-    buckets = lsh_band_buckets(minhash_signatures(sh))
+    sh = doc_shingles(df, text_col=text_col, id_col=id_col, width=shingle_width).persist()
+    buckets = lsh_band_buckets(
+        minhash_signatures(sh, n_hashes=n_hashes), n_hashes=n_hashes, n_bands=n_bands
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(
@@ -400,6 +444,15 @@ def embedding_threshold_join(
     agrees on at least one band (probability -> 1 as similarity -> 1);
     the exact kernel remains the recall-1 reference on bounded slices.
     Returns ``(a_id, b_id, similarity)`` with similarity > threshold.
+
+    Recall is QUANTIFIED, not assumed (tests/test_recall_gates.py):
+    measured at sf0.01 against the exact twin at threshold 0.3, recall is
+    0.04 / 0.43 / 0.97 / 1.0 for bands = 2 / 4 / 8 / 16, while pairs at
+    sim >= 0.95 — the ones near-dup dedup acts on — are always found even
+    at bands=2. Low absolute thresholds sit on the flat part of the LSH
+    S-curve (per-bit agreement ~0.6 at sim 0.3): raising ``bands`` buys
+    recall with larger buckets (band width 16/bands bits -> bucket count
+    2^(16/bands) per band), the knob a caller tunes to its threshold.
     """
     width = SIMHASH_PLANES // bands
     sig = vectors.select(
@@ -442,38 +495,64 @@ def embedding_threshold_join(
 # Oracle SQL fragments
 # ---------------------------------------------------------------------------
 
-_SHINGLES_CTE = f"""
+def shingles_cte_sql(width: int = SHINGLE_WIDTH) -> str:
+    """The ``shingles`` CTE over ``doc_corpus`` for a given width —
+    the SQL twin of doc_shingles."""
+    return f"""
 corpus_toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM doc_corpus
 ),
 shingles AS (
-    SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_WIDTH - 1}], ' ') AS shingle
-    FROM corpus_toks, unnest(generate_series(1, greatest(len(t) - {SHINGLE_WIDTH - 1}, 0))) AS u(i)
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{width - 1}], ' ') AS shingle
+    FROM corpus_toks, unnest(generate_series(1, greatest(len(t) - {width - 1}, 0))) AS u(i)
 )
 """
 
-_MINHASH_EXPRS = ",\n           ".join(
-    f"min(substr(md5(shingle), {1 + h * MINHASH_SLICE}, {MINHASH_SLICE})) AS mh{h}"
-    for h in range(N_HASHES)
-)
 
-_BAND_ROWS = " UNION ALL ".join(
-    "SELECT doc_id, {b} AS band, md5({cat}) AS sig FROM sigs".format(
-        b=b,
-        cat=" || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+def _digest_sql(group: int) -> str:
+    """SQL twin of _shingle_digest."""
+    return "md5(shingle)" if group == 0 else f"md5('{group}:' || shingle)"
+
+
+def _minhash_exprs_sql(n_hashes: int = N_HASHES) -> str:
+    exprs = []
+    for h in range(n_hashes):
+        g, i = divmod(h, SLICES_PER_DIGEST)
+        exprs.append(
+            f"min(substr({_digest_sql(g)}, {1 + i * MINHASH_SLICE}, {MINHASH_SLICE})) AS mh{h}"
+        )
+    return ",\n           ".join(exprs)
+
+
+def _band_rows_sql(n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> str:
+    rows_per_band = n_hashes // n_bands
+    return " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS sig FROM sigs".format(
+            b=b,
+            cat=" || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(n_bands)
     )
-    for b in range(N_BANDS)
-)
 
-#: Shared CTE chain ending in ``nd`` = the verified MinHash near-dup
-#: pairs — composed by the pairs, survivorship, and clusters oracles.
-_ND_CTES = f"""doc_corpus AS (SELECT doc_id, text FROM documents),
-{_SHINGLES_CTE.strip()},
+
+def nd_ctes_sql(
+    *,
+    shingle_width: int = SHINGLE_WIDTH,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    threshold: float = 0.8,
+) -> str:
+    """CTE chain ending in ``nd`` = the verified MinHash near-dup pairs
+    for THIS parameterization — the oracle is generated from the same
+    numbers the Spark pipeline runs, so tuned (K, B, width)
+    configurations are parity-gated identically to the default."""
+    return f"""doc_corpus AS (SELECT doc_id, text FROM documents),
+{shingles_cte_sql(shingle_width).strip()},
 sigs AS (
-    SELECT doc_id, {_MINHASH_EXPRS}
+    SELECT doc_id, {_minhash_exprs_sql(n_hashes)}
     FROM shingles GROUP BY doc_id
 ),
-buckets AS ({_BAND_ROWS}),
+buckets AS ({_band_rows_sql(n_hashes, n_bands)}),
 cands AS (
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     FROM buckets a JOIN buckets b
@@ -493,8 +572,15 @@ nd AS (
     FROM inter i
     JOIN sizes za ON za.doc_id = i.a_id
     JOIN sizes zb ON zb.doc_id = i.b_id
-    WHERE round(i.i * 1.0 / (za.sz + zb.sz - i.i), 9) >= 0.8
+    WHERE round(i.i * 1.0 / (za.sz + zb.sz - i.i), 9) >= {threshold}
 )"""
+
+
+_SHINGLES_CTE = shingles_cte_sql()
+
+#: Shared CTE chain ending in ``nd`` = the verified MinHash near-dup
+#: pairs — composed by the pairs, survivorship, and clusters oracles.
+_ND_CTES = nd_ctes_sql()
 
 _NEAR_DUP_ORACLE = f"""
 WITH {_ND_CTES}
@@ -625,6 +711,7 @@ def jaccard_pairs(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_width: int = SHINGLE_WIDTH,
     max_shingle_df: "int | None" = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join — recall-1 baseline for X2
@@ -639,7 +726,7 @@ def jaccard_pairs(
     (near_dup_pairs) remains the scale path; this is the recall-1
     reference the LSH recall gate measures against.
     """
-    sh = doc_shingles(df, text_col=text_col, id_col=id_col)
+    sh = doc_shingles(df, text_col=text_col, id_col=id_col, width=shingle_width)
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle")
@@ -752,6 +839,31 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5) is engine-agnostic."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return near_dup_pairs(docs, 0.8)
+
+
+#: A non-default LSH tuning, parity-gated like the default: 2-word
+#: shingles (finer similarity granularity), K=12 hashes (two seeded md5
+#: digests) in B=4 bands of 3 — an S-curve with its half-recall point near
+#: j=0.63 instead of 0.79, the shape a pipeline targeting a lower dedup
+#: threshold would pick. Threshold stays 0.8; only candidate generation
+#: and the shingle universe differ from dedup_near_minhash.
+WIDE_MINHASH = dict(shingle_width=2, n_hashes=12, n_bands=4)
+
+
+@register(
+    "dedup_near_minhash_wide",
+    oracle=f"""
+WITH {nd_ctes_sql(**WIDE_MINHASH)}
+SELECT a_id, b_id, jaccard FROM nd
+""",
+)
+def q_dedup_near_minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 [Q]: MinHash near-dup pairs under a NON-DEFAULT (width, K, B)
+    tuning — proves the parameterization end-to-end: seeded multi-digest
+    hash families on the Spark side, the oracle generated from the same
+    numbers (nd_ctes_sql), both gated by the registry parity test."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return near_dup_pairs(docs, 0.8, **WIDE_MINHASH)
 
 
 @register("dedup_near_clusters", oracle=_CLUSTERS_ORACLE)

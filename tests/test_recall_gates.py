@@ -1,0 +1,94 @@
+"""LSH recall gates: the scale paths' recall quantified against their
+exact (recall-1) twins, mirroring the PQ recall gate in
+test_quantization.py — numbers asserted, not prose-claimed.
+
+MinHash (K, B) and banded-simhash (bands) trade candidate volume for
+recall along the S-curve ``P(candidate) = 1 - (1 - p^(K/B))^B``. These
+tests pin measured sf0.01 floors so a parameter or pipeline edit that
+silently degrades recall fails loudly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bioclip_vector_db_spark.operators.dedup import (
+    WIDE_MINHASH,
+    embedding_threshold_join,
+    jaccard_pairs,
+    near_dup_pairs,
+)
+from bioclip_vector_db_spark.operators.knn import similarity_self_join
+from bioclip_vector_db_spark.sources.catalog import load_table
+
+
+def _pairs(df):
+    return {(r.a_id, r.b_id) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact_twin(spark, sf_dir):
+    """Default (w=3, K=6, B=2) and wide (w=2, K=12, B=4) MinHash against
+    the uncapped exact shingle-join twin at threshold 0.8. Both sit on
+    the steep side of their S-curves at j=0.8, so the floor is high; and
+    because candidates are exact-verified, LSH output is a SUBSET of the
+    exact twin — precision is 1 by construction, asserted anyway."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for label, kw in (("default", {}), ("wide", WIDE_MINHASH)):
+        width = kw.get("shingle_width", 3)
+        exact = _pairs(
+            jaccard_pairs(docs, 0.8, shingle_width=width, max_shingle_df=None)
+        )
+        lsh = _pairs(near_dup_pairs(docs, 0.8, **kw))
+        assert lsh <= exact, label  # precision 1: verified candidates only
+        assert exact, label  # fixture must exercise the gate
+        recall = len(lsh & exact) / len(exact)
+        # Measured 1.0 at sf0.01 for both configs; floor leaves headroom
+        # for fixture drift, not for a real recall regression.
+        assert recall >= 0.9, (label, recall)
+
+
+def test_embedding_threshold_join_recall_curve(spark, sf_dir):
+    """The banded-simhash threshold join at threshold 0.3 against the
+    all-pairs exact twin. At sim 0.3 the per-bit agreement is only
+    ~0.6, so recall is the BAND-COUNT knob (measured at sf0.01:
+    bands=2 -> 0.04, 4 -> 0.43, 8 -> 0.97, 16 -> 1.0): asserting the
+    curve keeps the tradeoff quantified instead of prose-claimed. The
+    default 2-band config is the scale path (wide bands = small
+    buckets); callers needing recall at LOW thresholds must raise
+    ``bands`` and pay the larger candidate sets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _pairs(similarity_self_join(emb, 0.3))
+    assert len(exact) > 100  # the fixture has a real pair population
+    recalls = {}
+    for bands in (2, 4, 8):
+        got = _pairs(embedding_threshold_join(emb, 0.3, bands=bands))
+        assert got <= exact, bands  # in-bucket exact verify: precision 1
+        recalls[bands] = len(got & exact) / len(exact)
+    assert recalls[2] <= recalls[4] <= recalls[8]  # OR-amplification
+    assert recalls[8] >= 0.9, recalls  # measured 0.97
+    # The default config is honest about low-threshold recall: if this
+    # ever rises near 1 the bucketing stopped pruning (or the fixture
+    # stopped stressing it) — either way, re-measure the curve.
+    assert recalls[2] < 0.5, recalls
+
+
+def test_embedding_threshold_join_high_similarity_recall_is_total(spark, sf_dir):
+    """Near-dup pairs — the pairs dedup actually acts on — must ALWAYS be
+    found, even by the default 2-band config: at sim >= 0.95 per-bit
+    agreement is ~0.97+, so each 8-bit band agrees w.h.p. Corpus is the
+    re-ingest scenario (a re-keyed copy of a slice), which plants true
+    sim=1.0 pairs regardless of fixture drift."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi_corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).withColumn(
+            "vec_id", F.col("vec_id") + 10000
+        )
+    )
+    exact = {
+        (r.a_id, r.b_id): r.similarity
+        for r in similarity_self_join(hi_corpus, 0.3).collect()
+    }
+    hi_pairs = {k for k, v in exact.items() if v >= 0.95}
+    assert len(hi_pairs) >= 50  # the 50 planted identical pairs at least
+    found = _pairs(embedding_threshold_join(hi_corpus, 0.3))
+    assert hi_pairs <= found, sorted(hi_pairs - found)[:5]
