@@ -779,6 +779,204 @@ def q_dedup_near_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, 0.8)
 
 
+# ---------------------------------------------------------------------------
+# X1b: exact substring dedup (duplicate-span detection)
+# ---------------------------------------------------------------------------
+
+#: Minimum duplicated run length, in tokens. The distributed analog of
+#: the suffix-array minimum-match-length parameter in Lee et al. 2022,
+#: "Deduplicating Training Data Makes Language Models Better" (public
+#: method; their single-node suffix array becomes a sharded n-gram-hash
+#: pipeline here): every duplicated token run of length >= this value is
+#: found EXACTLY (all of its width-grams are duplicated), shorter repeats
+#: are ignored by design.
+MIN_MATCH_TOKENS = 8
+
+#: Keep gate: drop documents whose duplicated-span cover exceeds this
+#: fraction of their tokens.
+SUBSTRING_DUP_MAX_FRAC = 0.2
+
+
+def _token_ngram_positions(
+    df: DataFrame, *, width: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(doc_id, pos, h)`` for every token position: h = md5 of the
+    width-gram starting there (1-based pos). Digests keep shuffle bytes
+    constant per position no matter how long the tokens are."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= width,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (width - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    width: int = MIN_MATCH_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans per document — the substring-dedup
+    primitive document-level MinHash/SimHash cannot express (two globally
+    distinct documents sharing one long boilerplate run).
+
+    Pipeline: position n-grams -> digest groupBy keeps digests occurring
+    at >= 2 (doc, pos) locations corpus-wide -> semi-join positions back
+    -> per-doc gaps-and-islands merge of overlapping [pos, pos+width-1]
+    covers. Returns ``(doc_id, span_start, span_end, span_tokens)``,
+    1-based inclusive token positions.
+
+    Scale shape: the explode is O(tokens) rows of constant width (16-byte
+    digest); the dup-digest aggregation and semi-join are both keyed on
+    the digest (one shuffle keying, reused); the island windows partition
+    by doc_id and only ever see a document's OWN duplicated positions.
+    No stage is quadratic in corpus size — the suffix array this replaces
+    is superlinear single-node memory.
+    """
+    pos = _token_ngram_positions(df, width=width, text_col=text_col, id_col=id_col)
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("h")
+    )
+    dup = pos.join(dup_h, "h", "left_semi")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "_new",
+        F.when(
+            F.coalesce(F.col("pos") - F.lag("pos").over(w_doc), F.lit(width + 1))
+            > width,
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn("_isl", F.sum("_new").over(w_doc))
+    return (
+        islands.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + width - 1).cast("bigint").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_tokens"),
+        )
+    )
+
+
+def substring_dedup_stats(
+    df: DataFrame,
+    *,
+    width: int = MIN_MATCH_TOKENS,
+    max_dup_frac: float = SUBSTRING_DUP_MAX_FRAC,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span accounting + keep gate: every doc,
+    its token count, how many tokens sit under some duplicated span of
+    >= width tokens, the fraction, and the gate verdict."""
+    spans = duplicate_spans(df, width=width, text_col=text_col, id_col=id_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .withColumn("dup_tokens", F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint"))
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("dup_tokens") / F.col("n_tokens"), 9),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("keep_substring", F.col("dup_frac") <= max_dup_frac)
+    )
+
+
+def _substring_spans_ctes(width: int) -> str:
+    """CTE chain ending in ``spans`` — the SQL twin of duplicate_spans,
+    generated from the same width."""
+    return f"""corpus AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+    SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{width - 1}], ' ')) AS h
+    FROM corpus, unnest(generate_series(1, greatest(len(t) - {width - 1}, 0))) AS u(i)
+),
+duph AS (SELECT h FROM pos GROUP BY h HAVING count(*) > 1),
+dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN duph USING (h)),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER w IS NULL
+                  OR pos - lag(pos) OVER w > {width} THEN 1 ELSE 0 END AS n
+    FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+    SELECT doc_id, pos,
+           sum(n) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+    FROM flagged
+),
+spans AS (
+    SELECT doc_id, min(pos)::BIGINT AS span_start,
+           (max(pos) + {width - 1})::BIGINT AS span_end,
+           (max(pos) + {width - 1} - min(pos) + 1)::BIGINT AS span_tokens
+    FROM islands GROUP BY doc_id, isl
+)"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH {_substring_spans_ctes(MIN_MATCH_TOKENS)}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+""",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1b [Q]: maximal duplicated token spans (>= MIN_MATCH_TOKENS run
+    length, corpus-wide occurrence >= 2) per document — the Lee-et-al.
+    substring-dedup primitive as a sharded n-gram-digest pipeline."""
+    return duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+WITH {_substring_spans_ctes(MIN_MATCH_TOKENS)},
+perdoc AS (SELECT doc_id, sum(span_tokens)::BIGINT AS dup_tokens FROM spans GROUP BY doc_id)
+SELECT c.doc_id, len(c.t)::BIGINT AS n_tokens,
+       coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       CASE WHEN len(c.t) > 0
+            THEN round(coalesce(p.dup_tokens, 0) * 1.0 / len(c.t), 9)
+            ELSE 0.0 END AS dup_frac,
+       CASE WHEN len(c.t) > 0
+            THEN round(coalesce(p.dup_tokens, 0) * 1.0 / len(c.t), 9)
+            ELSE 0.0 END <= {SUBSTRING_DUP_MAX_FRAC} AS keep_substring
+FROM corpus c LEFT JOIN perdoc p USING (doc_id)
+""",
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1b [Q]: per-document duplicated-span accounting and keep gate —
+    the whole-corpus summary of dedup_substring_spans (docs with no
+    duplicated run appear with dup_tokens=0, keep=true)."""
+    return substring_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
 from .text import QUALITY_SQL as _QUALITY_SQL  # noqa: E402  (no cycle: text imports nothing from dedup)
 
 

@@ -239,3 +239,46 @@ def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
     kept = sh.join(keep, "shingle", "left_semi")
     hot_rows = kept.filter(F.col("shingle").startswith("all rights")).count()
     assert hot_rows == 0
+
+
+def test_duplicate_spans_planted_runs(spark):
+    """Span detection must report EXACT maximal boundaries: a 20-token
+    run shared by two docs at different offsets, a within-doc repeat, and
+    a clean doc. Minimum match length 8 -> a shorter shared run (5
+    tokens) must NOT be reported."""
+    from bioclip_vector_db_spark.operators.dedup import (
+        duplicate_spans,
+        substring_dedup_stats,
+    )
+
+    run = " ".join(f"dup{i}" for i in range(20))  # 20-token duplicated run
+    short = "s1 s2 s3 s4 s5"  # 5 tokens: below MIN_MATCH_TOKENS
+    docs = [
+        (1, f"a1 a2 a3 {run} a4 a5 {short}"),
+        (2, f"b1 {run} b2 b3 b4 b5 b6 b7 {short} b8"),
+        (3, f"c1 c2 {run} c3 {run} c4"),  # within-doc repeat of the run
+        (4, "clean1 clean2 clean3 clean4 clean5 clean6 clean7 clean8"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = {
+        r.doc_id: set()
+        for r in df.collect()
+    }
+    for r in duplicate_spans(df).collect():
+        spans[r.doc_id].add((r.span_start, r.span_end, r.span_tokens))
+    # doc 1: run occupies tokens 4..23 (1-based; after 3 prefix tokens).
+    assert spans[1] == {(4, 23, 20)}
+    # doc 2: run occupies tokens 2..21.
+    assert spans[2] == {(2, 21, 20)}
+    # doc 3: two occurrences at 3..22 and 24..43 — separated by one token,
+    # gap > 0 but the islands merge iff pos-prev <= width; here the two
+    # runs' covers touch through the single 'c3' gap only if within 8
+    # positions — starts 3 and 24, last dup-gram start of first run is
+    # 3+20-8=15, next dup start 24, 24-15=9 > 8 -> two distinct spans.
+    assert spans[3] == {(3, 22, 20), (24, 43, 20)}
+    assert spans[4] == set()
+    stats = {r.doc_id: (r.n_tokens, r.dup_tokens, r.keep_substring)
+             for r in substring_dedup_stats(df).collect()}
+    assert stats[4] == (8, 0, True)
+    assert stats[1][1] == 20 and stats[1][2] is False  # 20/30 tokens dup
+    assert stats[3] == (44, 40, False)
