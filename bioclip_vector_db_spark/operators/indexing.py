@@ -250,16 +250,40 @@ def append_to_index(
     rows = (
         rows.withColumn("faiss_id", F.col("_rn")).drop("_rn").localCheckpoint(eager=True)
     )
-    rows.write.mode("append").partitionBy("partition_id").parquet(f"{index_dir}/corpus")
-    rows.select(
-        "partition_id",
-        "faiss_id",
-        F.col("vec_id").cast("string").alias("original_id"),
-        F.to_json(F.struct("label")).alias("metadata"),
-        F.current_timestamp().alias("created_at"),
-    ).write.mode("append").partitionBy("partition_id").parquet(f"{index_dir}/id_mapping")
+
+    # The two table writes read only the materialized checkpoint, so they
+    # are independent jobs — run them CONCURRENTLY (the scheduler
+    # interleaves their tasks; at micro-batch cadence the savings is a
+    # full write's latency per batch). Crash-consistency is unchanged in
+    # kind: either table may now land first, and the ingest gate's
+    # validator treats any corpus/id_mapping row-count mismatch as
+    # rebuild-from-scratch (streaming/ingest._index_consistent).
+    def _write_corpus() -> None:
+        rows.write.mode("append").partitionBy("partition_id").parquet(
+            f"{index_dir}/corpus"
+        )
+
+    def _write_mapping() -> None:
+        rows.select(
+            "partition_id",
+            "faiss_id",
+            F.col("vec_id").cast("string").alias("original_id"),
+            F.to_json(F.struct("label")).alias("metadata"),
+            F.current_timestamp().alias("created_at"),
+        ).write.mode("append").partitionBy("partition_id").parquet(
+            f"{index_dir}/id_mapping"
+        )
+
+    writes = [_write_corpus, _write_mapping]
     if bootstrap:
-        centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+        writes.append(
+            lambda: centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(writes)) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()  # re-raise the first failure
 
 
 def compact_index(

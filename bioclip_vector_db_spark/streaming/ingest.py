@@ -75,8 +75,22 @@ def stream_ingest(
     # Infer the stream schema from the staged files themselves (footer
     # read) rather than hardcoding one — the regenerated fixtures have
     # changed physical types across rounds and the staged feed carries
-    # whatever the source carries.
-    schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(feed_dir).schema
+    # whatever the source carries. One pyarrow footer read, no Spark job
+    # (the batch-read inference pass cost a scheduler round-trip per cold
+    # ingest); the Spark reader stays the fallback for any arrow->Spark
+    # type gap.
+    import glob
+
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        first = sorted(glob.glob(os.path.join(feed_dir, "*.parquet")))[0]
+        schema = from_arrow_schema(pq.read_schema(first))
+    except Exception:
+        schema = (
+            spark.read.option("pathGlobFilter", "*.parquet").parquet(feed_dir).schema
+        )
     q = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
@@ -122,12 +136,13 @@ def q_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the already-landed id_mapping is returned. A replayed uncommitted
     batch is absorbed by append_to_index's vec_id anti-join, so the sink
     is EFFECTIVELY-once at the corpus granularity — but append_to_index
-    writes corpus then id_mapping non-atomically, and a crash between the
-    two leaves corpus rows whose replay the anti-join removes before the
-    id_mapping write, permanently desyncing the tables. The gate therefore
-    VALIDATES a reused dir (corpus and id_mapping row counts must agree)
-    and rebuilds from scratch on mismatch — crash recovery is rebuild, not
-    repair.
+    lands corpus and id_mapping as separate (concurrent) non-atomic
+    writes, and a crash with only one landed leaves rows whose replay the
+    anti-join removes before the other table's write, permanently
+    desyncing the tables. The gate therefore VALIDATES a reused dir
+    (corpus and id_mapping row counts must agree, either direction of
+    mismatch fails) and rebuilds from scratch — crash recovery is
+    rebuild, not repair.
     """
     from .staging import durable_stream_gate, fixture_stream_conf
 

@@ -44,14 +44,27 @@ FIXTURE_STREAM_PARTITIONS = 2
 def fixture_stream_conf(
     spark: SparkSession, partitions: int = FIXTURE_STREAM_PARTITIONS
 ) -> Iterator[None]:
-    """Temporarily size ``spark.sql.shuffle.partitions`` for a
-    fixture-scale streaming query; restores the session value on exit."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    """Temporarily size the session for a fixture-scale streaming query;
+    restores the previous values on exit.
+
+    - ``spark.sql.shuffle.partitions``: micro-batches here move KBs — a
+      32-way exchange pays pure scheduling latency.
+    - ``spark.sql.adaptive.enabled`` off: AQE's runtime re-planning buys
+      nothing on KB-sized per-batch plans but costs a driver round of
+      query-stage creation per exchange per micro-batch (measured ~0.4s
+      over a 3-batch ingest at sf0.1). A CLUSTER keeps both defaults:
+      real micro-batches shuffle GBs, where AQE's coalescing/skew
+      handling is exactly what you want.
+    """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 _STABLE_CONST_TYPES = (
