@@ -911,6 +911,79 @@ def substring_dedup_stats(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    width: int = MIN_MATCH_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Lee-et-al. CLEANING transformation: keep the globally-first
+    occurrence of every duplicated run, cut the covered tokens of every
+    other occurrence, and reconstruct the cleaned text.
+
+    Survivorship is per n-gram: occurrence 1 of digest h in (doc_id, pos)
+    order survives; positions covered by occurrences >= 2 are removed.
+    Deterministic and engine-agnostic, so the whole transformation — not
+    a summary of it — has an exact SQL oracle.
+
+    Returns ``(doc_id, n_tokens, removed_tokens, clean_text)`` for every
+    document (clean docs pass through with removed_tokens=0).
+
+    Scale shape: the occurrence-rank window partitions by DIGEST (group
+    size = global duplication multiplicity of one run, the same key the
+    dup filter already shuffles on); removed positions explode to at most
+    the removed token count; reconstruction is a per-doc map-side array
+    filter over a collected per-doc removed-position set (bounded by the
+    doc's own length). Nothing is quadratic in corpus size.
+    """
+    pos = _token_ngram_positions(df, width=width, text_col=text_col, id_col=id_col)
+    # Rank every occurrence of a duplicated digest by global (doc, pos).
+    w_h = Window.partitionBy("h").orderBy("doc_id", "pos")
+    occ = pos.withColumn("_rn", F.row_number().over(w_h)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    losers = occ.filter((F.col("_n") > 1) & (F.col("_rn") > 1)).select("doc_id", "pos")
+    # Merge each doc's losing covers into islands, then expand to the
+    # removed position set (same gaps-and-islands as duplicate_spans).
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = losers.withColumn(
+        "_new",
+        F.when(
+            F.coalesce(F.col("pos") - F.lag("pos").over(w_doc), F.lit(width + 1))
+            > width,
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn("_isl", F.sum("_new").over(w_doc))
+    spans = islands.groupBy("doc_id", "_isl").agg(
+        F.min("pos").alias("_s"), (F.max("pos") + width - 1).alias("_e")
+    )
+    removed = (
+        spans.select("doc_id", F.explode(F.sequence("_s", "_e")).alias("rpos"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("rpos").alias("_removed"))
+    )
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    joined = base.join(removed, "doc_id", "left").withColumn(
+        "_removed", F.coalesce(F.col("_removed"), F.array().cast("array<bigint>"))
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_t"),
+            lambda tok, i: F.struct((i + 1).cast("bigint").alias("i"), tok.alias("tok")),
+        ),
+        lambda s: ~F.array_contains(F.col("_removed"), s["i"]),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.size("_removed").cast("bigint").alias("removed_tokens"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias("clean_text"),
+    )
+
+
 def _substring_spans_ctes(width: int) -> str:
     """CTE chain ending in ``spans`` — the SQL twin of duplicate_spans,
     generated from the same width."""
@@ -975,6 +1048,60 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole-corpus summary of dedup_substring_spans (docs with no
     duplicated run appear with dup_tokens=0, keep=true)."""
     return substring_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_substring_clean",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(t[i:i+{MIN_MATCH_TOKENS - 1}], ' ')) AS h
+    FROM corpus, unnest(generate_series(1, greatest(len(t) - {MIN_MATCH_TOKENS - 1}, 0))) AS u(i)
+),
+occ AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+           count(*) OVER (PARTITION BY h) AS n
+    FROM pos
+),
+losers AS (SELECT doc_id, pos FROM occ WHERE n > 1 AND rn > 1),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER w IS NULL
+                  OR pos - lag(pos) OVER w > {MIN_MATCH_TOKENS} THEN 1 ELSE 0 END AS nw
+    FROM losers WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+    SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+    FROM flagged
+),
+spans2 AS (
+    SELECT doc_id, min(pos) AS s, max(pos) + {MIN_MATCH_TOKENS - 1} AS e
+    FROM islands GROUP BY doc_id, isl
+),
+removedpos AS (SELECT doc_id, unnest(generate_series(s, e)) AS rpos FROM spans2),
+removed AS (SELECT doc_id, list(DISTINCT rpos) AS rp FROM removedpos GROUP BY doc_id)
+SELECT c.doc_id, len(c.t)::BIGINT AS n_tokens,
+       coalesce(len(r.rp), 0)::BIGINT AS removed_tokens,
+       coalesce(array_to_string(
+           list_transform(
+               list_filter(
+                   list_zip(c.t, range(1, len(c.t) + 1)),
+                   x -> NOT list_contains(coalesce(r.rp, []), x[2])
+               ),
+               x -> x[1]
+           ), ' '), '') AS clean_text
+FROM corpus c LEFT JOIN removed r USING (doc_id)
+""",
+)
+def q_dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1b [Q]: the Lee-et-al. cleaning transformation itself — keep each
+    duplicated run's globally-first occurrence, cut every other
+    occurrence's covered tokens, and return the reconstructed clean_text
+    per document. The ENTIRE transformation (survivorship, island merge,
+    token filtering) hash-matches the SQL oracle, not just its summary."""
+    return remove_duplicate_spans(load_table(spark, sf_dir, "documents"))
 
 
 from .text import QUALITY_SQL as _QUALITY_SQL  # noqa: E402  (no cycle: text imports nothing from dedup)

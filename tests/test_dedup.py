@@ -282,3 +282,25 @@ def test_duplicate_spans_planted_runs(spark):
     assert stats[4] == (8, 0, True)
     assert stats[1][1] == 20 and stats[1][2] is False  # 20/30 tokens dup
     assert stats[3] == (44, 40, False)
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    """Cleaning survivorship: the globally-first (doc_id, pos) occurrence
+    of a duplicated run survives verbatim; every later occurrence's cover
+    is cut; clean docs pass through byte-identical."""
+    from bioclip_vector_db_spark.operators.dedup import remove_duplicate_spans
+
+    run = " ".join(f"dup{i}" for i in range(12))
+    docs = [
+        (1, f"a1 a2 {run} a3"),          # first occurrence -> kept
+        (2, f"b1 {run} b2"),              # later occurrence -> cut
+        (3, f"{run}"),                     # doc IS the run -> fully cut
+        (4, "clean tokens only here ok"),  # untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text)
+           for r in remove_duplicate_spans(df).collect()}
+    assert got[1] == (15, 0, f"a1 a2 {run} a3")
+    assert got[2] == (14, 12, "b1 b2")
+    assert got[3] == (12, 12, "")
+    assert got[4] == (5, 0, "clean tokens only here ok")
