@@ -1375,6 +1375,47 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_ngrams(train, ev)
 
 
+def clean_corpus_pipeline(docs: DataFrame) -> DataFrame:
+    """The END-TO-END training-data cleaning pass a user actually runs —
+    every stage an operator from this module/text.py, composed as ONE
+    declarative DataFrame plan:
+
+        exact dedup (keep lowest id per sha256)
+          -> drop eval-contaminated docs (broadcast n-gram check)
+          -> quality gate (stopword/symbol ratios)
+          -> repetition gate (within-doc dup fractions)
+          -> exact-substring clean (cut non-first duplicated runs)
+
+    Input: ``(doc_id, text, source)``; output ``(doc_id, n_tokens,
+    removed_tokens, clean_text)`` for every surviving document.
+
+    Scale shape: each stage keeps its own scale design (digest-keyed
+    dedup shuffle, broadcast eval side, map-side gates, digest-keyed span
+    windows); the inter-stage glue is doc_id equi-joins of boolean flags
+    — co-keyed, trivially small next to the n-gram stages. Exact dedup
+    runs FIRST so the substring stage never sees two byte-identical
+    copies (which would otherwise erase both docs' full spans).
+    """
+    from .text import quality_scores, repetition_scores
+
+    survivors = exact_dedup(docs).select("doc_id", "text", "source")
+    train = survivors.filter(~F.col("source").isin(*EVAL_SOURCES)).select(
+        "doc_id", "text"
+    )
+    ev = docs.filter(F.col("source").isin(*EVAL_SOURCES)).select("doc_id", "text")
+    contaminated = decontaminate_ngrams(train, ev).select("doc_id")
+    decont = train.join(contaminated, "doc_id", "left_anti")
+    q = quality_scores(decont).select("doc_id", "keep")
+    r = repetition_scores(decont).select("doc_id", "keep_repetition")
+    gated = (
+        decont.join(q, "doc_id")
+        .join(r, "doc_id")
+        .filter(F.col("keep") & F.col("keep_repetition"))
+        .select("doc_id", "text")
+    )
+    return remove_duplicate_spans(gated)
+
+
 @register("similarity_threshold_join_bucketed", oracle=_THRESHOLD_JOIN_ORACLE)
 def q_similarity_threshold_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 [Q], scale-safe gate: banded-simhash threshold join over the FULL
@@ -1556,3 +1597,127 @@ def q_dedup_near_simhash_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, value) buckets — never all-pairs."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return text_simhash_pairs(docs)
+
+
+from .text import _ALL_STOPWORDS as _STOPWORDS_FOR_PIPELINE  # noqa: E402
+
+
+@register(
+    "documents_clean_pipeline",
+    oracle=f"""
+WITH hashed AS (SELECT doc_id, text, source, sha256(text) AS content_hash FROM documents),
+ranked AS (
+    SELECT doc_id, text, source,
+           row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS r
+    FROM hashed
+),
+train AS (
+    SELECT doc_id, text FROM ranked
+    WHERE r = 1 AND source NOT IN ({", ".join(f"'{s}'" for s in EVAL_SOURCES)})
+),
+evdocs AS (
+    SELECT doc_id, text FROM documents
+    WHERE source IN ({", ".join(f"'{s}'" for s in EVAL_SOURCES)})
+),
+tr_toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM train),
+tr_sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_WIDTH - 1}], ' ') AS shingle
+    FROM tr_toks, unnest(generate_series(1, greatest(len(t) - {SHINGLE_WIDTH - 1}, 0))) AS u(i)
+),
+ev_toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM evdocs),
+ev_sh AS (
+    SELECT DISTINCT array_to_string(t[i:i+{SHINGLE_WIDTH - 1}], ' ') AS shingle
+    FROM ev_toks, unnest(generate_series(1, greatest(len(t) - {SHINGLE_WIDTH - 1}, 0))) AS u(i)
+),
+contaminated AS (SELECT DISTINCT s.doc_id FROM tr_sh s JOIN ev_sh e USING (shingle)),
+decont AS (
+    SELECT d.doc_id, d.text FROM train d
+    LEFT JOIN contaminated c USING (doc_id) WHERE c.doc_id IS NULL
+),
+qw AS (
+    SELECT doc_id, text,
+           list_filter(string_split(text, ' '), w -> w != '') AS ws
+    FROM decont
+),
+qgate AS (
+    SELECT doc_id,
+           len(ws) >= 5
+           AND round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+                     / length(text), 9) < 0.1
+           AND round(len(list_filter(ws, x -> list_contains(
+                   [{", ".join(f"'{s}'" for s in _STOPWORDS_FOR_PIPELINE)}], lower(x)))) * 1.0
+                     / len(ws), 9) >= 0.02 AS keep
+    FROM qw
+),
+rw AS (
+    SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS d_words, ws
+    FROM qw
+),
+rg3 AS (
+    SELECT b.doc_id, count(*) AS n,
+           count(DISTINCT array_to_string(ws[i:i+2], ' ')) AS d
+    FROM rw b, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+    GROUP BY b.doc_id
+),
+rgate AS (
+    SELECT w.doc_id,
+           (CASE WHEN w.n_words > 0
+                 THEN round(1.0 - w.d_words * 1.0 / w.n_words, 9) ELSE 0.0 END) <= 0.7
+           AND coalesce(round(1.0 - g3.d * 1.0 / g3.n, 9), 0.0) <= 0.3 AS keep_repetition
+    FROM rw w LEFT JOIN rg3 g3 USING (doc_id)
+),
+gated AS (
+    SELECT d.doc_id, d.text FROM decont d
+    JOIN qgate q USING (doc_id) JOIN rgate r USING (doc_id)
+    WHERE q.keep AND r.keep_repetition
+),
+corpus AS (SELECT doc_id, string_split(text, ' ') AS t FROM gated),
+pos AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(t[i:i+{MIN_MATCH_TOKENS - 1}], ' ')) AS h
+    FROM corpus, unnest(generate_series(1, greatest(len(t) - {MIN_MATCH_TOKENS - 1}, 0))) AS u(i)
+),
+occ AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+           count(*) OVER (PARTITION BY h) AS n
+    FROM pos
+),
+losers AS (SELECT doc_id, pos FROM occ WHERE n > 1 AND rn > 1),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER w IS NULL
+                  OR pos - lag(pos) OVER w > {MIN_MATCH_TOKENS} THEN 1 ELSE 0 END AS nw
+    FROM losers WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+    SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+    FROM flagged
+),
+spans2 AS (
+    SELECT doc_id, min(pos) AS s, max(pos) + {MIN_MATCH_TOKENS - 1} AS e
+    FROM islands GROUP BY doc_id, isl
+),
+removedpos AS (SELECT doc_id, unnest(generate_series(s, e)) AS rpos FROM spans2),
+removed AS (SELECT doc_id, list(DISTINCT rpos) AS rp FROM removedpos GROUP BY doc_id)
+SELECT c.doc_id, len(c.t)::BIGINT AS n_tokens,
+       coalesce(len(r.rp), 0)::BIGINT AS removed_tokens,
+       coalesce(array_to_string(
+           list_transform(
+               list_filter(
+                   list_zip(c.t, range(1, len(c.t) + 1)),
+                   x -> NOT list_contains(coalesce(r.rp, []), x[2])
+               ),
+               x -> x[1]
+           ), ' '), '') AS clean_text
+FROM corpus c LEFT JOIN removed r USING (doc_id)
+""",
+)
+def q_documents_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X5 FLAGSHIP [Q]: the full training-data cleaning pass — exact
+    dedup -> benchmark decontamination -> quality gate -> repetition gate
+    -> exact-substring span removal — composed as one DataFrame plan and
+    hash-matched end-to-end against a single SQL oracle."""
+    return clean_corpus_pipeline(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
