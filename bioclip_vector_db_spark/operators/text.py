@@ -620,3 +620,73 @@ def q_documents_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 [Q]: per-language token-budget batch packing (prefix-sum batch
     assignment) — deterministic sequence-packing approximation."""
     return pack_batches(load_table(spark, sf_dir, "documents"))
+
+
+#: Per-source sampling rates for the mixture-sampling gate: the "data
+#: mixing" step of a training pipeline (upweight curated sources,
+#: downsample crawl). Percentages over a 0-99 md5 bucket keep the
+#: cross-engine arithmetic exact.
+MIXTURE_RATES = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}
+MIXTURE_DEFAULT_RATE = 5
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: "dict[str, int]" = MIXTURE_RATES,
+    default_rate: int = MIXTURE_DEFAULT_RATE,
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-source mixture sampling: keep a document iff its
+    content-independent md5 id bucket (0-99) falls under its source's
+    rate. The same hash-assignment argument as documents_train_split:
+    position-based or RNG sampling changes membership under corpus
+    growth, re-partitioning, or re-runs; hash-bucket sampling never does
+    (and composes with the split — a doc's split and sample fates are
+    independent md5 prefixes). Map-side only: the rate table is a
+    CASE expression, no join, no shuffle.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 9, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.lit(default_rate)
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(key_col) == src, F.lit(r)).otherwise(rate)
+    return df.withColumn("_bucket", bucket).filter(F.col("_bucket") < rate).drop(
+        "_bucket"
+    )
+
+
+@register(
+    "documents_mixture_sample",
+    oracle=f"""
+WITH sampled AS (
+    SELECT source, doc_id FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT % 100 <
+          CASE source
+              {" ".join(f"WHEN '{s}' THEN {r}" for s, r in sorted(MIXTURE_RATES.items()))}
+              ELSE {MIXTURE_DEFAULT_RATE} END
+)
+SELECT source, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM sampled GROUP BY source
+""",
+)
+def q_documents_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: deterministic per-source mixture sampling (hash-bucket
+    rates per source, map-side CASE — no join/shuffle), reported as
+    per-source counts + id ranges. Uses md5 chars 9-16 so sample fate is
+    independent of the split gate's chars 1-8."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

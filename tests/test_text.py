@@ -105,3 +105,20 @@ def test_pack_batches_budget_invariants(spark, sf_dir):
             maxes[r.batch_id] = max(maxes.get(r.batch_id, 0), r.n_tokens)
         for b, tot in totals.items():
             assert tot <= PACK_BUDGET + maxes[b], (lang, b, tot)
+
+
+def test_stratified_sample_is_growth_invariant(spark, sf_dir):
+    """Hash-bucket sampling membership must not change when the corpus
+    grows: a doc kept in the small corpus is kept in the larger one, and
+    per-source keep rates track the configured percentages."""
+    from bioclip_vector_db_spark.operators.text import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    small = docs.filter(F.col("doc_id") < 200)
+    kept_small = {r.doc_id for r in stratified_sample(small).collect()}
+    kept_full = {r.doc_id for r in stratified_sample(docs).collect()}
+    assert kept_small == {d for d in kept_full if d < 200}
+    # src0 rate is 100%: every src0 doc survives.
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert len({r.doc_id for r in stratified_sample(docs).filter(
+        F.col("source") == "src0").collect()}) == n_src0
