@@ -184,3 +184,29 @@ def test_pack_batches_scan_is_blocked_not_per_language(spark, sf_dir):
         .count()
     )
     assert n_parts > n_langs, (n_parts, n_langs)
+
+
+def test_substring_dedup_has_no_all_pairs_stage(spark, sf_dir):
+    """The substring-dedup family must stay digest-keyed: no cartesian,
+    no broadcast-nested-loop, and every window partitioned (the
+    occurrence-rank window keys on the digest, island windows on doc_id
+    — never a corpus-wide single partition)."""
+    for name in (
+        "dedup_substring_spans",
+        "dedup_substring_clean",
+        "documents_clean_pipeline",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # WindowExec renders [functions], [partitionBy], [orderBy] —
+        # orderBy omitted when unused, partitionBy empty-rendered never:
+        # an UNPARTITIONED ordered window shows exactly two groups with
+        # sort directions in the trailing one. Reject that shape.
+        for line in plan.splitlines():
+            node = line.lstrip(" +-:*()0-9")
+            if node.startswith("Window "):
+                two_groups = node.count("], [") == 1
+                last = node.rsplit("], [", 1)[-1]
+                ordered = " ASC" in last or " DESC" in last
+                assert not (two_groups and ordered), (name, line)
