@@ -683,20 +683,24 @@ _SIMHASH_BITS_SQL = " || ".join(
     for p in range(SIMHASH_PLANES)
 )
 
-_SIG_BAND_WIDTH = SIMHASH_PLANES // N_SIG_BANDS
-
-_SIG_BAND_ROWS = " UNION ALL ".join(
-    f"SELECT vec_id, {b} AS band, "
-    f"substr(sig, {b * _SIG_BAND_WIDTH + 1}, {_SIG_BAND_WIDTH}) AS key FROM sigs"
-    for b in range(N_SIG_BANDS)
-)
-
-_THRESHOLD_JOIN_ORACLE = f"""
+def threshold_join_oracle_sql(
+    bands: int = N_SIG_BANDS, threshold: float = 0.3
+) -> str:
+    """SQL twin of embedding_threshold_join for a given band count —
+    oracle generated from the same numbers as the Spark plan, so every
+    point on the recall/bucket-size curve is parity-gated identically."""
+    width = SIMHASH_PLANES // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"substr(sig, {b * width + 1}, {width}) AS key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
 WITH sigs AS (
     SELECT vec_id, embedding::DOUBLE[] AS vec, {_SIMHASH_BITS_SQL} AS sig
     FROM embeddings
 ),
-buckets AS ({_SIG_BAND_ROWS}),
+buckets AS ({band_rows}),
 cands AS (
     SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
     FROM buckets a JOIN buckets b
@@ -707,8 +711,18 @@ SELECT c.a_id, c.b_id,
 FROM cands c
 JOIN sigs sa ON sa.vec_id = c.a_id
 JOIN sigs sb ON sb.vec_id = c.b_id
-WHERE round(list_dot_product(sa.vec, sb.vec), 9) > 0.3
+WHERE round(list_dot_product(sa.vec, sb.vec), 9) > {threshold}
 """
+
+
+_THRESHOLD_JOIN_ORACLE = threshold_join_oracle_sql()
+
+#: Band count for the HIGH-RECALL threshold-join gate: 8 bands of 2 bits
+#: lifts measured recall at threshold 0.3 from 0.04 to 0.97
+#: (tests/test_recall_gates.py) at the price of coarser buckets — the
+#: other end of the knob the 2-band default sits on. Registering both
+#: ends keeps the whole curve oracle-gated.
+HIGH_RECALL_SIG_BANDS = 8
 
 _EMB_NEAR_DUP_ORACLE = f"""
 WITH vec_corpus AS (
@@ -1454,6 +1468,25 @@ def q_similarity_threshold_join_bucketed(spark: SparkSession, sf_dir: str) -> Da
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return embedding_threshold_join(
         emb, 0.3, sig=cached_embedding_signatures(spark, sf_dir)
+    )
+
+
+@register(
+    "similarity_threshold_join_highrecall",
+    oracle=threshold_join_oracle_sql(HIGH_RECALL_SIG_BANDS),
+)
+def q_similarity_threshold_join_highrecall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 [Q]: the high-recall end of the banded-simhash knob — 8 bands
+    of 2 bits (measured recall 0.97 at threshold 0.3 vs 0.04 for the
+    2-band scale default; tests/test_recall_gates.py). Coarser buckets
+    mean more candidates: the configuration a caller picks when the
+    threshold is low and the corpus slice is priced for it."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_threshold_join(
+        emb,
+        0.3,
+        bands=HIGH_RECALL_SIG_BANDS,
+        sig=cached_embedding_signatures(spark, sf_dir),
     )
 
 
