@@ -1013,20 +1013,31 @@ def remove_duplicate_spans(
     Returns ``(doc_id, n_tokens, removed_tokens, clean_text)`` for every
     document (clean docs pass through with removed_tokens=0).
 
-    Scale shape: the occurrence-rank window partitions by DIGEST (group
-    size = global duplication multiplicity of one run, the same key the
-    dup filter already shuffles on); removed positions explode to at most
-    the removed token count; reconstruction is a per-doc map-side array
-    filter over a collected per-doc removed-position set (bounded by the
-    doc's own length). Nothing is quadratic in corpus size.
+    Scale shape: survivor selection is a map-side-combinable
+    ``min(struct(doc_id, pos))`` aggregation keyed on the digest — NOT a
+    rank window: a universal boilerplate gram (license header in every
+    doc) would funnel its whole occurrence list through one window task,
+    while the struct-min folds it partially on every mapper. Removed
+    positions explode to at most the removed token count; reconstruction
+    is a per-doc map-side array filter over a collected per-doc
+    removed-position set (bounded by the doc's own length). Nothing is
+    quadratic in corpus size and no stage keys on a value with
+    unbounded-multiplicity task skew.
     """
     pos = _token_ngram_positions(df, width=width, text_col=text_col, id_col=id_col)
-    # Rank every occurrence of a duplicated digest by global (doc, pos).
-    w_h = Window.partitionBy("h").orderBy("doc_id", "pos")
-    occ = pos.withColumn("_rn", F.row_number().over(w_h)).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    # Globally-first occurrence per duplicated digest, by (doc_id, pos).
+    firsts = pos.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
     )
-    losers = occ.filter((F.col("_n") > 1) & (F.col("_rn") > 1)).select("doc_id", "pos")
+    losers = (
+        pos.join(firsts.filter(F.col("_n") > 1), "h")
+        .filter(
+            (F.col("doc_id") != F.col("_first.doc_id"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
     # Merge each doc's losing covers into islands, then expand to the
     # removed position set (same gaps-and-islands as duplicate_spans).
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
