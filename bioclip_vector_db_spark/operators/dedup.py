@@ -50,16 +50,18 @@ def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
     """Keep the lowest-id row per content digest.
 
     ``dropDuplicates`` on the digest would be nondeterministic about WHICH
-    row survives; the window + keep-first makes survivorship reproducible
-    (and matches the reference's first-writer-wins upsert semantics).
+    row survives; keep-lowest-id makes survivorship reproducible (and
+    matches the reference's first-writer-wins upsert semantics).
+
+    Survivor selection is a map-side-combinable ``min(id)`` aggregation +
+    semi-join on (digest, id) — not a rank window: a pathological dup
+    group (a billion empty documents) partially folds on every mapper
+    instead of sort-scanning through one window task. Both joins key on
+    the digest the shuffle already uses.
     """
     hashed = df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
-    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
-    return (
-        hashed.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r")
-    )
+    firsts = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return hashed.join(firsts, ["content_hash", id_col], "left_semi")
 
 
 # ---------------------------------------------------------------------------
