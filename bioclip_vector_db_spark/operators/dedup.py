@@ -1367,19 +1367,21 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "near_dup_clusters_08", lambda: near_dup_clusters(pairs)
     ).select(F.col("id").alias("doc_id"), "cluster_id")
     q = quality_scores(docs).select("doc_id", F.round("quality", 9).alias("q9"))
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("q9").desc(), F.col("doc_id").asc()
-    )
+    # Keep-best as ONE map-side-combinable aggregation — min of
+    # (-quality, doc_id) is highest-quality-then-lowest-id — instead of a
+    # cluster-keyed rank window: a viral near-dup cluster with millions
+    # of members folds partially on every mapper, never through a single
+    # window task (same skew argument as exact_dedup's survivor).
     return (
         clusters.join(q, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("keep_id"),
-            F.col("n_members").cast("bigint").alias("n_members"),
+        .groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("q9")).alias("nq"), F.col("doc_id").alias("doc_id"))
+            ).alias("_best"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
         )
+        .select("cluster_id", F.col("_best.doc_id").alias("keep_id"), "n_members")
     )
 
 
