@@ -32,6 +32,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.dedup import nd_ctes_sql as _nd_ctes_sql
 from ..operators.indexing import ASSIGNED_CTE, append_to_index
 from ..operators.knn import fixture_centroids
 from ..plans.registry import register
@@ -163,3 +164,198 @@ def q_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(f"{index_dir}/id_mapping").select(
             "partition_id", "faiss_id", "original_id", "metadata"
         )
+
+
+def _stage_documents_feed(sf_dir: str, n_files: int = 3) -> str:
+    """Split the documents fixture into ``n_files`` ascending-doc_id
+    files (arrival order = id order) — the near-dup ingest feed."""
+    from .staging import staged_feed
+
+    def splits(tbl):
+        import pyarrow.compute as pc
+
+        hi = pc.max(tbl["doc_id"]).as_py() + 1
+        step = max(1, hi // n_files)
+        for i in range(n_files):
+            lo_i = i * step
+            hi_i = (i + 1) * step if i < n_files - 1 else hi
+            yield f"d{i}", tbl.filter(
+                pc.and_(
+                    pc.greater_equal(tbl["doc_id"], lo_i),
+                    pc.less(tbl["doc_id"], hi_i),
+                )
+            )
+
+    return staged_feed(
+        os.path.join(sf_dir, "documents.parquet"), "bvds_neardup_feed", splits
+    )
+
+
+def stream_near_dup_ingest(
+    spark: SparkSession, feed_dir: str, store_dir: str, threshold: float = 0.8
+) -> None:
+    """Streaming MinHash near-dup-at-ingest: each micro-batch is checked
+    against the STORED corpus' LSH band index (existence-check semantics,
+    O12 generalized to near-duplicates), flagged pairs land in a pairs
+    table, then the batch's docs + band buckets join the store.
+
+    Per batch: signatures/buckets are computed once for the batch (the
+    store's buckets were computed when THEIR batch arrived — signatures
+    are never recomputed for stored docs); the candidate join keys on
+    (band, sig) exactly like the batch pipeline; the exact-Jaccard verify
+    re-shingles ONLY the candidate stored docs (bounded by candidate
+    count, not store size). In-batch pairs are NOT flagged — the check is
+    against the store, mirroring the reference's per-id existence check.
+    """
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import doc_shingles, lsh_band_buckets, minhash_signatures
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        # No localCheckpoint needed: nothing below writes a path that the
+        # batch plan reads (pairs derive from the PREVIOUS batches' store,
+        # and the store appends run after the pairs land), so plain
+        # persists suffice — two fewer materialization jobs per batch.
+        batch = batch.select("doc_id", "text")
+        sh_b = doc_shingles(batch).persist()
+        buckets_b = lsh_band_buckets(minhash_signatures(sh_b)).persist()
+        docs_path = f"{store_dir}/docs"
+        buckets_path = f"{store_dir}/buckets"
+        pairs_path = f"{store_dir}/pairs"
+        if os.path.exists(buckets_path):
+            stored_buckets = spark.read.parquet(buckets_path)
+            cands = (
+                stored_buckets.select(
+                    F.col("doc_id").alias("a_id"), "band", "sig"
+                )
+                .join(
+                    buckets_b.select(F.col("doc_id").alias("b_id"), "band", "sig"),
+                    ["band", "sig"],
+                )
+                .select("a_id", "b_id")
+                .distinct()
+            )
+            cand_docs = spark.read.parquet(docs_path).join(
+                cands.select(F.col("a_id").alias("doc_id")).distinct(), "doc_id"
+            )
+            sh_a = doc_shingles(cand_docs).persist()
+            inter = (
+                cands.join(
+                    sh_a.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id"
+                )
+                .join(
+                    sh_b.select(
+                        F.col("doc_id").alias("b_id2"),
+                        F.col("shingle").alias("shingle_b"),
+                    ),
+                    (F.col("b_id") == F.col("b_id2"))
+                    & (F.col("shingle") == F.col("shingle_b")),
+                )
+                .groupBy("a_id", "b_id")
+                .agg(F.count(F.lit(1)).alias("inter"))
+            )
+            sz_a = sh_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("a_sz"))
+            sz_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("b_sz"))
+            pairs = (
+                inter.join(sz_a.withColumnRenamed("doc_id", "a_id"), "a_id")
+                .join(sz_b.withColumnRenamed("doc_id", "b_id"), "b_id")
+                .select(
+                    "a_id",
+                    "b_id",
+                    F.round(
+                        F.col("inter")
+                        / (F.col("a_sz") + F.col("b_sz") - F.col("inter")),
+                        9,
+                    ).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+            )
+            pairs.write.mode("append").parquet(pairs_path)
+        # The two store appends are independent — run them concurrently
+        # (same pattern as append_to_index's table writes).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            futs = [
+                pool.submit(
+                    lambda: batch.write.mode("append").parquet(docs_path)
+                ),
+                pool.submit(
+                    lambda: buckets_b.write.mode("append").parquet(buckets_path)
+                ),
+            ]
+            for f in futs:
+                f.result()
+
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        first = sorted(_glob.glob(os.path.join(feed_dir, "*.parquet")))[0]
+        schema = from_arrow_schema(pq.read_schema(first))
+    except Exception:
+        schema = (
+            spark.read.option("pathGlobFilter", "*.parquet").parquet(feed_dir).schema
+        )
+    q = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{store_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "streaming_near_dup_ingest",
+    oracle=f"""
+WITH {_nd_ctes_sql()},
+step AS (SELECT (max(doc_id) + 1) // 3 AS s FROM documents)
+SELECT a_id, b_id, jaccard FROM nd, step
+WHERE least(a_id // s, 2) < least(b_id // s, 2)
+""",
+)
+def q_streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2xX7 [Q]: STREAMING near-dup-at-ingest — the documents corpus
+    arrives as a 3-micro-batch ascending-id stream; each batch is
+    LSH-checked against the stored corpus' band index and cross-batch
+    near-dup pairs (exact Jaccard >= 0.8, verified in-bucket only) are
+    flagged at arrival time. Oracle: the batch MinHash pipeline's pairs
+    restricted to cross-batch (arrival-order) pairs — the streaming
+    composition must reproduce the batch answer exactly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import types as T
+
+    from .staging import fixture_stream_conf
+
+    feed = _stage_documents_feed(sf_dir)
+    store = tempfile.mkdtemp(prefix="bvds_neardup_store_")
+    try:
+        with fixture_stream_conf(spark):
+            stream_near_dup_ingest(spark, feed, store)
+        pairs_path = os.path.join(store, "pairs")
+        if os.path.exists(pairs_path):
+            out = spark.read.parquet(pairs_path).localCheckpoint(eager=True)
+        else:
+            out = spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("b_id", T.LongType()),
+                        T.StructField("a_id", T.LongType()),
+                        T.StructField("jaccard", T.DoubleType()),
+                    ]
+                ),
+            )
+        return out.select("a_id", "b_id", "jaccard")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
