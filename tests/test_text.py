@@ -122,3 +122,22 @@ def test_stratified_sample_is_growth_invariant(spark, sf_dir):
     n_src0 = docs.filter(F.col("source") == "src0").count()
     assert len({r.doc_id for r in stratified_sample(docs).filter(
         F.col("source") == "src0").collect()}) == n_src0
+
+
+def test_pii_redact_planted_rows(spark):
+    """Each pattern redacts; pass ORDER resolves overlaps: an email whose
+    domain looks like an IP is consumed whole by the earlier email pass."""
+    from bioclip_vector_db_spark.operators.text import pii_redact
+
+    rows = [
+        (1, "contact alice.smith+spam@example.co.uk for details"),
+        (2, "server at 10.0.255.7 and card 4111111111111111 leaked"),
+        (3, "call +14155550123 or mail bob@10.0.0.1.example.com now"),
+        (4, "clean row with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_redactions, r.clean_text) for r in pii_redact(df).collect()}
+    assert got[1] == (1, "contact <EMAIL> for details")
+    assert got[2] == (2, "server at <IP> and card <CARD> leaked")
+    assert got[3] == (2, "call <PHONE> or mail <EMAIL> now")
+    assert got[4] == (0, "clean row with no pii at all")
