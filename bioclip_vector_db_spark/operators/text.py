@@ -784,3 +784,110 @@ def q_documents_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_PII_FIXTURE_ROWS), "doc_id long, text string"
     )
     return pii_redact(docs.unionByName(planted))
+
+
+def ngram_novelty(
+    df: DataFrame, *, n: int = 3, text_col: str = "text", max_novel_frac: float = 0.5
+) -> DataFrame:
+    """N-gram novelty filter — the integer-exact core of a CCNet-style
+    LM-perplexity quality gate: score each document by the fraction of
+    its word trigrams NOT present in a model "trained" on the md5 train
+    split (documents_train_split's bucket < 80). Train-split docs score
+    ~0 by construction; held-out docs score their true distributional
+    novelty. A full KenLM swap-in changes the lookup table, not the
+    dataflow.
+
+    Integer counts + one rational rounding — no cross-row float
+    summation, so Spark and the SQL oracle agree bit-for-bit (float
+    sums reduce in engine-specific order; fractions of counts don't).
+
+    Scale shape: the model is a DISTINCT n-gram table (one shuffle keyed
+    on the n-gram); scoring is a left-anti join on the same key; per-doc
+    rollup is a doc_id-keyed count. Nothing all-pairs, nothing skewed
+    beyond true n-gram multiplicity.
+    """
+    toks = words(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = df.select("doc_id", F.explode(grams).alias("gram"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    train_ids = df.select("doc_id").filter(bucket < 80)
+    model = (
+        with_grams.join(train_ids, "doc_id", "left_semi").select("gram").distinct()
+    )
+    unseen = (
+        with_grams.join(model, "gram", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_unseen"))
+    )
+    totals = with_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        df.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(unseen, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_unseen", F.lit(0)).cast("bigint").alias("n_unseen"),
+        )
+        .withColumn(
+            "novelty",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_unseen") / F.col("n_grams"), 9),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("keep_novelty", F.col("novelty") <= max_novel_frac)
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+grams AS (
+    SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+    FROM toks, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+),
+train_ids AS (
+    SELECT doc_id FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+),
+model AS (
+    SELECT DISTINCT gram FROM grams JOIN train_ids USING (doc_id)
+),
+unseen AS (
+    SELECT g.doc_id, count(*) AS n_unseen
+    FROM grams g LEFT JOIN model m USING (gram)
+    WHERE m.gram IS NULL GROUP BY g.doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(t.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(u.n_unseen, 0)::BIGINT AS n_unseen,
+       CASE WHEN coalesce(t.n_grams, 0) > 0
+            THEN round(coalesce(u.n_unseen, 0) * 1.0 / t.n_grams, 9)
+            ELSE 0.0 END AS novelty,
+       CASE WHEN coalesce(t.n_grams, 0) > 0
+            THEN round(coalesce(u.n_unseen, 0) * 1.0 / t.n_grams, 9)
+            ELSE 0.0 END <= 0.5 AS keep_novelty
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN unseen u USING (doc_id)
+""",
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: trigram-novelty quality gate — every doc scored by the
+    fraction of its trigrams unseen in the md5-train-split model;
+    train-bucket docs score 0 by construction, held-out docs their true
+    novelty. Integer-exact (no cross-row float sums)."""
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
