@@ -41,6 +41,7 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.streaming.stateful",
     "bioclip_vector_db_spark.streaming.ingest",
     "bioclip_vector_db_spark.operators.temporal",
+    "bioclip_vector_db_spark.sources.webdataset",
 )
 
 

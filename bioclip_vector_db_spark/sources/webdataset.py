@@ -91,3 +91,84 @@ def group_samples(members: DataFrame) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("member", "payload")))
         ).alias("members")
     )
+
+
+def _stage_document_shards(sf_dir: str, n_shards: int = 4) -> str:
+    """Pack the documents fixture into ``n_shards`` WebDataset tar shards
+    (one member ``<key>.txt`` with the text, one ``<key>.lang.txt`` with
+    the language) — deterministic content, cached per source file via the
+    same publish-once staging as the streaming feeds. Driver-side tar
+    writing is fixture STAGING, not the operator: the scan itself is the
+    distributed binaryFile + mapInPandas path."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.staging import _publish_atomically
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stamp = hashlib.md5(
+        (str(os.path.getmtime(src)) + str(os.path.getsize(src)) + str(n_shards)).encode()
+    ).hexdigest()
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), f"bvds_wds_shards_{stamp[:12]}")
+
+    def build(tmp: str) -> None:
+        tbl = pq.read_table(src, columns=["doc_id", "text", "lang"])
+        rows = sorted(
+            zip(
+                tbl["doc_id"].to_pylist(),
+                tbl["text"].to_pylist(),
+                tbl["lang"].to_pylist(),
+            )
+        )
+        tars = [
+            tarfile.open(os.path.join(tmp, f"shard-{i}.tar"), "w")
+            for i in range(n_shards)
+        ]
+        try:
+            for doc_id, text, lang in rows:
+                tf = tars[doc_id % n_shards]
+                for member, payload in (
+                    ("txt", text.encode()),
+                    ("lang.txt", lang.encode()),
+                ):
+                    info = tarfile.TarInfo(name=f"doc{doc_id:08d}.{member}")
+                    data = payload
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+        finally:
+            for tf in tars:
+                tf.close()
+
+    return _publish_atomically(build, out, stamp)
+
+
+from ..plans.registry import register  # noqa: E402
+from ..sources.catalog import load_table as _load_table  # noqa: E402,F401
+
+
+@register(
+    "webdataset_scan_roundtrip",
+    oracle="""
+SELECT doc_id, text, lang, 2::BIGINT AS n_members FROM documents
+""",
+)
+def q_webdataset_scan_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """O2 [Q]: the WebDataset tar-shard scan end-to-end — the documents
+    corpus packed into 4 tar shards (WebDataset member conventions:
+    ``<key>.txt``, ``<key>.lang.txt``), scanned back through
+    binaryFile -> mapInPandas untar -> group_samples, and projected to
+    rows. The oracle is the source table itself: a correct scan is a
+    byte-exact round trip. Parallelism = shard count; the only shuffle
+    is the per-sample member group-by."""
+    shards = _stage_document_shards(sf_dir)
+    samples = group_samples(read_webdataset(spark, shards))
+    return samples.select(
+        F.substring(F.col("key"), 4, 8).cast("bigint").alias("doc_id"),
+        F.col("members")["txt"].cast("string").alias("text"),
+        F.col("members")["lang.txt"].cast("string").alias("lang"),
+        F.size("members").cast("bigint").alias("n_members"),
+    )
