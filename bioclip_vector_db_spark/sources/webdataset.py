@@ -111,9 +111,18 @@ def _stage_document_shards(sf_dir: str, n_shards: int = 4) -> str:
     stamp = hashlib.md5(
         (str(os.path.getmtime(src)) + str(os.path.getsize(src)) + str(n_shards)).encode()
     ).hexdigest()
+    import glob as _glob
+    import shutil
     import tempfile
 
     out = os.path.join(tempfile.gettempdir(), f"bvds_wds_shards_{stamp[:12]}")
+    # The stamp is part of the dir name (content-addressed), so a
+    # regenerated fixture would strand the previous round's shards
+    # forever — best-effort reap of other-stamp siblings (published dirs
+    # are immutable; losing one to a concurrent builder just rebuilds).
+    for d in _glob.glob(os.path.join(tempfile.gettempdir(), "bvds_wds_shards_*")):
+        if d != out:
+            shutil.rmtree(d, ignore_errors=True)
 
     def build(tmp: str) -> None:
         tbl = pq.read_table(src, columns=["doc_id", "text", "lang"])
