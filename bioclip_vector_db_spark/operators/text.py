@@ -891,3 +891,67 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-bucket docs score 0 by construction, held-out docs their true
     novelty. Integer-exact (no cross-row float sums)."""
     return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+#: Four-language stopword lists for the MULTI-language ID gate (the
+#: two-language gate keeps its original contract). Deterministic argmax
+#: with ties broken by language code order.
+STOPWORDS_MULTI = {
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "für"),
+    "en": STOPWORDS["en"],
+    "es": STOPWORDS["es"],
+    "fr": ("le", "la", "les", "et", "est", "une", "pas", "pour", "dans", "que"),
+}
+
+
+def language_id_multi(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID over four languages: per-language
+    distinct-token intersection counts, argmax with 'und' when nothing
+    hits and ties broken by language-code order — one map-side pass, the
+    hit arrays inlined as literals (a real deployment broadcasts larger
+    lists; the plan shape is identical)."""
+    distinct_words = F.array_distinct(words(F.lower(F.col(text_col))))
+    hits = {
+        lang: F.size(F.array_intersect(distinct_words, F.array(*[F.lit(w) for w in wl])))
+        for lang, wl in STOPWORDS_MULTI.items()
+    }
+    langs = sorted(STOPWORDS_MULTI)  # tiebreak order
+    best = F.greatest(*[hits[lg] for lg in langs])
+    predicted = F.when(best == 0, F.lit("und"))
+    for lg in langs:
+        predicted = predicted.when(hits[lg] == best, F.lit(lg))
+    cols = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
+    cols += [hits[lg].cast("bigint").alias(f"{lg}_hits") for lg in langs]
+    cols.append(predicted.alias("predicted_lang"))
+    return df.select(*cols)
+
+
+def _hits_sql(wl) -> str:
+    lits = ", ".join(f"'{w}'" for w in wl)
+    return (
+        "len(list_intersect(list_distinct(list_filter("
+        "string_split(lower(text), ' '), w -> w != '')), [" + lits + "]))"
+    )
+
+
+@register(
+    "text_language_id_multi",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, lang AS labeled_lang,
+           {", ".join(f"{_hits_sql(wl)} AS {lg}_hits" for lg, wl in sorted(STOPWORDS_MULTI.items()))}
+    FROM documents
+)
+SELECT doc_id, labeled_lang,
+       {", ".join(f"{lg}_hits::BIGINT AS {lg}_hits" for lg in sorted(STOPWORDS_MULTI))},
+       CASE WHEN greatest({", ".join(f"{lg}_hits" for lg in sorted(STOPWORDS_MULTI))}) = 0 THEN 'und'
+            {" ".join(f"WHEN {lg}_hits = greatest({', '.join(f'{l2}_hits' for l2 in sorted(STOPWORDS_MULTI))}) THEN '{lg}'" for lg in sorted(STOPWORDS_MULTI))}
+       END AS predicted_lang
+FROM h
+""",
+)
+def q_text_language_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: four-language stopword language ID (de/en/es/fr) with
+    deterministic argmax and language-code tiebreak — the fixture's
+    actual language mix, scored in one map-side pass."""
+    return language_id_multi(load_table(spark, sf_dir, "documents"))

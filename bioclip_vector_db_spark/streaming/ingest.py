@@ -221,6 +221,7 @@ def stream_near_dup_ingest(
         batch = batch.select("doc_id", "text")
         sh_b = doc_shingles(batch).persist()
         buckets_b = lsh_band_buckets(minhash_signatures(sh_b)).persist()
+        _batch_persists = [sh_b, buckets_b]
         docs_path = f"{store_dir}/docs"
         buckets_path = f"{store_dir}/buckets"
         pairs_path = f"{store_dir}/pairs"
@@ -241,6 +242,7 @@ def stream_near_dup_ingest(
                 cands.select(F.col("a_id").alias("doc_id")).distinct(), "doc_id"
             )
             sh_a = doc_shingles(cand_docs).persist()
+            _batch_persists.append(sh_a)
             inter = (
                 cands.join(
                     sh_a.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id"
@@ -288,6 +290,11 @@ def stream_near_dup_ingest(
             ]
             for f in futs:
                 f.result()
+        # Per-batch persists are dead once the batch commits; release
+        # them eagerly instead of leaning on LRU eviction across a
+        # long-running stream.
+        for df_ in _batch_persists:
+            df_.unpersist()
 
     try:
         import pyarrow.parquet as pq
