@@ -272,3 +272,76 @@ def q_tpch_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_acctbal",
         )
     )
+
+
+@register(
+    "tpch_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey, o.o_orderdate,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shape [Q]: segment-filtered customer dim broadcast into the
+    orders join, both date filters pushed into the fact scans, revenue
+    aggregation with map-side combine, global top-10 via
+    TakeOrderedAndProject (no full sort)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_customer_order_distribution",
+    oracle="""
+WITH per_customer AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+FROM per_customer GROUP BY c_count
+""",
+)
+def q_tpch_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shape [Q]: LEFT OUTER join preserving order-less customers,
+    then a double aggregation (orders per customer -> customers per order
+    count) — the histogram-of-a-groupBy shape; both aggregations combine
+    map-side and the second one's input is already tiny."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_customer = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_customer.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    ).select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
