@@ -140,15 +140,19 @@ def main() -> None:
     # entry point 1), so serving-query timings are measured against an
     # existing index here too. Build cost is reported by build_index's own
     # metrics, not smeared across whichever query runs first.
-    from bioclip_vector_db_spark.operators.dedup import cached_embedding_signatures
+    from bioclip_vector_db_spark.operators.dedup import (
+        cached_embedding_band_keys,
+        cached_embedding_signatures,
+    )
     from bioclip_vector_db_spark.operators.indexing import trained_centroids
     from bioclip_vector_db_spark.operators.knn import assigned_corpus
 
     assigned_corpus(spark, SF_DIR).count()
     trained_centroids(spark, SF_DIR).count()
-    # The simhash signature table is the same kind of prebuilt artifact —
-    # the LSH index the bucketing queries probe.
+    # The simhash signature and multi-probe band-key tables are the same
+    # kind of prebuilt artifact — the LSH indexes the bucketing queries probe.
     cached_embedding_signatures(spark, SF_DIR).count()
+    cached_embedding_band_keys(spark, SF_DIR).count()
     # Two passes per query, keep the min: the host this runs on shows
     # bursty external load (identical runs vary ~2x); min-of-2 reports the
     # engine's steady-state cost rather than whichever noise spike a single

@@ -563,6 +563,165 @@ def embedding_threshold_join(
 
 
 # ---------------------------------------------------------------------------
+# Scale-adaptive multi-probe simhash threshold join (X4, high-recall path)
+# ---------------------------------------------------------------------------
+
+#: High-recall configuration: 96 hyperplanes as 12 bands x 8 bits, probing
+#: every key within hamming 2 of each band key. Bucket cardinality per band
+#: stays 2^8 = 256 (NEVER collapses to a handful of buckets the way coarse
+#: 2-bit bands did); recall at low thresholds is bought with probe radius
+#: and band count, not bucket coarseness. Measured recall at threshold 0.3:
+#: 0.992 at sf0.001, 0.999 at sf0.01 (gated >= 0.95 in
+#: tests/test_recall_gates.py).
+#:
+#: Scale adaptivity: band width w is the log-corpus knob — hold the probe
+#: ratio h/w and grow w with log2(n) so expected bucket occupancy n/2^w
+#: stays bounded; probe count C(w,<=h) grows ~2^(0.81w), strictly slower
+#: than bucket count 2^w, so per-band candidate selectivity IMPROVES as the
+#: corpus grows. This is the classic sub-quadratic LSH construction
+#: (candidates ~ n^(1+rho), rho = ln(p1)/ln(p2) ~ 0.70 at threshold 0.3 for
+#: p1 ~ 0.61 qualifying vs p2 = 0.5 bulk per-bit agreement); a fixed-w
+#: config is one point on that curve sized for the fixture corpus.
+MP_PLANES = 96
+MP_BANDS = 12
+MP_BAND_WIDTH = MP_PLANES // MP_BANDS
+MP_PROBE_HAMMING = 2
+
+MP_PLANES_LIST: list[list[int]] = [_plane_signs(p) for p in range(MP_PLANES)]
+
+
+def _probe_masks(width: int, h: int) -> list[int]:
+    """All XOR masks of popcount <= h over a width-bit key. A pair whose
+    band keys differ by hamming d <= h matches on exactly ONE mask (the
+    XOR of the two keys), so probing is equi-join-only and never
+    double-counts within a band."""
+    return [m for m in range(1 << width) if bin(m).count("1") <= h]
+
+
+def _band_key_expr(vec: Column, band: int, width: int) -> Column:
+    """Integer band key: bit i of band b is the sign of the projection on
+    plane b*width+i (same md5-derived planes and round-9 guard as
+    simhash_signature, so the DuckDB oracle reproduces it bit-exactly).
+    The projection stays a HOF fold on purpose: this runs once per corpus
+    at index-build time (cached_embedding_band_keys). Expanding the fold
+    into a flat element_at tree was tried and REVERTED both here and in
+    the verify stage: 12 bands x 8 bits x 64 dims overwhelms janino
+    (heap OOM), and even the 64-term verify form falls out of
+    whole-stage codegen, where the interpreted fallback re-evaluates the
+    array cast per term with no CSE — ~100x slower than this fold."""
+    key = F.lit(0)
+    for i in range(width):
+        plane = MP_PLANES_LIST[band * width + i]
+        proj = F.round(
+            dot_product(vec, F.array(*[F.lit(float(s)) for s in plane])), 9
+        )
+        key = key + F.when(proj >= 0, F.lit(1 << (width - 1 - i))).otherwise(F.lit(0))
+    return key.cast("int")
+
+
+def embedding_band_keys(
+    vectors: DataFrame, *, bands: int = MP_BANDS, width: int = MP_BAND_WIDTH
+) -> DataFrame:
+    """``(vec_id, keys)`` — the multi-probe LSH index over a vector
+    table: one width-bit integer key per band, kept as an ARRAY so the
+    join can both explode per-band bucket rows AND evaluate the
+    first-matching-band test without a second lookup. Like
+    embedding_signatures this is an index-BUILD artifact (a function of
+    the embedding alone), computed once per corpus and probed by every
+    query."""
+    return vectors.select(
+        "vec_id",
+        F.array(
+            *[_band_key_expr(F.col("embedding"), b, width) for b in range(bands)]
+        ).alias("keys"),
+    )
+
+
+def cached_embedding_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-probe band-key index for the fixture embeddings table,
+    cached per (session, sf_dir) like cached_embedding_signatures: the
+    64-plane projection fold is interpreted (no codegen for HOFs), so it
+    is paid once per corpus, not once per query."""
+    from .knn import _cached
+
+    return _cached(
+        spark,
+        sf_dir,
+        f"emb_mp_keys_{MP_BANDS}x{MP_BAND_WIDTH}",
+        lambda: embedding_band_keys(
+            load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        ),
+    )
+
+
+def embedding_threshold_join_multiprobe(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    *,
+    bands: int = MP_BANDS,
+    width: int = MP_BAND_WIDTH,
+    probe_hamming: int = MP_PROBE_HAMMING,
+    keys: "DataFrame | None" = None,
+) -> DataFrame:
+    """X4, the high-recall scale path: multi-probe banded-simhash
+    threshold join. Probe side explodes each band key to its hamming
+    <= probe_hamming neighborhood (C(width, <=h) XOR masks — a CONSTANT
+    per-row factor), build side keeps canonical keys, candidates form by
+    (band, key) equi-join only; exact cosine verify on candidates.
+
+    Versus the retired 8x2-bit coarse-band config (a quadratic candidate
+    generator: 4 buckets per band => Theta(n^2) in-bucket pairs by
+    construction), bucket cardinality here stays 2^width per band and the
+    probe radius is the recall knob — see the MP_* constants for the
+    scale-adaptivity rule. Returns ``(a_id, b_id, similarity)`` with
+    similarity > threshold.
+    """
+    if keys is None:
+        keys = embedding_band_keys(vectors, bands=bands, width=width).persist()
+    masks = _probe_masks(width, probe_hamming)
+    rows = keys.select("vec_id", F.posexplode("keys").alias("band", "key"))
+    probes = rows.select(
+        F.col("vec_id").alias("a_id"),
+        "band",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
+        "key",
+    ).select(
+        "a_id", "band", F.col("key").bitwiseXOR(F.col("mask")).alias("pkey")
+    )
+    bside = rows.select(
+        F.col("vec_id").alias("b_id"), "band", F.col("key").alias("pkey")
+    )
+    # Duplicate candidates (a pair matching several bands) are removed by
+    # a plain distinct: measured duplication is mild (~2.2x), and the
+    # map-side alternative (carry both key arrays, keep only the first
+    # matching band) was tried and REVERTED — the interpreted
+    # slice/zip_with filter over millions of joined rows costs far more
+    # than the distinct's shuffle (20s vs 3.7s at sf0.1).
+    cands = (
+        probes.join(bside, ["band", "pkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    v = vectors.select("vec_id", "embedding")
+    return (
+        cands.join(
+            v.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")),
+            "a_id",
+        )
+        .join(
+            v.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")),
+            "b_id",
+        )
+        .withColumn(
+            "similarity", F.round(dot_product(F.col("a_vec"), F.col("b_vec")), 9)
+        )
+        .filter(F.col("similarity") > threshold)
+        .select("a_id", "b_id", "similarity")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL fragments
 # ---------------------------------------------------------------------------
 
@@ -719,12 +878,56 @@ WHERE round(list_dot_product(sa.vec, sb.vec), 9) > {threshold}
 
 _THRESHOLD_JOIN_ORACLE = threshold_join_oracle_sql()
 
-#: Band count for the HIGH-RECALL threshold-join gate: 8 bands of 2 bits
-#: lifts measured recall at threshold 0.3 from 0.04 to 0.97
-#: (tests/test_recall_gates.py) at the price of coarser buckets — the
-#: other end of the knob the 2-band default sits on. Registering both
-#: ends keeps the whole curve oracle-gated.
-HIGH_RECALL_SIG_BANDS = 8
+
+def _band_key_sql(band: int, width: int) -> str:
+    """SQL twin of _band_key_expr for one band."""
+    terms = []
+    for i in range(width):
+        plane = MP_PLANES_LIST[band * width + i]
+        lit = "[" + ", ".join(f"{s:.1f}" for s in plane) + "]"
+        terms.append(
+            f"(CASE WHEN round(list_dot_product(vec, {lit}), 9) >= 0 "
+            f"THEN {1 << (width - 1 - i)} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def mp_threshold_join_oracle_sql(
+    *,
+    bands: int = MP_BANDS,
+    width: int = MP_BAND_WIDTH,
+    probe_hamming: int = MP_PROBE_HAMMING,
+    threshold: float = 0.3,
+) -> str:
+    """SQL twin of embedding_threshold_join_multiprobe. The oracle forms
+    candidates with an explicit per-band hamming predicate
+    (bit_count(xor(keys)) <= h) — semantically identical to the Spark
+    side's XOR-mask probe explode (a pair matches a probe mask iff its
+    band keys differ by hamming <= h), stated declaratively because the
+    oracle runs at fixture scale where a theta-join is fine."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_band_key_sql(b, width)} AS key FROM vecs"
+        for b in range(bands)
+    )
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+keys AS ({band_rows}),
+cands AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM keys a JOIN keys b
+      ON a.band = b.band
+     AND bit_count(xor(a.key, b.key)) <= {probe_hamming}
+     AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       round(list_dot_product(va.vec, vb.vec), 9) AS similarity
+FROM cands c
+JOIN vecs va ON va.vec_id = c.a_id
+JOIN vecs vb ON vb.vec_id = c.b_id
+WHERE round(list_dot_product(va.vec, vb.vec), 9) > {threshold}
+"""
 
 _EMB_NEAR_DUP_ORACLE = f"""
 WITH vec_corpus AS (
@@ -1488,20 +1691,21 @@ def q_similarity_threshold_join_bucketed(spark: SparkSession, sf_dir: str) -> Da
 
 @register(
     "similarity_threshold_join_highrecall",
-    oracle=threshold_join_oracle_sql(HIGH_RECALL_SIG_BANDS),
+    oracle=mp_threshold_join_oracle_sql(),
 )
 def q_similarity_threshold_join_highrecall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 [Q]: the high-recall end of the banded-simhash knob — 8 bands
-    of 2 bits (measured recall 0.97 at threshold 0.3 vs 0.04 for the
-    2-band scale default; tests/test_recall_gates.py). Coarser buckets
-    mean more candidates: the configuration a caller picks when the
-    threshold is low and the corpus slice is priced for it."""
+    """X4 [Q]: the high-recall end of the threshold-join knob, re-based
+    (round 7) on scale-adaptive multi-probe LSH: 96 planes as 12 bands x
+    8 bits, probing hamming <= 2 per band. Measured recall 0.99+ at
+    threshold 0.3 (gated >= 0.95, tests/test_recall_gates.py) with bucket
+    cardinality 256 per band — the retired 8x2-bit coarse-band config
+    (4 buckets/band => Theta(n^2) candidates by construction) is gone;
+    recall is bought with probe radius at constant bucket cardinality,
+    the construction whose candidate stage scales sub-quadratically when
+    band width grows with log(corpus) (see MP_* constants)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return embedding_threshold_join(
-        emb,
-        0.3,
-        bands=HIGH_RECALL_SIG_BANDS,
-        sig=cached_embedding_signatures(spark, sf_dir),
+    return embedding_threshold_join_multiprobe(
+        emb, 0.3, keys=cached_embedding_band_keys(spark, sf_dir)
     )
 
 

@@ -278,7 +278,7 @@ def q_tpch_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_shipping_priority",
     oracle="""
 SELECT l.l_orderkey, o.o_orderdate,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)), 2)::DOUBLE AS revenue
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -286,7 +286,7 @@ WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
   AND l.l_shipdate > TIMESTAMP '1997-01-01'
 GROUP BY l.l_orderkey, o.o_orderdate
-ORDER BY revenue DESC, l.l_orderkey ASC
+ORDER BY sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)) DESC, l.l_orderkey ASC
 LIMIT 10
 """,
 )
@@ -294,7 +294,14 @@ def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3-shape [Q]: segment-filtered customer dim broadcast into the
     orders join, both date filters pushed into the fact scans, revenue
     aggregation with map-side combine, global top-10 via
-    TakeOrderedAndProject (no full sort)."""
+    TakeOrderedAndProject (no full sort).
+
+    Revenue accumulates in DECIMAL, not DOUBLE: the top-10 cutoff orders
+    a cross-row sum, and engine-specific float reduction order could
+    flip rank-10/11 membership by an ULP. Per-term double->decimal
+    rounding is deterministic (same binary input in both engines), and
+    decimal summation is exact, so the cutoff is order-independent; the
+    reported column is the rounded sum cast back to DOUBLE."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )

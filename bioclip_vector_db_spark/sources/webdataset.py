@@ -111,18 +111,19 @@ def _stage_document_shards(sf_dir: str, n_shards: int = 4) -> str:
     stamp = hashlib.md5(
         (str(os.path.getmtime(src)) + str(os.path.getsize(src)) + str(n_shards)).encode()
     ).hexdigest()
-    import glob as _glob
-    import shutil
     import tempfile
+
+    from ..streaming.staging import _reap_stale_gate_siblings
 
     out = os.path.join(tempfile.gettempdir(), f"bvds_wds_shards_{stamp[:12]}")
     # The stamp is part of the dir name (content-addressed), so a
     # regenerated fixture would strand the previous round's shards
-    # forever — best-effort reap of other-stamp siblings (published dirs
-    # are immutable; losing one to a concurrent builder just rebuilds).
-    for d in _glob.glob(os.path.join(tempfile.gettempdir(), "bvds_wds_shards_*")):
-        if d != out:
-            shutil.rmtree(d, ignore_errors=True)
+    # forever — reap other-stamp siblings under the SAME non-blocking
+    # per-dir flock discipline as the durable gates and bench wipe: a
+    # concurrent process still scanning shards staged from an older
+    # fixture holds its dir's lock and keeps its tar files; only
+    # lock-free (abandoned) siblings are removed.
+    _reap_stale_gate_siblings("bvds_wds_shards", keep=out)
 
     def build(tmp: str) -> None:
         tbl = pq.read_table(src, columns=["doc_id", "text", "lang"])

@@ -191,6 +191,23 @@ def _stage_documents_feed(sf_dir: str, n_files: int = 3) -> str:
     )
 
 
+def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
+    """Idempotent per-batch store write: stamp the micro-batch id and
+    dynamically overwrite exactly that partition — an at-least-once
+    foreachBatch replay rewrites its own partition instead of appending
+    duplicate rows (the replay-protection contract of
+    stream_near_dup_ingest)."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def stream_near_dup_ingest(
     spark: SparkSession, feed_dir: str, store_dir: str, threshold: float = 0.8
 ) -> None:
@@ -206,6 +223,15 @@ def stream_near_dup_ingest(
     re-shingles ONLY the candidate stored docs (bounded by candidate
     count, not store size). In-batch pairs are NOT flagged — the check is
     against the store, mirroring the reference's per-id existence check.
+
+    Replay contract (foreachBatch is at-least-once): every store table
+    (pairs, docs, buckets) is PARTITIONED BY batch_id and written with
+    dynamic partition overwrite, so a replayed batch rewrites exactly its
+    own partitions instead of appending duplicates; and the stored side
+    of the candidate join is restricted to batch_id < current — a replay
+    that crashed after the docs append never sees its own half-written
+    batch (which would flag in-batch pairs), and arrival-order semantics
+    hold even if the whole checkpoint is lost and every batch replays.
     """
     import glob as _glob
 
@@ -226,7 +252,13 @@ def stream_near_dup_ingest(
         buckets_path = f"{store_dir}/buckets"
         pairs_path = f"{store_dir}/pairs"
         if os.path.exists(buckets_path):
-            stored_buckets = spark.read.parquet(buckets_path)
+            # batch_id < current: earlier arrivals only — a replayed
+            # batch must not join against its own (possibly partial)
+            # prior attempt, and a full-checkpoint-loss replay must not
+            # see batches that arrived later in the original run.
+            stored_buckets = spark.read.parquet(buckets_path).filter(
+                F.col("batch_id") < F.lit(_batch_id)
+            )
             cands = (
                 stored_buckets.select(
                     F.col("doc_id").alias("a_id"), "band", "sig"
@@ -238,8 +270,12 @@ def stream_near_dup_ingest(
                 .select("a_id", "b_id")
                 .distinct()
             )
-            cand_docs = spark.read.parquet(docs_path).join(
-                cands.select(F.col("a_id").alias("doc_id")).distinct(), "doc_id"
+            cand_docs = (
+                spark.read.parquet(docs_path)
+                .filter(F.col("batch_id") < F.lit(_batch_id))
+                .join(
+                    cands.select(F.col("a_id").alias("doc_id")).distinct(), "doc_id"
+                )
             )
             sh_a = doc_shingles(cand_docs).persist()
             _batch_persists.append(sh_a)
@@ -274,7 +310,7 @@ def stream_near_dup_ingest(
                 )
                 .filter(F.col("jaccard") >= threshold)
             )
-            pairs.write.mode("append").parquet(pairs_path)
+            _write_batch_partition(pairs, _batch_id, pairs_path)
         # The two store appends are independent — run them concurrently
         # (same pattern as append_to_index's table writes).
         from concurrent.futures import ThreadPoolExecutor
@@ -282,10 +318,12 @@ def stream_near_dup_ingest(
         with ThreadPoolExecutor(2) as pool:
             futs = [
                 pool.submit(
-                    lambda: batch.write.mode("append").parquet(docs_path)
+                    lambda: _write_batch_partition(batch, _batch_id, docs_path)
                 ),
                 pool.submit(
-                    lambda: buckets_b.write.mode("append").parquet(buckets_path)
+                    lambda: _write_batch_partition(
+                        buckets_b, _batch_id, buckets_path
+                    )
                 ),
             ]
             for f in futs:

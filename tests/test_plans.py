@@ -113,6 +113,17 @@ def test_simhash_text_join_is_bucketed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_multiprobe_threshold_join_is_equi_only(spark, sf_dir):
+    """The high-recall multi-probe threshold join must form candidates by
+    (band, key) equi-join of probed keys only — no all-pairs stage, and
+    the probe explode is a constant C(8,<=2)=37 factor, never a
+    row-count-dependent expansion. Guards the round-7 replacement of the
+    quadratic 8x2-bit coarse-band config."""
+    plan = _plan(QUERIES["similarity_threshold_join_highrecall"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_remap_join_has_no_exchange(spark, sf_dir):
     """The cluster layout: corpus and id_mapping bucketed on the join key
     (partition_id, faiss_id) must make the O25 remap join exchange-free —

@@ -364,3 +364,16 @@ def test_logic_token_distinguishes_none_global_from_missing():
     ns_none2: dict = {"KEEP": None}
     exec(src, ns_none2)
     assert logic_token(ns_none["f"]) == logic_token(ns_none2["f"])
+
+
+def test_logic_token_keeps_str_globals_containing_0x():
+    """The address-repr heuristic must never swallow a STRING global: a
+    str legitimately containing '0x' is a stable constant whose change
+    must re-key the gate (ADVICE r6: the old heuristic dropped any repr
+    containing '0x', str included)."""
+    src = "def f():\n    return MAGIC\n"
+    ns1: dict = {"MAGIC": "prefix_0xdead"}
+    ns2: dict = {"MAGIC": "prefix_0xbeef"}
+    for ns in (ns1, ns2):
+        exec(src, ns)
+    assert logic_token(ns1["f"]) != logic_token(ns2["f"])

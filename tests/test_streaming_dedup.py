@@ -52,3 +52,47 @@ def test_streaming_dedup_drops_redelivery(spark, tmp_path):
     q.awaitTermination()
     ids = sorted(r.event_id for r in spark.table("dedup_stream_sink").collect())
     assert ids == [1, 2, 3]
+
+
+def test_near_dup_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Replay protection for stream_near_dup_ingest (at-least-once
+    foreachBatch): every store table is partitioned by batch_id and
+    dynamically overwritten, and the stored join side is restricted to
+    earlier batch_ids. Losing the ENTIRE checkpoint and replaying every
+    batch — the worst at-least-once failure — must reproduce the exact
+    same store: no duplicate pairs/docs, no self-flagged in-batch pairs
+    from a batch seeing its own prior attempt."""
+    from bioclip_vector_db_spark.streaming.ingest import (
+        _stage_documents_feed,
+        stream_near_dup_ingest,
+    )
+    from bioclip_vector_db_spark.streaming.staging import fixture_stream_conf
+
+    feed = _stage_documents_feed(sf_dir)
+    store = tmp_path / "store"
+    with fixture_stream_conf(spark):
+        stream_near_dup_ingest(spark, feed, str(store))
+
+    def snap(table):
+        p = store / table
+        if not p.exists():
+            return []
+        df = spark.read.parquet(str(p)).drop("batch_id")
+        return sorted(map(tuple, df.collect()))
+
+    first = {t: snap(t) for t in ("pairs", "docs", "buckets")}
+    assert first["docs"], "stream must have ingested documents"
+
+    # Simulate total checkpoint loss: the stream restarts from scratch
+    # and re-delivers every batch against the already-populated store.
+    import shutil
+
+    shutil.rmtree(store / "_ckpt")
+    with fixture_stream_conf(spark):
+        stream_near_dup_ingest(spark, feed, str(store))
+
+    second = {t: snap(t) for t in ("pairs", "docs", "buckets")}
+    assert second == first
+    # Explicitly: no duplicated doc rows and no in-batch self-pairs.
+    docs = spark.read.parquet(str(store / "docs"))
+    assert docs.count() == docs.select("doc_id").distinct().count()

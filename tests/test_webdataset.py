@@ -70,3 +70,35 @@ def test_multidot_member_names(spark, tmp_path):
     rows = wds.read_webdataset(spark, str(tmp_path)).collect()
     assert rows[0].member == "taxontag_com.txt"
     assert rows[0].key == "k"
+
+
+def test_shard_cache_reap_skips_locked_siblings(sf_dir):
+    """Staging the document shards reaps other-stamp sibling cache dirs —
+    but only those whose per-dir flock is free: a concurrent process
+    still reading shards staged from an older fixture keeps its dir
+    (ADVICE r6: the old reap rmtree'd unconditionally)."""
+    import fcntl
+    import os
+    import tempfile
+
+    from bioclip_vector_db_spark.sources.webdataset import _stage_document_shards
+
+    tmp = tempfile.gettempdir()
+    locked = os.path.join(tmp, "bvds_wds_shards_lockedold")
+    free = os.path.join(tmp, "bvds_wds_shards_freeold")
+    for d in (locked, free):
+        os.makedirs(d, exist_ok=True)
+    fh = open(f"{locked}.lock", "a+")
+    try:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        out = _stage_document_shards(sf_dir)
+        assert os.path.isdir(out)
+        assert os.path.isdir(locked), "locked sibling must survive the reap"
+        assert not os.path.exists(free), "lock-free stale sibling is reaped"
+    finally:
+        fcntl.flock(fh, fcntl.LOCK_UN)
+        fh.close()
+        import shutil
+
+        shutil.rmtree(locked, ignore_errors=True)
+        os.unlink(f"{locked}.lock", )
