@@ -204,6 +204,48 @@ def build_index(
     }
 
 
+#: Stored-corpus schemas observed per index_dir: the appender itself wrote
+#: them, so the NEXT append can pass the schema to the read and skip the
+#: per-batch footer-inference pass (driver-side latency on the micro-batch
+#: path). Process-local by design — a fresh process re-infers once.
+_CORPUS_SCHEMA_CACHE: dict[str, "object"] = {}
+
+#: Per-index next-faiss_id state: {index_dir: {partition_id: next_id}} —
+#: BOUNDED driver state (nlist entries), maintained across appends so the
+#: steady-state batch path needs NO second corpus scan + broadcast build
+#: for the id offsets (they fold in as a literal map expression). Seeded
+#: from the stored corpus on a cache miss (fresh process / restart) and
+#: invalidated on any append failure; a wiped/rebootstrapped dir resets it
+#: because the bootstrap path never reads it. Single-writer by contract —
+#: the durable ingest gate serializes appenders per index_dir.
+_NEXT_IDS_CACHE: dict[str, dict[int, int]] = {}
+
+
+def _peek_append_state(index_dir: str) -> "tuple[object, dict[int, int] | None]":
+    """(cached corpus schema, cached next-id map) for ``index_dir``.
+
+    Accessor on purpose: append_to_index is fingerprinted by
+    staging.logic_token, which folds dict-typed module globals it names —
+    naming the mutable cache dicts directly from the append body would
+    fold their CONTENTS (tempdir paths!) into the durable-gate token and
+    re-key the gate on every run (function-typed globals are skipped, so
+    routing the state through accessors keeps the token a function of
+    logic only; regression: tests/test_staging.py
+    test_append_state_caches_do_not_thrash_gate_token)."""
+    return _CORPUS_SCHEMA_CACHE.get(index_dir), _NEXT_IDS_CACHE.get(index_dir)
+
+
+def _invalidate_next_ids(index_dir: str) -> None:
+    _NEXT_IDS_CACHE.pop(index_dir, None)
+
+
+def _store_append_state(
+    index_dir: str, schema: object, next_map: dict[int, int]
+) -> None:
+    _CORPUS_SCHEMA_CACHE[index_dir] = schema
+    _NEXT_IDS_CACHE[index_dir] = next_map
+
+
 def append_to_index(
     spark: SparkSession,
     index_dir: str,
@@ -232,21 +274,42 @@ def append_to_index(
     # faiss-id window, so this costs no extra exchange.
     batch = batch.select("vec_id", "embedding", "label").dropDuplicates(["vec_id"])
     bootstrap = not os.path.exists(f"{index_dir}/corpus")
+    cached_schema, cached_next = _peek_append_state(index_dir)
     if bootstrap:
-        next_ids = None
+        next_map: dict[int, int] = {}
     else:
-        stored = spark.read.parquet(f"{index_dir}/corpus")
+        reader = spark.read
+        if cached_schema is not None:
+            reader = reader.schema(cached_schema)
+        stored = reader.parquet(f"{index_dir}/corpus")
         batch = batch.join(stored.select("vec_id"), "vec_id", "left_anti")
-        next_ids = stored.groupBy("partition_id").agg(
-            (F.max("faiss_id") + 1).alias("_next_id")
-        )
+        next_map = cached_next
+        if next_map is None:
+            next_map = {
+                r["partition_id"]: r["_next_id"]
+                for r in stored.groupBy("partition_id")
+                .agg((F.max("faiss_id") + 1).alias("_next_id"))
+                .collect()
+            }
+    _invalidate_next_ids(index_dir)  # restored only on success
     assigned = assign_partitions(batch, centroids)
     w = Window.partitionBy("partition_id").orderBy(F.col("vec_id").asc())
     rows = assigned.withColumn("_rn", (F.row_number().over(w) - 1).cast("bigint"))
-    if next_ids is not None:
-        rows = rows.join(F.broadcast(next_ids), "partition_id", "left").withColumn(
-            "_rn", F.col("_rn") + F.coalesce("_next_id", F.lit(0))
-        ).drop("_next_id")
+    if next_map:
+        # nlist-bounded literal map: the id offsets ride the expression —
+        # no broadcast-build job, no second corpus scan per batch.
+        offsets = F.create_map(
+            *[
+                F.lit(x)
+                for kv in next_map.items()
+                for x in (int(kv[0]), int(kv[1]))
+            ]
+        )
+        rows = rows.withColumn(
+            "_rn",
+            F.col("_rn")
+            + F.coalesce(offsets[F.col("partition_id")], F.lit(0)).cast("bigint"),
+        )
     rows = (
         rows.withColumn("faiss_id", F.col("_rn")).drop("_rn").localCheckpoint(eager=True)
     )
@@ -274,7 +337,18 @@ def append_to_index(
             f"{index_dir}/id_mapping"
         )
 
-    writes = [_write_corpus, _write_mapping]
+    def _batch_next_ids() -> dict[int, int]:
+        # max faiss_id per partition of THIS batch (checkpointed — no
+        # corpus IO); partitions untouched by the batch keep their old
+        # next id via the merge below.
+        return {
+            r["partition_id"]: r["_nxt"]
+            for r in rows.groupBy("partition_id")
+            .agg((F.max("faiss_id") + 1).alias("_nxt"))
+            .collect()
+        }
+
+    writes = [_write_corpus, _write_mapping, _batch_next_ids]
     if bootstrap:
         writes.append(
             lambda: centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
@@ -282,8 +356,13 @@ def append_to_index(
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(len(writes)) as pool:
-        for fut in [pool.submit(w) for w in writes]:
-            fut.result()  # re-raise the first failure
+        results = [f.result() for f in [pool.submit(w) for w in writes]]
+    # Cache schema + merged next-id state only after every write landed
+    # (rows' columns are exactly what partitionBy-append lands, partition
+    # column matched by name, so the next append skips footer inference);
+    # a failed append leaves the next-id cache invalidated (popped above)
+    # and the next attempt re-seeds from the stored corpus.
+    _store_append_state(index_dir, rows.schema, {**next_map, **results[2]})
 
 
 def compact_index(

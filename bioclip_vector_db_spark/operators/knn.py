@@ -85,6 +85,10 @@ def knn_join(
 #: only the small/large heuristic lags.
 _KERNEL_CACHE: dict[tuple[int, int], str] = {}
 
+#: Collapsed 1-row centroid tables for assign_partitions, keyed like
+#: _KERNEL_CACHE — per-micro-batch plan reconstruction is driver latency.
+_CENTS_CACHE: dict[tuple[int, int], "DataFrame"] = {}
+
 
 def _pick_kernel(kernel: str, centroids: DataFrame) -> str:
     """Resolve ``kernel='auto'`` by probing the centroid count: small-k
@@ -180,11 +184,24 @@ def assign_partitions(
         from .knn_numpy import assign_partitions_numpy
 
         return assign_partitions_numpy(vectors, centroids)
-    cents = centroids.groupBy().agg(
-        F.collect_list(
-            F.struct(F.col("partition_id").alias("pid"), F.col("centroid").alias("c"))
-        ).alias("_cents")
+    # The collapsed 1-row centroid table is memoized per (session,
+    # centroid plan) like the kernel choice: a streaming ingest calls
+    # this once per micro-batch with the SAME centroids, and rebuilding
+    # the agg plan is pure driver-side py4j latency on the batch path.
+    ckey = (
+        id(centroids.sparkSession),
+        centroids._jdf.queryExecution().analyzed().semanticHash(),
     )
+    cents = _CENTS_CACHE.get(ckey)
+    if cents is None:
+        cents = centroids.groupBy().agg(
+            F.collect_list(
+                F.struct(
+                    F.col("partition_id").alias("pid"), F.col("centroid").alias("c")
+                )
+            ).alias("_cents")
+        )
+        _CENTS_CACHE[ckey] = cents
     emb = F.col("embedding").cast("array<double>")
     # array_min over (d, pid) structs = lexicographic min = argmin with the
     # smallest-pid tiebreak, one distance evaluation per centroid.

@@ -377,3 +377,21 @@ def test_logic_token_keeps_str_globals_containing_0x():
     for ns in (ns1, ns2):
         exec(src, ns)
     assert logic_token(ns1["f"]) != logic_token(ns2["f"])
+
+
+def test_append_state_caches_do_not_thrash_gate_token():
+    """append_to_index keeps per-index driver state (corpus schema,
+    next-faiss_id map) behind accessor functions: if the append body
+    named the mutable cache dicts directly, logic_token would fold their
+    contents (tempdir paths) and re-key the durable ingest gate on every
+    run — turning every restart into a cold rebuild."""
+    from bioclip_vector_db_spark.operators import indexing as ix
+
+    t1 = logic_token(ix.append_to_index)
+    ix._store_append_state("/tmp/fake_dir_a", object(), {0: 7})
+    try:
+        t2 = logic_token(ix.append_to_index)
+    finally:
+        ix._CORPUS_SCHEMA_CACHE.pop("/tmp/fake_dir_a", None)
+        ix._NEXT_IDS_CACHE.pop("/tmp/fake_dir_a", None)
+    assert t1 == t2
