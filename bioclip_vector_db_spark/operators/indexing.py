@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.vector import dot_product
 from ..plans.registry import register
 from ..sources.catalog import load_table
 from .knn import (
@@ -636,6 +637,183 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.select(
         F.col("partition_id").cast("int").alias("partition_id"),
         F.size("centroid").cast("int").alias("dim"),
+    )
+
+
+def refresh_centroids(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Incremental centroid maintenance: ONE Lloyd step under the current
+    assignments — each partition's centroid moves to the (re-normalized)
+    mean of the vectors currently assigned to it; partitions that lost
+    every vector keep their old centroid. Returns
+    ``(partition_id, centroid)`` like the trainer.
+
+    This is the deterministic refresh the reference lacks (it retrains
+    from scratch, vector_db.py:73): no RNG, no iteration-order
+    dependence, so unlike ml.KMeans the refreshed centers have an EXACT
+    SQL twin. Scale shape: one dim-exploded aggregate keyed on
+    (partition, dim) — k*dim result rows regardless of corpus size —
+    plus a k-row join; map-side partial aggregation does the heavy sum.
+    """
+    from ..functions.vector import l2_normalize
+
+    pos = assigned.select(
+        "partition_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    means = pos.groupBy("partition_id", "pos").agg(F.avg("val").alias("v"))
+    fresh = (
+        means.groupBy("partition_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            "partition_id",
+            l2_normalize(F.expr("transform(pv, x -> x.v)")).alias("_fresh"),
+        )
+    )
+    return centroids.join(fresh, "partition_id", "left").select(
+        "partition_id",
+        F.coalesce("_fresh", "centroid").alias("centroid"),
+    )
+
+
+#: Drifted-arrival slice for the refresh gate: vec_id < 100 re-keyed and
+#: NEGATED — unit norm preserved, cosine flipped, so the arrivals land in
+#: antipodal partitions and force real assignment churn.
+_DRIFT_REKEY = 20_000
+
+
+def _drifted_corpus(emb: DataFrame) -> DataFrame:
+    drift = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + _DRIFT_REKEY).alias("vec_id"),
+        F.expr("transform(embedding, x -> -x)").alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(drift)
+
+
+@register(
+    "kmeans_refresh",
+    oracle=f"""
+WITH {CENTROIDS_CTE.strip()},
+corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_DRIFT_REKEY}, list_transform(embedding, x -> -x)
+    FROM embeddings WHERE vec_id < {100}
+),
+a_old AS (
+    SELECT vec_id, embedding, partition_id FROM (
+        SELECT c0.vec_id, c0.embedding, c.partition_id,
+               row_number() OVER (
+                   PARTITION BY c0.vec_id
+                   ORDER BY round(1.0 - list_dot_product(c0.embedding::DOUBLE[], c.centroid), 9),
+                            c.partition_id) AS r
+        FROM corpus c0 CROSS JOIN centroids c
+    ) WHERE r = 1
+),
+ref_pos AS (
+    SELECT partition_id,
+           unnest(generate_series(1, len(embedding))) AS pos,
+           unnest(embedding) AS val
+    FROM a_old
+),
+ref_means AS (
+    SELECT partition_id, pos, avg(val::DOUBLE) AS v
+    FROM ref_pos GROUP BY partition_id, pos
+),
+ref_raw AS (
+    SELECT partition_id, list(v ORDER BY pos) AS fresh
+    FROM ref_means GROUP BY partition_id
+),
+new_centroids AS (
+    SELECT c.partition_id,
+           coalesce(
+               list_transform(r.fresh, x -> x / sqrt(list_dot_product(r.fresh, r.fresh))),
+               c.centroid) AS centroid
+    FROM centroids c LEFT JOIN ref_raw r USING (partition_id)
+),
+a_new AS (
+    SELECT vec_id, partition_id FROM (
+        SELECT c0.vec_id, c.partition_id,
+               row_number() OVER (
+                   PARTITION BY c0.vec_id
+                   ORDER BY round(1.0 - list_dot_product(c0.embedding::DOUBLE[], c.centroid), 9),
+                            c.partition_id) AS r
+        FROM corpus c0 CROSS JOIN new_centroids c
+    ) WHERE r = 1
+),
+moves AS (
+    SELECT o.partition_id, count(*) AS n_before,
+           sum(CASE WHEN o.partition_id <> n.partition_id THEN 1 ELSE 0 END) AS n_moved_out
+    FROM a_old o JOIN a_new n USING (vec_id)
+    GROUP BY o.partition_id
+),
+after AS (SELECT partition_id, count(*) AS n_after FROM a_new GROUP BY partition_id),
+shifts AS (
+    SELECT o.partition_id,
+           round(1.0 - list_dot_product(o.centroid, n.centroid), 9) AS centroid_shift
+    FROM centroids o JOIN new_centroids n USING (partition_id)
+)
+SELECT s.partition_id::INT AS partition_id,
+       coalesce(m.n_before, 0)::BIGINT AS n_before,
+       coalesce(a.n_after, 0)::BIGINT AS n_after,
+       coalesce(m.n_moved_out, 0)::BIGINT AS n_moved_out,
+       s.centroid_shift
+FROM shifts s
+LEFT JOIN moves m USING (partition_id)
+LEFT JOIN after a USING (partition_id)
+""",
+)
+def q_kmeans_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18-extension [Q]: incremental centroid maintenance under drift —
+    the corpus plus a negated re-keyed arrival slice is assigned under
+    the current (fixture) centroids, one deterministic Lloyd refresh step
+    recomputes the centers, and the per-partition ledger reports the
+    assignment-delta accounting: counts before/after, vectors moved out,
+    and each centroid's cosine shift. The whole refresh (unlike the
+    seed-dependent ml.KMeans trainer) is exactly SQL-mirrored — counts
+    AND shifts hash-gated, not invariant-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = _drifted_corpus(emb)
+    cent_old = fixture_centroids(spark, sf_dir)
+    a_old = assign_partitions(corpus, cent_old).select(
+        "vec_id", "embedding", "partition_id"
+    )
+    cent_new = refresh_centroids(a_old, cent_old)
+    a_new = assign_partitions(corpus, cent_new).select("vec_id", "partition_id")
+    j = a_old.select("vec_id", F.col("partition_id").alias("pid_old")).join(
+        a_new.select("vec_id", F.col("partition_id").alias("pid_new")), "vec_id"
+    )
+    moves = j.groupBy(F.col("pid_old").alias("partition_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum((F.col("pid_old") != F.col("pid_new")).cast("int"))
+        .cast("bigint")
+        .alias("n_moved_out"),
+    )
+    after = a_new.groupBy("partition_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after")
+    )
+    shifts = (
+        cent_old.select("partition_id", F.col("centroid").alias("c_old"))
+        .join(
+            cent_new.select("partition_id", F.col("centroid").alias("c_new")),
+            "partition_id",
+        )
+        .select(
+            "partition_id",
+            F.round(
+                F.lit(1.0) - dot_product(F.col("c_old"), F.col("c_new")), 9
+            ).alias("centroid_shift"),
+        )
+    )
+    return (
+        shifts.join(moves, "partition_id", "left")
+        .join(after, "partition_id", "left")
+        .select(
+            F.col("partition_id").cast("int").alias("partition_id"),
+            F.coalesce("n_before", F.lit(0)).cast("bigint").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            F.coalesce("n_moved_out", F.lit(0)).cast("bigint").alias("n_moved_out"),
+            "centroid_shift",
+        )
     )
 
 

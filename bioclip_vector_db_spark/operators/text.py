@@ -424,6 +424,52 @@ def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sketch size for the approx-quantile gate: rank error <= 1/accuracy.
+#: At fixture scale every per-language group is smaller than this, so the
+#: Greenwald-Khanna summary retains ALL values and the query returns the
+#: exact discrete quantile — which DuckDB's quantile_disc reproduces
+#: bit-for-bit, making the approx PATH (the one a 100-TB run uses)
+#: hash-gateable. tests/test_text.py quantifies the error at a lowered
+#: accuracy against the exact twin.
+QUANTILE_ACCURACY = 10_000
+
+
+@register(
+    "text_length_quantiles_approx",
+    oracle=f"""
+WITH w AS (SELECT lang, len({_WORDS_SQL}) AS n_words FROM documents),
+q AS (SELECT lang, quantile_disc(n_words, [0.5, 0.9, 0.99]) AS qs FROM w GROUP BY lang)
+SELECT lang,
+       qs[1]::BIGINT AS p50_words,
+       qs[2]::BIGINT AS p90_words,
+       qs[3]::BIGINT AS p99_words
+FROM q
+""",
+)
+def q_text_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: the scale form of text_length_quantiles — percentile_approx
+    (mergeable Greenwald-Khanna sketch: map-side partial aggregation, no
+    per-group sort, bounded memory) instead of exact interpolated
+    percentile. Error contract: rank error <= n/QUANTILE_ACCURACY per
+    group; on the fixture every group fits inside the sketch, so the
+    result is the exact DISCRETE quantile and the DuckDB quantile_disc
+    oracle pins it exactly — the same query text a 100-TB run executes,
+    gated without loosening the hash-exact parity convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("lang", F.size(words(F.col("text"))).alias("n_words"))
+    q = w.groupBy("lang").agg(
+        F.expr(
+            f"percentile_approx(n_words, array(0.5D, 0.9D, 0.99D), {QUANTILE_ACCURACY})"
+        ).alias("qs")
+    )
+    return q.select(
+        "lang",
+        F.col("qs")[0].cast("bigint").alias("p50_words"),
+        F.col("qs")[1].cast("bigint").alias("p90_words"),
+        F.col("qs")[2].cast("bigint").alias("p99_words"),
+    )
+
+
 @register(
     "text_fingerprints",
     oracle=f"""
@@ -891,6 +937,193 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-bucket docs score 0 by construction, held-out docs their true
     novelty. Integer-exact (no cross-row float sums)."""
     return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Hashed-ngram LM quality score (CCNet/KenLM-style, X5)
+# ---------------------------------------------------------------------------
+
+#: Hash-bucket count for the LM's n-gram tables — the KenLM trick that
+#: bounds model memory at corpus scale: counts key on md5-bucketed gram
+#: hashes (collisions merge counts identically in both engines), so the
+#: model is <= 2 * LM_HASH_BUCKETS rows no matter how big the corpus is —
+#: broadcastable, map-side lookup.
+LM_HASH_BUCKETS = 1 << 20
+
+#: Keep gate: average negative log10 bigram probability per document.
+#: Fixture distribution at sf0.01: p10=1.458, median=1.480, p90=1.503,
+#: max=1.602 — 1.52 drops the high-perplexity tail (~8%).
+LM_KEEP_MAX_NLP = 1.52
+
+#: Fixed-point quantization for per-gram log-probs: each term becomes
+#: floor(log10(p) * LM_LP_SCALE) BEFORE any cross-row aggregation, so the
+#: per-document sum is an exact BIGINT reduction — order-independent in
+#: both engines (cross-row DOUBLE sums reduce in engine-specific order,
+#: the parity hazard the convention bans).
+LM_LP_SCALE = 1_000_000
+
+
+def _gram_hash(col: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+        % LM_HASH_BUCKETS
+    )
+
+
+def lm_score(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Hashed-bigram LM quality score (the public CCNet method: score
+    documents by LM perplexity under a model trained on trusted text,
+    keep the low-perplexity mass; KenLM is the usual scorer). The model
+    here is add-one-smoothed bigrams counted over the md5 train split
+    (documents_train_split's bucket < 80) with hashed count tables:
+
+        P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+
+    where counts key on md5-hash buckets (LM_HASH_BUCKETS) and V is the
+    distinct-context-bucket count. Per-doc score = mean negative log10
+    bigram probability; keep gate at LM_KEEP_MAX_NLP.
+
+    Exactness: each gram's log-prob is quantized to an integer
+    (floor(log10(p) * LM_LP_SCALE)) BEFORE summation — the rollup is an
+    exact integer sum, so Spark and the DuckDB oracle agree bit-for-bit
+    (same rational inputs to log10; floor tolerates sub-1e-6 libm ULP
+    differences everywhere except exact integer boundaries, which the
+    fixture verifies empty).
+
+    Scale shape: both count tables are bounded by the hash-bucket count
+    (broadcastable at any corpus size — the KenLM memory bound); scoring
+    is two model-sized equi-joins plus a doc_id-keyed integer rollup.
+    Swapping in a real KenLM changes the lookup table, not the dataflow.
+    """
+    toks = words(F.col(text_col))
+    gram_structs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(toks, i, 2)).alias("gram"),
+                F.element_at(toks, i).alias("ctx"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<gram:string,ctx:string>>"))
+    grams = df.select("doc_id", F.explode(gram_structs).alias("g")).select(
+        "doc_id", F.col("g.gram").alias("gram"), F.col("g.ctx").alias("ctx")
+    )
+    unis = df.select("doc_id", F.explode(toks).alias("w"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    train_ids = df.select("doc_id").filter(bucket < 80)
+    c2 = (
+        grams.join(train_ids, "doc_id", "left_semi")
+        .groupBy(_gram_hash(F.col("gram")).alias("h2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = (
+        unis.join(train_ids, "doc_id", "left_semi")
+        .groupBy(_gram_hash(F.col("w")).alias("h1"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = c1.agg(F.count(F.lit(1)).alias("nv"))
+    scored = (
+        grams.withColumn("h2", _gram_hash(F.col("gram")))
+        .withColumn("h1", _gram_hash(F.col("ctx")))
+        .join(c2, "h2", "left")
+        .join(c1, "h1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log10(
+                    (F.coalesce("c2", F.lit(0)) + 1)
+                    / (F.coalesce("c1", F.lit(0)) + F.col("nv"))
+                )
+                * LM_LP_SCALE
+            )
+            .cast("bigint")
+            .alias("lpq"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"), F.sum("lpq").alias("lp_sum")
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("lp_sum", F.lit(0)).cast("bigint").alias("lp_sum"),
+        )
+        .withColumn(
+            "nlp",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    -F.col("lp_sum") / (F.lit(LM_LP_SCALE) * F.col("n_grams")), 6
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("keep_lm", F.col("nlp") <= LM_KEEP_MAX_NLP)
+    )
+
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+grams AS (
+    SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram, ws[i] AS ctx
+    FROM toks, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)
+),
+unis AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+train_ids AS (
+    SELECT doc_id FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+),
+c2 AS (
+    SELECT ('0x'||substr(md5(gram),1,8))::BIGINT % {LM_HASH_BUCKETS} AS h2,
+           count(*) AS c2
+    FROM grams JOIN train_ids USING (doc_id) GROUP BY 1
+),
+c1 AS (
+    SELECT ('0x'||substr(md5(w),1,8))::BIGINT % {LM_HASH_BUCKETS} AS h1,
+           count(*) AS c1
+    FROM unis JOIN train_ids USING (doc_id) GROUP BY 1
+),
+v AS (SELECT count(*) AS nv FROM c1),
+scored AS (
+    SELECT g.doc_id,
+           floor(log10((coalesce(c2.c2, 0) + 1) * 1.0
+                       / (coalesce(c1.c1, 0) + v.nv)) * {LM_LP_SCALE})::BIGINT AS lpq
+    FROM grams g
+    LEFT JOIN c2 ON c2.h2 = ('0x'||substr(md5(g.gram),1,8))::BIGINT % {LM_HASH_BUCKETS}
+    LEFT JOIN c1 ON c1.h1 = ('0x'||substr(md5(g.ctx),1,8))::BIGINT % {LM_HASH_BUCKETS}
+    CROSS JOIN v
+),
+per_doc AS (SELECT doc_id, count(*) AS n_grams, sum(lpq) AS lp_sum FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.lp_sum, 0)::BIGINT AS lp_sum,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN round(-p.lp_sum * 1.0 / ({LM_LP_SCALE} * p.n_grams), 6)
+            ELSE 0.0 END AS nlp,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN round(-p.lp_sum * 1.0 / ({LM_LP_SCALE} * p.n_grams), 6)
+            ELSE 0.0 END <= {LM_KEEP_MAX_NLP} AS keep_lm
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: hashed-bigram LM perplexity score (CCNet-style quality
+    gate) — every doc scored by its mean negative log10 bigram
+    probability under an add-one-smoothed model counted over the
+    md5-train-split with hash-bucketed (memory-bounded, broadcastable)
+    count tables; integer-quantized log-probs keep the rollup exact."""
+    return lm_score(load_table(spark, sf_dir, "documents"))
 
 
 #: Four-language stopword lists for the MULTI-language ID gate (the

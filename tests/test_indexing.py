@@ -44,3 +44,24 @@ def test_nlist_rule(spark):
     assert indexing.derive_nlist(10_000_000) == 31_622
     assert indexing.derive_nlist(1) == 10
     assert indexing.derive_nlist(0) == 1
+
+
+def test_kmeans_refresh_drift_accounting(spark, sf_dir):
+    """The refresh ledger must balance and actually detect drift: counts
+    are conserved (every vector assigned exactly once before and after),
+    the negated arrival slice forces real churn (some partition moves
+    vectors out), every centroid that owns vectors shifts (its mean now
+    includes drifted mass or lost members), and empty partitions keep
+    their old centroid (shift exactly 0)."""
+    from bioclip_vector_db_spark.plans.registry import QUERIES
+
+    rows = QUERIES["kmeans_refresh"](spark, sf_dir).collect()
+    assert len(rows) == 10  # one ledger row per partition
+    total_before = sum(r.n_before for r in rows)
+    total_after = sum(r.n_after for r in rows)
+    assert total_before == total_after  # conservation
+    assert any(r.n_moved_out > 0 for r in rows)  # drift detected
+    for r in rows:
+        assert 0 <= r.n_moved_out <= r.n_before, r
+        if r.n_before == 0:
+            assert r.centroid_shift == 0.0, r  # kept old centroid

@@ -141,3 +141,91 @@ def test_pii_redact_planted_rows(spark):
     assert got[2] == (2, "server at <IP> and card <CARD> leaked")
     assert got[3] == (2, "call <PHONE> or mail <EMAIL> now")
     assert got[4] == (0, "clean row with no pii at all")
+
+
+def test_length_quantiles_approx_error_bound(spark, sf_dir):
+    """Quantify percentile_approx's rank-error contract (<= n/accuracy
+    per group) against the exact twin at a DELIBERATELY small sketch
+    (accuracy=10) — the configuration where approximation is visible —
+    mirroring the LSH recall gates: the error bound is asserted, not
+    prose-claimed. The registered query runs accuracy=QUANTILE_ACCURACY,
+    where every fixture group is retained exactly."""
+    from pyspark.sql import functions as F
+
+    from bioclip_vector_db_spark.operators.text import words
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("lang", F.size(words(F.col("text"))).alias("n_words"))
+    approx = {
+        r.lang: r.q
+        for r in w.groupBy("lang")
+        .agg(F.expr("percentile_approx(n_words, 0.5D, 10)").alias("q"))
+        .collect()
+    }
+    rows = w.collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.n_words)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        # rank of the returned value must lie within n/accuracy of the
+        # target rank ceil(0.5 * n) (GK guarantee, +1 slack for ties).
+        lo = min(i for i, v in enumerate(vals, 1) if v == approx[lang])
+        hi = max(i for i, v in enumerate(vals, 1) if v == approx[lang])
+        target = 0.5 * n
+        bound = n / 10 + 1
+        assert lo - bound <= target <= hi + bound, (lang, lo, hi, target)
+
+
+def test_lm_score_keep_gate_properties(spark, sf_dir):
+    """The hashed-bigram LM gate must (a) be internally consistent
+    (keep_lm == nlp <= threshold), (b) discriminate on the fixture, and
+    (c) rank a planted gibberish document (unseen vocabulary -> every
+    bigram backs off to the smoothing floor) strictly above a planted
+    document stitched from common fixture text."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bioclip_vector_db_spark.operators.text import (
+        LM_KEEP_MAX_NLP,
+        lm_score,
+    )
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def heldout_id(start):
+        # an id whose md5 bucket lands >= 80: planted docs must not
+        # join the train split and dilute the model.
+        i = start
+        while int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 80:
+            i += 1
+        return i
+
+    common_text = " ".join(
+        r.text for r in docs.orderBy("doc_id").limit(2).collect()
+    )
+    gibberish = " ".join(f"zzqx{k}glorp" for k in range(120))
+    id_a, id_b = heldout_id(900000), heldout_id(910000)
+    planted = spark.createDataFrame(
+        [(id_a, common_text), (id_b, gibberish)], "doc_id long, text string"
+    )
+    scored = lm_score(docs.unionByName(planted)).collect()
+    by_id = {r.doc_id: r for r in scored}
+    # (a) gate consistency on every row
+    for r in scored:
+        assert r.keep_lm == (r.nlp <= LM_KEEP_MAX_NLP), r
+    # (b) the fixture threshold separates: both outcomes occur
+    outcomes = {r.keep_lm for r in scored if r.doc_id < 900000}
+    assert outcomes == {True, False}
+    # (c) gibberish scores strictly worse than common text (absolute
+    # keep/drop of planted docs is fixture-vocabulary-dependent: at tiny
+    # vocab V the smoothing floor log10(1/V) can sit under the
+    # threshold, so only the ORDERING is asserted)
+    assert by_id[id_b].nlp > by_id[id_a].nlp
+    # every gibberish bigram backs off to the same smoothing floor, so
+    # its integer lp_sum is an exact multiple of its gram count
+    assert by_id[id_b].lp_sum % by_id[id_b].n_grams == 0
