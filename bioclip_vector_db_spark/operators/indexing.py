@@ -30,7 +30,7 @@ shuffle-free joins at serve time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -558,6 +558,141 @@ def q_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = emb.filter(F.col("vec_id") < 400).select("vec_id")
     incoming = emb.filter(F.col("vec_id") >= 300).select("vec_id", "label")
     return incoming.join(existing, "vec_id", "left_anti")
+
+
+#: Bloom-filter sizing for the existence-check prefilter gate: m bits,
+#: k md5-derived hash functions. At the fixture's stored-set size the
+#: false-positive rate is (1 - e^(-k*n/m))^k ~ 3% — nonzero on purpose,
+#: so the gate exercises the verify path, not just the happy case.
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(id_col: Column) -> Column:
+    """Array of BLOOM_HASHES bit positions for an id — md5-derived like
+    every other cross-engine hash in the repo, so the DuckDB oracle sets
+    the exact same bits."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), id_col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % BLOOM_BITS
+            for j in range(BLOOM_HASHES)
+        ]
+    )
+
+
+def bloom_prefiltered_dedup(
+    incoming: DataFrame, stored_ids: DataFrame
+) -> DataFrame:
+    """O12 at 100 TB: the existence-check dedup with a BLOOM PREFILTER —
+    the scale path the plain anti-join docstrings promise. The stored-id
+    side collapses to a <= BLOOM_BITS-row bit table (constant size no
+    matter how many ids are stored — broadcastable forever); each
+    incoming id checks its BLOOM_HASHES positions map-side, and only the
+    might-contain survivors pay the exact anti-join verify. Output is the
+    full per-id ledger ``(vec_id, might_contain, is_present, is_new)`` —
+    false positives are visible as might_contain AND NOT is_present, and
+    ``is_new`` equals the plain anti-join's answer exactly (the bloom
+    filter has no false negatives, so verified results are identical).
+    """
+    bits = (
+        stored_ids.select(F.explode(_bloom_positions(F.col("vec_id"))).alias("bit"))
+        .distinct()
+    )
+    probed = incoming.select(
+        "vec_id", F.explode(_bloom_positions(F.col("vec_id"))).alias("bit")
+    )
+    hits = (
+        probed.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("_nhit"))
+        .filter(F.col("_nhit") == BLOOM_HASHES)
+        .select("vec_id", F.lit(True).alias("might_contain"))
+    )
+    present = (
+        incoming.select("vec_id")
+        .join(hits.select("vec_id"), "vec_id", "left_semi")
+        .join(stored_ids.select("vec_id"), "vec_id", "left_semi")
+        .select("vec_id", F.lit(True).alias("is_present"))
+    )
+    return (
+        incoming.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .join(present, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("might_contain", F.lit(False)).alias("might_contain"),
+            F.coalesce("is_present", F.lit(False)).alias("is_present"),
+            (~F.coalesce("is_present", F.lit(False))).alias("is_new"),
+        )
+    )
+
+
+def _bloom_pos_sql(j: int, expr: str) -> str:
+    return (
+        f"('0x' || substr(md5('{j}:' || ({expr})::VARCHAR), 1, 8))::BIGINT"
+        f" % {BLOOM_BITS}"
+    )
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+WITH stored AS (SELECT vec_id FROM embeddings WHERE vec_id < 400),
+incoming AS (
+    SELECT vec_id FROM embeddings WHERE vec_id >= 300
+    UNION ALL
+    SELECT vec_id + 30000 FROM embeddings WHERE vec_id < 50
+),
+bits AS (
+    SELECT DISTINCT bit FROM stored,
+    unnest([{", ".join(_bloom_pos_sql(j, "vec_id") for j in range(BLOOM_HASHES))}]) AS u(bit)
+),
+probes AS (
+    SELECT i.vec_id, u.bit
+    FROM incoming i,
+    unnest([{", ".join(_bloom_pos_sql(j, "i.vec_id") for j in range(BLOOM_HASHES))}]) AS u(bit)
+),
+hits AS (
+    SELECT vec_id FROM probes p
+    WHERE EXISTS (SELECT 1 FROM bits b WHERE b.bit = p.bit)
+    GROUP BY vec_id HAVING count(*) = {BLOOM_HASHES}
+)
+SELECT i.vec_id,
+       EXISTS (SELECT 1 FROM hits h WHERE h.vec_id = i.vec_id) AS might_contain,
+       (EXISTS (SELECT 1 FROM hits h WHERE h.vec_id = i.vec_id)
+        AND EXISTS (SELECT 1 FROM stored s WHERE s.vec_id = i.vec_id)) AS is_present,
+       NOT (EXISTS (SELECT 1 FROM hits h WHERE h.vec_id = i.vec_id)
+        AND EXISTS (SELECT 1 FROM stored s WHERE s.vec_id = i.vec_id)) AS is_new
+FROM incoming i
+""",
+)
+def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 [Q], scale path: bloom-prefiltered existence-check dedup —
+    stored ids collapse to a constant-size broadcast bit table, incoming
+    ids (an overlapping slice plus genuinely-new re-keyed ids) check
+    map-side, only might-contain survivors pay the exact verify. The
+    per-id ledger exposes false positives; is_new matches the plain
+    anti-join (dedup_anti_join) exactly — no false negatives by
+    construction (tests/test_dedup.py quantifies the FP rate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    stored = emb.filter(F.col("vec_id") < 400).select("vec_id")
+    incoming = (
+        emb.filter(F.col("vec_id") >= 300)
+        .select("vec_id")
+        .unionByName(
+            emb.filter(F.col("vec_id") < 50).select(
+                (F.col("vec_id") + 30000).alias("vec_id")
+            )
+        )
+    )
+    return bloom_prefiltered_dedup(incoming, stored)
 
 
 @register(

@@ -330,3 +330,39 @@ def test_choose_bands_s_curve():
 
     with _pytest.raises(ValueError):
         choose_bands(2, 0.1, 0.999)  # unreachable even with 1-row bands
+
+
+def test_bloom_prefilter_matches_anti_join_and_bounds_fp(spark, sf_dir):
+    """The bloom prefilter must be EXACTLY equivalent to the plain
+    anti-join on is_new (no false negatives by construction — every
+    stored id sets all its own bits), and its false-positive rate at the
+    gate's sizing (m=4096, k=3) must stay in the designed band: nonzero
+    enough that the verify path is exercised over fixture lifetimes is
+    not required, but never above ~15%."""
+    from pyspark.sql import functions as F
+
+    from bioclip_vector_db_spark.operators.indexing import (
+        BLOOM_HASHES,
+        bloom_prefiltered_dedup,
+    )
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stored = emb.filter(F.col("vec_id") < 400).select("vec_id")
+    fresh = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 50000).alias("vec_id")
+    )
+    incoming = emb.filter(F.col("vec_id") >= 300).select("vec_id").unionByName(fresh)
+    ledger = {r.vec_id: r for r in bloom_prefiltered_dedup(incoming, stored).collect()}
+    truth = {
+        r.vec_id
+        for r in incoming.join(stored, "vec_id", "left_anti").collect()
+    }
+    stored_ids = {r.vec_id for r in stored.collect()}
+    for vid, row in ledger.items():
+        assert row.is_new == (vid in truth), row  # exact anti-join parity
+        if vid in stored_ids:
+            assert row.might_contain, row  # no false negatives
+    novel = [r for r in ledger.values() if r.vec_id not in stored_ids]
+    fps = [r for r in novel if r.might_contain]
+    assert len(fps) / len(novel) <= 0.15, (len(fps), len(novel))
