@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot_product
-from ..plans.registry import register
+from ..plans.registry import register, transient_persist
 from ..sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -239,7 +239,9 @@ def near_dup_pairs(
     # persist it so the explode runs once, not per branch. (Persisted
     # blocks are evicted LRU by the block manager; a long-lived session
     # hammering these repeatedly can spark.catalog.clearCache().)
-    sh = doc_shingles(df, text_col=text_col, id_col=id_col, width=shingle_width).persist()
+    sh = transient_persist(
+        doc_shingles(df, text_col=text_col, id_col=id_col, width=shingle_width)
+    )
     buckets = lsh_band_buckets(
         minhash_signatures(sh, n_hashes=n_hashes), n_hashes=n_hashes, n_bands=n_bands
     )
@@ -473,7 +475,7 @@ def embedding_near_dups(
     # codegen'd), so computing the 16-plane signature once — instead of on
     # both sides of the self-join — halves the dominant cost.
     if sig is None:
-        sig = embedding_signatures(vectors).persist()
+        sig = transient_persist(embedding_signatures(vectors))
     a = sig.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"), F.col("sig")
     )
@@ -527,7 +529,7 @@ def embedding_threshold_join(
     """
     width = SIMHASH_PLANES // bands
     if sig is None:
-        sig = embedding_signatures(vectors).persist()
+        sig = transient_persist(embedding_signatures(vectors))
     sig = sig.select("vec_id", "sig")
     band_structs = F.array(
         *[
@@ -677,7 +679,7 @@ def embedding_threshold_join_multiprobe(
     similarity > threshold.
     """
     if keys is None:
-        keys = embedding_band_keys(vectors, bands=bands, width=width).persist()
+        keys = transient_persist(embedding_band_keys(vectors, bands=bands, width=width))
     masks = _probe_masks(width, probe_hamming)
     rows = keys.select("vec_id", F.posexplode("keys").alias("band", "key"))
     probes = rows.select(
@@ -1023,7 +1025,7 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle", "left_semi")
-    sh = sh.persist()
+    sh = transient_persist(sh)
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b"))
     inter = (
@@ -1780,7 +1782,7 @@ def text_simhash_pairs(
     band), verified by exact hamming distance over the XOR. Equi-join on
     (band, value) — never all-pairs."""
     band_mask = (1 << SIMHASH_TEXT_BAND_BITS) - 1
-    fps = text_simhash(df).persist()
+    fps = transient_persist(text_simhash(df))
     bands = fps.select(
         "doc_id",
         "simhash",

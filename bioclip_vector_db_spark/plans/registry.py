@@ -45,6 +45,36 @@ _PLAN_MODULES = (
 )
 
 
+#: Per-invocation persisted intermediates awaiting release. Spark's
+#: CacheManager holds cached plans until explicitly unpersisted — a query
+#: that persists a shingle/signature table and returns leaks that cache
+#: entry every invocation (the ContextCleaner only reclaims GC'd RDDs,
+#: not DataFrame cache entries). Harnesses that run MANY queries in one
+#: session (bench.py, tools/check_correctness.py) call
+#: release_transient() after consuming each result; one-shot library use
+#: never needs to.
+_TRANSIENT: list = []
+
+
+def transient_persist(df):
+    """persist() for an intermediate whose useful life is ONE query
+    invocation: registers the DataFrame for release_transient()."""
+    df = df.persist()
+    _TRANSIENT.append(df)
+    return df
+
+
+def release_transient() -> None:
+    """Unpersist every transient intermediate registered since the last
+    call. Safe to call while results are still referenced — a later
+    action just recomputes without the cache."""
+    while _TRANSIENT:
+        try:
+            _TRANSIENT.pop().unpersist()
+        except Exception:
+            pass
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: declare a query (and optionally its DuckDB oracle SQL)."""
 

@@ -94,6 +94,13 @@ def main():
         except Exception as e:
             ok = False
             print(f"{name:32s} ERROR        {type(e).__name__}: {e}")
+        finally:
+            # 92 queries share one session: drop each invocation's
+            # persisted intermediates so the sweep doesn't accumulate
+            # dead cache blocks.
+            from bioclip_vector_db_spark.plans.registry import release_transient
+
+            release_transient()
     sys.exit(0 if ok else 1)
 
 
