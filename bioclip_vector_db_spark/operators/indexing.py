@@ -952,6 +952,96 @@ def q_kmeans_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic hyperplane for the hot-list split: md5-derived signs at
+#: an index outside the simhash/multiprobe plane ranges, so the splitter
+#: is independent of every LSH family and identical in the SQL oracle.
+_SPLIT_PLANE_INDEX = 1001
+
+
+def _split_plane() -> list[int]:
+    from .dedup import _plane_signs
+
+    return _plane_signs(_SPLIT_PLANE_INDEX)
+
+
+@register(
+    "ivf_rebalance",
+    oracle=f"""
+WITH {ASSIGNED_CTE.strip()},
+counts AS (SELECT partition_id, count(*) AS n FROM corpus GROUP BY 1),
+hot AS (SELECT partition_id FROM counts ORDER BY n DESC, partition_id LIMIT 1),
+split AS (
+    SELECT c.vec_id,
+           CASE WHEN round(list_dot_product(c.embedding::DOUBLE[],
+                    [{{plane}}]), 9) >= 0
+                THEN c.partition_id ELSE c.partition_id + 10 END AS new_pid
+    FROM corpus c JOIN hot USING (partition_id)
+),
+keep AS (
+    SELECT vec_id, partition_id AS new_pid FROM corpus
+    WHERE partition_id NOT IN (SELECT partition_id FROM hot)
+),
+after AS (
+    SELECT new_pid AS partition_id, count(*) AS n_after
+    FROM (SELECT * FROM split UNION ALL SELECT * FROM keep) GROUP BY 1
+)
+SELECT coalesce(a.partition_id, b.partition_id)::INT AS partition_id,
+       coalesce(b.n, 0)::BIGINT AS n_before,
+       coalesce(a.n_after, 0)::BIGINT AS n_after
+FROM after a FULL JOIN counts b ON a.partition_id = b.partition_id
+""".replace(
+        "{plane}", ", ".join(f"{s:.1f}" for s in _split_plane())
+    ),
+)
+def q_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-lifecycle [Q]: hot-list splitting — the IVF maintenance op
+    for skewed inverted lists. The most-occupied partition (tiebreak:
+    smallest id) splits by the sign of each member's projection on a
+    fixed md5-derived hyperplane: left half keeps the id, right half
+    moves to id+k, every other list is untouched. Returns the
+    per-partition before/after ledger. Deterministic end to end (no
+    retraining), so counts are hash-gated exactly; at scale the split
+    rewrites ONE partition directory and the ledger is the audit record.
+    The same mechanism generalizes to splitting every list above an
+    occupancy threshold."""
+    from .knn import assigned_corpus
+
+    corpus = assigned_corpus(spark, sf_dir).select(
+        "vec_id", "embedding", "partition_id"
+    )
+    counts = corpus.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n"))
+    hot = counts.orderBy(F.col("n").desc(), F.col("partition_id").asc()).limit(1)
+    plane = F.array(*[F.lit(float(s)) for s in _split_plane()])
+    members = corpus.join(
+        F.broadcast(hot.select("partition_id")), "partition_id"
+    )
+    split = members.select(
+        "vec_id",
+        F.when(
+            F.round(dot_product(F.col("embedding"), plane), 9) >= 0,
+            F.col("partition_id"),
+        )
+        .otherwise(F.col("partition_id") + 10)
+        .alias("new_pid"),
+    )
+    keep = corpus.join(
+        F.broadcast(hot.select("partition_id")), "partition_id", "left_anti"
+    ).select("vec_id", F.col("partition_id").alias("new_pid"))
+    after = (
+        split.unionByName(keep)
+        .groupBy(F.col("new_pid").alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        after.join(counts, "partition_id", "full")
+        .select(
+            F.col("partition_id").cast("int").alias("partition_id"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+        )
+    )
+
+
 @register(
     "kmeans_assignment_balance",
     oracle="""

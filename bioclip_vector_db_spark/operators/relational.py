@@ -295,3 +295,78 @@ def q_json_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
         F.sum("k").cast("bigint").alias("k_total"),
     )
+
+
+#: Explicit pivot column list: passing the values to pivot() skips the
+#: extra distinct-collect job Spark otherwise runs AND makes the output
+#: schema deterministic — at scale an unlisted pivot over a
+#: high-cardinality column is both a hidden job and a schema hazard.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot",
+    oracle=f"""
+SELECT ts::DATE AS day,
+       {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS {t}_n" for t in EVENT_TYPES)}
+FROM events GROUP BY 1
+""",
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-relational [Q]: day x event_type pivot (the wide activity
+    matrix every analytics layer asks for) — one hash aggregation with
+    map-side combine; the pivot is conditional aggregation, no extra
+    shuffle, and the value list is explicit (see EVENT_TYPES)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date(F.col("ts")).alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"{t}_n")
+                for t in EVENT_TYPES
+            ],
+        )
+    )
+
+
+@register(
+    "events_trailing_hour_window",
+    oracle="""
+SELECT event_id, user_id,
+       (count(*) OVER w)::BIGINT AS n_trailing_hour,
+       round(sum(value) OVER w, 6) AS value_trailing_hour
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+""",
+)
+def q_events_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-relational [Q]: time-RANGE window frame — for every event,
+    the count and value-sum of the SAME user's events in the trailing
+    hour (inclusive). Unlike the rows-frame running aggregates
+    (events_user_running_value) the frame is time-bounded: Spark's
+    rangeBetween needs a numeric ordering column, so the frame runs over
+    unix microseconds with the interval expressed in the same unit —
+    bit-for-bit the inclusive [ts - 1h, ts] frame DuckDB's INTERVAL
+    RANGE produces. One shuffle on user_id; the frame scan is linear
+    per partition (two-pointer, not per-row rescan)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_hour"),
+        F.round(F.sum("value").over(w), 6).alias("value_trailing_hour"),
+    )

@@ -471,3 +471,59 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "events_stream_enrich",
+    oracle="""
+SELECT c.c_nationkey::INT AS nation,
+       date_trunc('hour', e.ts) AS window_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(e.value), 6) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+)
+def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 [Q]: stream-STATIC enrichment join — the standard "enrich the
+    event stream with a dimension" pattern: the events stream joins the
+    customer table (broadcast, stateless — a static side adds NO
+    streaming state) before a watermarked tumbling aggregation per
+    (nation, hour). At scale the dim side refreshes by swapping the
+    broadcast per micro-batch; the stream side never buffers for the
+    join itself. One input file => one micro-batch, so the batch oracle
+    applies exactly."""
+    from ..sources.catalog import load_table
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").cast("int").alias("nation"),
+    )
+    enriched = stream.withWatermark("ts", "1 hour").join(
+        F.broadcast(dim), "user_id"
+    )
+    agg = (
+        enriched.groupBy("nation", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "nation",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = "events_stream_enrich_sink"
+    with fixture_stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
