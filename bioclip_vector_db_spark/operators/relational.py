@@ -370,3 +370,73 @@ def q_events_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_hour"),
         F.round(F.sum("value").over(w), 6).alias("value_trailing_hour"),
     )
+
+
+@register(
+    "customer_scd2_merge",
+    oracle="""
+WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+upd AS (
+    SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey + 100000, c_acctbal FROM customer WHERE c_custkey < 20
+),
+merged AS (
+    SELECT b.c_custkey AS bk, b.c_acctbal AS bv, u.c_custkey AS uk, u.c_acctbal AS uv
+    FROM base b FULL JOIN upd u ON b.c_custkey = u.c_custkey
+)
+SELECT bk AS c_custkey, 1 AS version, bv AS c_acctbal, uk IS NULL AS is_current
+FROM merged WHERE bk IS NOT NULL
+UNION ALL
+SELECT uk, 2, uv, true FROM merged WHERE bk IS NOT NULL AND uk IS NOT NULL
+UNION ALL
+SELECT uk, 1, uv, true FROM merged WHERE bk IS NULL
+""",
+)
+def q_customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-relational [Q]: slowly-changing-dimension type-2 merge —
+    the MERGE INTO pattern as one full-outer join: an updates batch
+    (deterministically derived: every custkey % 10 = 3 gets a balance
+    bump, plus re-keyed brand-new customers) lands against the dimension;
+    changed keys close their old version and open version 2, new keys
+    open at version 1, untouched keys stay current. Versions are integers
+    (not wall-clock valid_from) so the whole merge is hash-gated exactly.
+    One key-shuffled join; at scale the write side is a partition
+    overwrite of only the touched dimension partitions."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    upd = c.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    ).unionByName(
+        c.filter(F.col("c_custkey") < 20).select(
+            (F.col("c_custkey") + 100000).alias("c_custkey"), "c_acctbal"
+        )
+    )
+    merged = c.select(
+        F.col("c_custkey").alias("bk"), F.col("c_acctbal").alias("bv")
+    ).join(
+        upd.select(F.col("c_custkey").alias("uk"), F.col("c_acctbal").alias("uv")),
+        F.col("bk") == F.col("uk"),
+        "full",
+    )
+    kept = merged.filter(F.col("bk").isNotNull()).select(
+        F.col("bk").alias("c_custkey"),
+        F.lit(1).alias("version"),
+        F.col("bv").alias("c_acctbal"),
+        F.col("uk").isNull().alias("is_current"),
+    )
+    reopened = (
+        merged.filter(F.col("bk").isNotNull() & F.col("uk").isNotNull())
+        .select(
+            F.col("uk").alias("c_custkey"),
+            F.lit(2).alias("version"),
+            F.col("uv").alias("c_acctbal"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    fresh = merged.filter(F.col("bk").isNull()).select(
+        F.col("uk").alias("c_custkey"),
+        F.lit(1).alias("version"),
+        F.col("uv").alias("c_acctbal"),
+        F.lit(True).alias("is_current"),
+    )
+    return kept.unionByName(reopened).unionByName(fresh)

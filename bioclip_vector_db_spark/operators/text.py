@@ -1188,3 +1188,118 @@ def q_text_language_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic argmax and language-code tiebreak — the fixture's
     actual language mix, scored in one map-side pass."""
     return language_id_multi(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + conjunctive keyword search (X5, IR path)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Token -> posting-list inverted index over a document table:
+    ``(token, df_count, postings)`` with postings the SORTED doc-id list.
+    The standard IR secondary index as one explode + grouped aggregation;
+    at 100 TB the posting lists land bucketed by token (write-side
+    ``bucketBy``), so keyword lookups prune to one bucket. Skew note:
+    stopword-grade tokens produce long postings — the aggregation is a
+    count+collect keyed on the token, group size = true document
+    frequency, never all-pairs."""
+    toks = df.select(
+        "doc_id", F.explode(F.array_distinct(words(F.col(text_col)))).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_count"),
+        F.array_sort(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
+@register(
+    "documents_inverted_index",
+    oracle=f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS token FROM documents
+)
+SELECT token, count(*)::BIGINT AS df_count,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM toks GROUP BY token
+HAVING count(*) >= 50
+""",
+)
+def q_documents_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: the inverted index restricted to tokens with document
+    frequency >= 50 (the head of the vocabulary — keeps the gated result
+    meaningfully sized while the full index is the same plan without the
+    HAVING)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs).filter(F.col("df_count") >= 50)
+
+
+@register(
+    "documents_keyword_search",
+    oracle=f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS token FROM documents
+),
+hits AS (
+    SELECT doc_id, count(*) AS n
+    FROM toks WHERE token IN ('scan', 'merge')
+    GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT d.doc_id, d.lang FROM documents d JOIN hits USING (doc_id)
+""",
+)
+def q_documents_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: conjunctive keyword search ('scan' AND 'merge') answered
+    the INDEX way — probe the token postings and intersect by counting
+    per-doc term hits — rather than scanning every document's full text.
+    On the bucketed index layout this touches exactly two token buckets;
+    the per-doc HAVING count = k intersection is the classic posting-list
+    AND."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["scan", "merge"]
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("token")
+    )
+    hits = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == len(terms))
+    )
+    return docs.join(hits.select("doc_id"), "doc_id").select("doc_id", "lang")
+
+
+@register(
+    "documents_stratified_sample",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+           ) AS sample_rank
+    FROM documents
+)
+SELECT doc_id, lang, sample_rank::BIGINT AS sample_rank
+FROM ranked WHERE sample_rank <= 20
+""",
+)
+def q_documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: EXACT-size stratified sampling — exactly 20 docs per
+    language, chosen by md5 rank (deterministic, growth-stable: a doc's
+    hash never changes, so regrown corpora keep overlapping samples,
+    unlike fraction-based sample()). The per-stratum window is
+    WindowGroupLimit-pruned (top-k per group, no full sort materialized);
+    at extreme stratum sizes the scale form prefilters on a hash bucket
+    (md5 % B < threshold) so the window only ranks a few-x oversample —
+    same mechanism as documents_mixture_sample's rate gates."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= 20)
+    )
