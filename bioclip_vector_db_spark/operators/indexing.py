@@ -592,8 +592,10 @@ def bloom_prefiltered_dedup(
 ) -> DataFrame:
     """O12 at 100 TB: the existence-check dedup with a BLOOM PREFILTER —
     the scale path the plain anti-join docstrings promise. The stored-id
-    side collapses to a <= BLOOM_BITS-row bit table (constant size no
-    matter how many ids are stored — broadcastable forever); each
+    side collapses to a <= BLOOM_BITS-row bit table; BLOOM_BITS is a
+    sizing knob proportional to the stored-set size (~10 bits/key holds
+    ~1% FP), so the table stays ~100x smaller than the raw id set and
+    broadcastable long after the ids themselves are not; each
     incoming id checks its BLOOM_HASHES positions map-side, and only the
     might-contain survivors pay the exact anti-join verify. Output is the
     full per-id ledger ``(vec_id, might_contain, is_present, is_new)`` —

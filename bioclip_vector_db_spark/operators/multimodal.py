@@ -270,3 +270,113 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     this to a rows-only [W] check."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return decode_stub(to_binary_corpus(docs))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (X6 x X2): aHash over payload bytes
+# ---------------------------------------------------------------------------
+
+#: aHash window: the hash is computed over this many leading payload
+#: bytes (the stand-in for the 8x8 grayscale thumbnail a real image
+#: aHash averages; shorter payloads are excluded like decode errors).
+PHASH_BYTES = 64
+
+
+def _payload_bytes_expr(text_col: str) -> "F.Column":
+    return F.array(
+        *[F.ascii(F.substring(F.col(text_col), i, 1)) for i in range(1, PHASH_BYTES + 1)]
+    )
+
+
+def payload_ahash(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """``(doc_id, ahash)`` — average-hash fingerprints over the binary
+    corpus: bit i is payload byte i vs the mean of the PHASH_BYTES-byte
+    window (exactly the public image aHash on the container's
+    deterministic fake pixels; a real decode swaps the byte source, not
+    the dataflow). The mean divides an integer sum by 64.0 — a power of
+    two, so the division is exact in both engines and the hash is
+    hash-gateable bit-for-bit. Docs shorter than the window are excluded
+    (the decode-error path).
+
+    Shape: posexplode -> mean aggregate -> join back -> bit concat. A
+    pure-expression form (mean as an F.aggregate fold captured inside the
+    bit-transform lambda) was tried and REVERTED: interpreted HOF lambdas
+    re-evaluate captured expressions PER ELEMENT with no CSE — the
+    64-byte array and its fold were recomputed 64x per row (measured
+    6.2s vs 0.5s at sf0.1). The exploded form keeps every stage inside
+    whole-stage codegen; the per-doc group is a constant 64 rows."""
+    b = df.filter(F.length(text_col) >= PHASH_BYTES).select(
+        "doc_id", F.posexplode(_payload_bytes_expr(text_col)).alias("pos", "val")
+    )
+    stats = b.groupBy("doc_id").agg(
+        (F.sum("val") / F.lit(float(PHASH_BYTES))).alias("mean")
+    )
+    bits = b.join(stats, "doc_id").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("val") >= F.col("mean"), F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+    )
+    return bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "bit"))), lambda x: x["bit"]
+            ),
+            "",
+        ).alias("ahash")
+    )
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE length(text) >= {PHASH_BYTES}
+    UNION ALL
+    SELECT doc_id + 40000, text FROM documents
+    WHERE doc_id < 50 AND length(text) >= {PHASH_BYTES}
+),
+bytes AS (
+    SELECT doc_id, text,
+           [{", ".join(f"ascii(substr(text, {i}, 1))" for i in range(1, 65))}] AS bs
+    FROM corpus
+),
+hashed AS (
+    SELECT doc_id, text,
+           array_to_string(
+               list_transform(bs, x -> CASE WHEN x >= list_sum(bs) / {PHASH_BYTES}.0
+                                       THEN '1' ELSE '0' END), '') AS ahash
+    FROM bytes
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       (md5(a.text) = md5(b.text)) AS same_payload
+FROM hashed a JOIN hashed b ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+""",
+)
+def q_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6xX2 [Q]: perceptual-hash near-duplicate detection over the
+    binary corpus — the image-dedup op of a multimodal training
+    pipeline: 64-bit aHash fingerprints, candidates form ONLY inside
+    equal-hash buckets (never all-pairs, same shape as the embedding
+    simhash family), verified here by exact-payload comparison. Corpus
+    is the re-ingest scenario (a re-keyed copy of doc_id < 50), so
+    planted duplicates collide at hamming 0 and verify same_payload."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 40000
+        )
+    ).filter(F.length("text") >= PHASH_BYTES)
+    hashed = payload_ahash(corpus).join(corpus, "doc_id").select(
+        "doc_id", "ahash", F.md5("text").alias("_fp")
+    )
+    a = hashed.select(
+        F.col("doc_id").alias("a_id"), "ahash", F.col("_fp").alias("a_fp")
+    )
+    b = hashed.select(
+        F.col("doc_id").alias("b_id"), "ahash", F.col("_fp").alias("b_fp")
+    )
+    return (
+        a.join(b, "ahash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", (F.col("a_fp") == F.col("b_fp")).alias("same_payload"))
+    )

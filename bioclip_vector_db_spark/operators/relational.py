@@ -314,21 +314,19 @@ FROM events GROUP BY 1
 )
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic-relational [Q]: day x event_type pivot (the wide activity
-    matrix every analytics layer asks for) — one hash aggregation with
-    map-side combine; the pivot is conditional aggregation, no extra
-    shuffle, and the value list is explicit (see EVENT_TYPES)."""
+    matrix every analytics layer asks for) written as CONDITIONAL
+    aggregation over the explicit value list — ONE hash aggregation with
+    map-side combine and one exchange, where DataFrame.pivot() (even
+    with values listed) compiles to a two-aggregation, two-exchange
+    plan; plan-guarded in tests/test_plans.py."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.to_date(F.col("ts")).alias("day"))
-        .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-        .select(
-            "day",
-            *[
-                F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"{t}_n")
-                for t in EVENT_TYPES
-            ],
-        )
+    return ev.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{t}_n")
+            for t in EVENT_TYPES
+        ]
     )
 
 

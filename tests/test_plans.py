@@ -124,6 +124,32 @@ def test_multiprobe_threshold_join_is_equi_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_stratified_sample_uses_group_limit(spark, sf_dir):
+    """Exact-size stratified sampling must prune each stratum's window to
+    top-k (WindowGroupLimit) rather than fully sorting every stratum."""
+    plan = _plan(QUERIES["documents_stratified_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_phash_and_bloom_joins_are_equi_only(spark, sf_dir):
+    """The perceptual-hash near-dup and bloom-prefilter candidates must
+    form by equi-join (hash bucket / bit position) only — no all-pairs
+    stage anywhere in either plan."""
+    for name in ("multimodal_phash_near_dup", "dedup_bloom_prefilter"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pivot_is_single_aggregation(spark, sf_dir):
+    """The explicit-value pivot must compile to conditional aggregation —
+    exactly one shuffle (the groupBy day), no extra distinct job and no
+    join in the plan."""
+    plan = _plan(QUERIES["events_pivot"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_bucketed_remap_join_has_no_exchange(spark, sf_dir):
     """The cluster layout: corpus and id_mapping bucketed on the join key
     (partition_id, faiss_id) must make the O25 remap join exchange-free —
