@@ -2003,3 +2003,112 @@ def q_documents_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus_pipeline(
         load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration PageRank over the near-dup graph (X2, iterative numeric)
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank_fixed(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """Damped PageRank, a FIXED number of synchronous iterations, over the
+    undirected near-dup pair graph — the iterative-numeric representative
+    (connected components covers label propagation; this covers weighted
+    value iteration). Each iteration: rank(v) <- round(0.15/N + 0.85 *
+    sum(rank(u)/deg(u) over neighbors u), 9) — the per-iteration ROUND is
+    what makes a floating-point fixpoint loop cross-engine exact (both
+    engines feed identical inputs into every iteration; the same
+    convention as every rounded ranking in this repo). Fixed iteration
+    count, not convergence-tested: deterministic plan depth, and at scale
+    each iteration is one edge-keyed shuffle + one vertex aggregation
+    (the loop unrolls into a linear chain of joins — lineage stays
+    bounded because the rank table is tiny: one DOUBLE per vertex)."""
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).unionByName(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    ).distinct()
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n = verts.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = verts.crossJoin(F.broadcast(n)).select(
+        "id", F.round(F.lit(1.0) / F.col("n"), 9).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
+            .join(deg.select(F.col("id").alias("src"), "deg"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
+        )
+        ranks = (
+            verts.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "id",
+                F.round(
+                    F.lit(1 - PAGERANK_DAMPING) / F.col("n")
+                    + F.lit(PAGERANK_DAMPING) * F.coalesce("inflow", F.lit(0.0)),
+                    9,
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def _pagerank_oracle_sql(iters: int = PAGERANK_ITERS) -> str:
+    prev = "r0"
+    steps = [
+        """
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM nd
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM nd
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM verts),
+r0 AS (SELECT id, round(1.0 / n.n, 9) AS rank FROM verts CROSS JOIN n)"""
+    ]
+    for i in range(1, iters + 1):
+        steps.append(f"""
+c{i} AS (
+    SELECT e.dst AS id, sum(r.rank / d.deg) AS inflow
+    FROM edges e
+    JOIN {prev} r ON r.id = e.src
+    JOIN deg d ON d.id = e.src
+    GROUP BY e.dst
+),
+r{i} AS (
+    SELECT v.id,
+           round({1 - PAGERANK_DAMPING} / n.n
+                 + {PAGERANK_DAMPING} * coalesce(c.inflow, 0.0), 9) AS rank
+    FROM verts v LEFT JOIN c{i} c ON c.id = v.id CROSS JOIN n
+)""")
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + _ND_CTES
+        + ","
+        + ",".join(steps)
+        + f"\nSELECT id AS doc_id, rank FROM {prev}"
+    )
+
+
+@register("dedup_pagerank", oracle=_pagerank_oracle_sql())
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 [Q]: 3-iteration damped PageRank over the verified MinHash
+    near-dup graph — ranks the most-connected duplicates (the docs whose
+    removal dissolves the most near-dup mass), the weighted companion to
+    the connected-components clusters. Per-iteration rounding makes the
+    float fixpoint loop hash-exact cross-engine."""
+    from .knn import _cached
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _cached(
+        spark, sf_dir, "near_dup_pairs_08", lambda: near_dup_pairs(docs, 0.8)
+    )
+    return pagerank_fixed(pairs).select(F.col("id").alias("doc_id"), "rank")

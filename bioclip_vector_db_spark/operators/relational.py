@@ -438,3 +438,86 @@ def q_customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return kept.unionByName(reopened).unionByName(fresh)
+
+
+#: Z-order curve width: bits per dimension interleaved into the key.
+ZORDER_BITS = 8
+
+
+def zorder_key(a: "F.Column", b: "F.Column", bits: int = ZORDER_BITS) -> "F.Column":
+    """Bit-interleaved Morton key of two integer dimensions — the
+    multi-dimensional clustering key behind Z-ordered data layout: rows
+    sorted/range-partitioned by this key land so that a predicate on
+    EITHER dimension prunes contiguous key ranges (the Delta/Iceberg
+    OPTIMIZE ZORDER mechanism, expressed as plain Catalyst arithmetic).
+    Pure shifts and masks — codegen, no UDF."""
+    key = F.lit(0).cast("bigint")
+    for i in range(bits - 1, -1, -1):
+        key = (
+            key
+            + (a.bitwiseAND(F.lit(1 << i)) > 0).cast("bigint") * F.lit(1 << (2 * i + 1))
+            + (b.bitwiseAND(F.lit(1 << i)) > 0).cast("bigint") * F.lit(1 << (2 * i))
+        )
+    return key
+
+
+@register(
+    "events_zorder_layout",
+    oracle=f"""
+WITH keyed AS (
+    SELECT event_id, user_id % 256 AS u, hour(ts) * 8 + (day(ts) % 8) AS h
+    FROM events
+),
+zk AS (
+    SELECT event_id,
+           ({" + ".join(
+               f"(CASE WHEN u & {1 << i} > 0 THEN {1 << (2 * i + 1)} ELSE 0 END)"
+               f" + (CASE WHEN h & {1 << i} > 0 THEN {1 << (2 * i)} ELSE 0 END)"
+               for i in range(7, -1, -1)
+           )})::BIGINT AS zkey
+    FROM keyed
+),
+ranked AS (
+    SELECT event_id, zkey,
+           row_number() OVER (ORDER BY zkey, event_id) AS pos
+    FROM zk
+)
+SELECT (pos - 1) // 250 AS file_id,
+       count(*)::BIGINT AS n_rows,
+       min(zkey)::BIGINT AS zkey_min,
+       max(zkey)::BIGINT AS zkey_max
+FROM ranked GROUP BY 1
+""",
+)
+def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-relational [Q]: Z-order clustering layout — events keyed
+    by the Morton interleave of (user bucket, time-of-month bucket),
+    globally ordered, and cut into 250-row files; output is the
+    file-level (min, max) zkey manifest, i.e. exactly the statistics a
+    lakehouse data-skipping index records. Because both dimensions'
+    bits interleave, a filter on EITHER user or hour prunes most files
+    by their zkey ranges — the property plain single-column sorting
+    can't give both predicates. At scale the global sort is a
+    range-partitioned write (repartitionByRange(zkey)); the row_number
+    here stands in for file assignment at fixture size."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("u"),
+        (F.hour("ts") * 8 + F.dayofmonth("ts") % 8).alias("h"),
+    )
+    zk = keyed.select(
+        "event_id", zorder_key(F.col("u"), F.col("h")).alias("zkey")
+    )
+    w = Window.orderBy("zkey", "event_id")
+    return (
+        zk.withColumn("pos", F.row_number().over(w) - 1)
+        .groupBy((F.col("pos") / 250).cast("bigint").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("zkey").cast("bigint").alias("zkey_min"),
+            F.max("zkey").cast("bigint").alias("zkey_max"),
+        )
+    )
