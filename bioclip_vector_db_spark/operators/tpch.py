@@ -352,3 +352,37 @@ def q_tpch_customer_order_distribution(spark: SparkSession, sf_dir: str) -> Data
     return per_customer.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("bigint").alias("custdist")
     ).select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+
+
+@register(
+    "tpch_salted_skew_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*)::BIGINT AS n_items,
+       round(sum(l.l_extendedprice), 2) AS total_price
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+""",
+)
+def q_tpch_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew path [Q]: the fact-dimension join executed through
+    functions.skew.salted_equi_join (8 salts: probe rows get a
+    deterministic salt, the build side replicates per salt, the join key
+    becomes (key, salt)) — the explicit hot-key mitigation for joins AQE
+    can't split, gated on producing EXACTLY the plain join's aggregate.
+    The pytest equivalence tests (tests/test_skew.py) check row-level
+    parity; this gate pins the end-to-end aggregate against the SQL
+    oracle so the salting stays registered, not just library code."""
+    from ..functions.skew import salted_equi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_equi_join(li, orders, "l_orderkey", salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
