@@ -80,3 +80,58 @@ def test_pseudo_embedding_unit_norm_and_deterministic(text):
     raw = [int(c, 16) - 7.5 for c in h[:8]]
     n = math.sqrt(sum(x * x for x in raw))
     assert all(abs(a - b / n) < 1e-12 for a, b in zip(v, raw))
+
+
+def _morton_py(a: int, b: int, bits: int = 8) -> int:
+    key = 0
+    for i in range(bits - 1, -1, -1):
+        key += ((a >> i) & 1) * (1 << (2 * i + 1)) + ((b >> i) & 1) * (1 << (2 * i))
+    return key
+
+
+@given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255), st.integers(0, 255))
+@settings(max_examples=100, deadline=None)
+def test_zorder_key_is_bijective_and_range_monotone(a1, b1, a2, b2):
+    """The Morton interleave must be a bijection on (a, b) in [0,256)^2
+    (no two cells share a zkey — the property that makes file-level
+    zkey min/max ranges PRUNABLE per dimension), and fixing one
+    dimension, the key must be strictly monotone in the other (so a
+    single-dimension range predicate maps to zkey intervals)."""
+    k1, k2 = _morton_py(a1, b1), _morton_py(a2, b2)
+    assert (k1 == k2) == ((a1, b1) == (a2, b2))
+    if a1 == a2 and b1 < b2:
+        assert k1 < k2
+    if b1 == b2 and a1 < a2:
+        assert k1 < k2
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_pagerank_reference_conserves_mass(edges):
+    """Python reference of pagerank_fixed's recurrence (pre-rounding):
+    on an undirected graph where every vertex has degree >= 1 — always
+    true when vertices are defined BY the edge set, as in
+    pagerank_fixed — each iteration redistributes all rank, so total
+    mass stays 1 (teleport + damped inflow). The Spark implementation
+    differs only by the round-9 parity quantization (drift <= 5e-10 per
+    vertex per iteration)."""
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    verts = sorted({s for s, _ in und})
+    n = len(verts)
+    deg = {v: sum(1 for s, _ in und if s == v) for v in verts}
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(3):
+        inflow = {v: 0.0 for v in verts}
+        for s, d in und:
+            inflow[d] += rank[s] / deg[s]
+        rank = {v: 0.15 / n + 0.85 * inflow[v] for v in verts}
+        assert abs(sum(rank.values()) - 1.0) < 1e-9
