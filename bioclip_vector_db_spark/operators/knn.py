@@ -497,10 +497,14 @@ def q_partition_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned_corpus(spark, sf_dir).select("vec_id", "partition_id")
 
 
-def _ivf_oracle(loaded_spec: str | None = None) -> str:
+def _ivf_oracle(
+    loaded_spec: str | None = None, label_in: "tuple[int, ...] | None" = None
+) -> str:
     """The ivf_search DuckDB oracle, optionally restricted to an O15
     loaded-partition spec (same expansion SQL as partition_range_expansion,
-    applied AFTER routing — the reference's intersection order)."""
+    applied AFTER routing — the reference's intersection order) and/or to
+    a metadata label filter (applied to the corpus side BEFORE the
+    per-partition top-n — filtered-search semantics)."""
     loaded_cte = ""
     routed_filter = ""
     if loaded_spec is not None:
@@ -518,6 +522,9 @@ loaded AS (
     FROM loaded_tokens WHERE length(token) > 0
 )"""
         routed_filter = " AND partition_id IN (SELECT partition_id FROM loaded)"
+    label_filter = (
+        f" AND label IN ({', '.join(map(str, label_in))})" if label_in else ""
+    )
     return f"""
 WITH {CENTROIDS_CTE.strip()},
 q AS (
@@ -525,7 +532,7 @@ q AS (
     FROM embeddings WHERE vec_id < 5
 ),
 assign_scored AS (
-    SELECT e.vec_id, e.embedding, c.partition_id,
+    SELECT e.vec_id, e.embedding, e.label, c.partition_id,
            row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9),
@@ -533,7 +540,7 @@ assign_scored AS (
     FROM embeddings e CROSS JOIN centroids c
 ),
 corpus AS (
-    SELECT vec_id, embedding, partition_id FROM assign_scored WHERE r = 1
+    SELECT vec_id, embedding, partition_id FROM assign_scored WHERE r = 1{label_filter}
 ){loaded_cte},
 routed AS (
     SELECT query_id, qv, partition_id FROM (
@@ -592,6 +599,31 @@ def q_ivf_search_partial_server(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Label set for the filtered-search gate.
+FILTERED_SEARCH_LABELS = (2, 5, 7)
+
+
+@register(
+    "ivf_filtered_search", oracle=_ivf_oracle(label_in=FILTERED_SEARCH_LABELS)
+)
+def q_ivf_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search [Q]: the metadata-predicate + ANN
+    combination every serving layer needs (search only rows whose label
+    is in {2, 5, 7}) — implemented as PRE-filtering: the predicate lands
+    on the corpus scan (a pushed parquet filter on the partitioned
+    layout) BEFORE routing-pruned per-partition top-n, so the filter can
+    never starve the result set the way post-filtering a fixed top-k
+    does. The reference has no metadata filtering at all (its only
+    restriction is loaded partitions); this is the extension its users
+    ask of a vector DB first."""
+    queries = _fixture_queries(spark, sf_dir)
+    cent = fixture_centroids(spark, sf_dir)
+    corpus = assigned_corpus(spark, sf_dir).filter(
+        F.col("label").isin(*FILTERED_SEARCH_LABELS)
+    )
+    return ivf_search(queries, corpus, cent, nprobe=3, top_n=10, global_limit=100)
+
+
 @register(
     "knn_recall_eval",
     oracle=f"""
@@ -601,7 +633,7 @@ q AS (
     FROM embeddings WHERE vec_id < 25
 ),
 assign_scored AS (
-    SELECT e.vec_id, e.embedding, c.partition_id,
+    SELECT e.vec_id, e.embedding, e.label, c.partition_id,
            row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9),
@@ -687,7 +719,7 @@ q AS (
     FROM embeddings WHERE vec_id % 25 = 0
 ),
 assign_scored AS (
-    SELECT e.vec_id, e.embedding, c.partition_id,
+    SELECT e.vec_id, e.embedding, e.label, c.partition_id,
            row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9),

@@ -590,3 +590,137 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
         F.col("rank") <= 10
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection (JL) coarse search + exact rescore
+# ---------------------------------------------------------------------------
+
+#: Projected dimensionality for the Johnson-Lindenstrauss coarse stage.
+RP_DIMS = 16
+#: Plane-id offset keeping the projection planes disjoint from every LSH
+#: family's (dedup simhash 0..15, multiprobe 0..95, rebalance 1001).
+_RP_PLANE_BASE = 3000
+
+
+def _rp_planes() -> "list[list[int]]":
+    from .dedup import _plane_signs
+
+    return [_plane_signs(_RP_PLANE_BASE + d) for d in range(RP_DIMS)]
+
+
+def rp_project(vec: Column) -> Column:
+    """Project a 64-d vector to RP_DIMS via a fixed +-1 sign matrix (the
+    md5-derived deterministic stand-in for a Gaussian JL matrix — sign
+    matrices carry the same distance-preservation guarantee). Unscaled on
+    purpose: the coarse stage only RANKS projected inner products, and a
+    constant 1/sqrt(RP_DIMS) factor cannot change a ranking."""
+    return F.array(
+        *[
+            F.round(
+                dot_product(vec, F.array(*[F.lit(float(s)) for s in plane])), 9
+            )
+            for plane in _rp_planes()
+        ]
+    )
+
+
+def knn_rp_rescore(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    coarse_k: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Random-projection coarse top-``coarse_k`` (inner products in
+    RP_DIMS instead of 64 — a 4x cheaper scan that needs no training,
+    unlike PQ), exact full-dimension rescore to top-``k``. The third
+    point on the engine's compression curve: SQ (cheap transform, full
+    dim), RP (projection, no training), PQ (trained codebooks, ADC)."""
+    q = F.broadcast(
+        queries.select("query_id", "qv", rp_project(F.col("qv")).alias("q_rp"))
+    )
+    c = corpus.select("vec_id", "embedding", rp_project(F.col("embedding")).alias("c_rp"))
+    coarse = c.join(q).select(
+        "query_id",
+        "qv",
+        "vec_id",
+        "embedding",
+        F.round(F.lit(1.0) - dot_product(F.col("q_rp"), F.col("c_rp")), 9).alias(
+            "coarse_distance"
+        ),
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_distance").asc(), F.col("vec_id").asc()
+    )
+    cands = coarse.withColumn("coarse_rank", F.row_number().over(w_coarse)).filter(
+        F.col("coarse_rank") <= coarse_k
+    )
+    rescored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_distance(F.col("qv"), F.col("embedding")).alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
+def _rp_sql() -> str:
+    planes = _rp_planes()
+    lits = ", ".join(
+        "round(list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{s:.1f}" for s in plane)
+        + "]), 9)"
+        for plane in planes
+    )
+    return f"[{lits}]"
+
+
+_RP_ORACLE = f"""
+WITH proj AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec, {_rp_sql()} AS rp
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, vec AS qv, rp AS q_rp FROM proj WHERE vec_id < 5),
+c AS (SELECT vec_id, vec, rp FROM proj WHERE vec_id >= 5),
+coarse AS (
+    SELECT q.query_id, c.vec_id, q.qv, c.vec,
+           round(1.0 - list_dot_product(q.q_rp, c.rp), 9) AS coarse_distance
+    FROM q CROSS JOIN c
+),
+cands AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY coarse_distance, vec_id) AS coarse_rank
+        FROM coarse
+    ) WHERE coarse_rank <= 20
+),
+rescored AS (
+    SELECT query_id, vec_id AS neighbor_id,
+           round(1.0 - list_dot_product(qv, vec), 9) AS distance
+    FROM cands
+)
+SELECT query_id, neighbor_id, distance, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY distance, neighbor_id) AS rank
+    FROM rescored
+) WHERE rank <= 5
+"""
+
+
+@register("knn_rp_rescore", oracle=_RP_ORACLE)
+def q_knn_rp_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21-extension [Q]: Johnson-Lindenstrauss random-projection coarse
+    search (16-d sign projections, training-free) + exact rescore — 5
+    fixture queries vs the rest of the corpus, same shape as the int8
+    and PQ rescore gates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    return knn_rp_rescore(queries, corpus)
