@@ -37,9 +37,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Each callable releases the PREVIOUS invocation's transient persisted
+    intermediates before building its plan (plans/registry.py
+    release_transient): harnesses that run the whole registry in one
+    session — the driver's correctness gate included — would otherwise
+    accumulate one dead cache entry per persisting query, and by
+    invocation time the prior query's result has been consumed. A
+    released intermediate is only ever recomputed, never wrong."""
+    from bioclip_vector_db_spark.plans.registry import release_transient
+
     load_all_plans()
-    return dict(QUERIES)
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_transient()
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
