@@ -247,3 +247,17 @@ def test_substring_dedup_has_no_all_pairs_stage(spark, sf_dir):
                 last = node.rsplit("], [", 1)[-1]
                 ordered = " ASC" in last or " DESC" in last
                 assert not (two_groups and ordered), (name, line)
+
+
+def test_filtered_search_prefilters_the_corpus_scan(spark, sf_dir):
+    """Filtered vector search must apply the metadata predicate BELOW the
+    per-partition top-n — on the cached assigned-corpus scan itself (the
+    prebuilt-index serving artifact), so the filter narrows candidates
+    before any ranking instead of post-filtering a fixed top-k."""
+    plan = _plan(QUERIES["ivf_filtered_search"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the label predicate rides the in-memory corpus scan's filter list
+    scan_lines = [
+        l for l in plan.splitlines() if "InMemoryTableScan" in l and "label" in l
+    ]
+    assert scan_lines, plan[:2000]
