@@ -527,3 +527,52 @@ def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "events_stream_session",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, ts, value,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM ordered
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 4 HOUR AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+""",
+)
+def q_events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 [Q]: session windows as a REAL Structured Streaming query —
+    session_window's stateful merge (sessions extend/merge as events
+    arrive) under a watermark, complete-mode memory sink, availableNow.
+    One input file => one micro-batch, so the settled result equals the
+    batch gaps-and-islands oracle exactly; at scale the watermark is
+    what bounds session state (sessions older than the watermark
+    finalize and evict)."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = session_stats(stream.withWatermark("ts", "1 hour"), SESSION_GAP)
+    name = "events_stream_session_sink"
+    with fixture_stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
