@@ -386,3 +386,266 @@ def q_tpch_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "tpch_local_supplier_volume",
+    oracle="""
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+""",
+)
+def q_tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shape [Q]: the 6-way star join with a same-nation constraint —
+    revenue where the ordering customer and the supplying supplier share a
+    nation, restricted to one region and a two-year window.
+
+    Plan shape for 100 TB: the two facts (lineitem, orders) shuffle-join on
+    orderkey; every dimension (customer, supplier, nation, region) is
+    broadcast so the same-nation constraint (c_nationkey = s_nationkey)
+    evaluates map-side as a post-join filter rather than forcing a second
+    fact shuffle; the date filter pushes into the orders scan. Catalyst
+    also gets the freedom to reorder the dim joins — nothing here pins a
+    join order."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation").asc())
+    )
+
+
+@register(
+    "tpch_small_qty_revenue",
+    oracle="""
+WITH part_qty AS (
+    SELECT l_partkey,
+           sum(l_quantity)::BIGINT AS sum_qty,
+           count(*)::BIGINT AS cnt
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_qty a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND 5 * l.l_quantity::BIGINT * a.cnt < a.sum_qty
+""",
+)
+def q_tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shape [Q]: revenue from small-quantity orders — the classic
+    correlated scalar subquery (l_quantity < 0.2 * avg(l_quantity) per
+    part) DECORRELATED into a per-part aggregate joined back to the fact.
+
+    Scale notes: the per-part aggregate is a map-side-combined groupBy on
+    the join key itself, so under AQE both sides of the self-join arrive
+    hash-partitioned on l_partkey and the join adds no extra shuffle; the
+    brand filter broadcasts the part dim. The 0.2*avg comparison runs in
+    INTEGER arithmetic (5*qty*cnt < sum_qty — quantities are integral) so
+    the boundary predicate cannot flip on float division order in either
+    engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_qty = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_qty.withColumnRenamed("l_partkey", "pq_partkey"),
+              F.col("l_partkey") == F.col("pq_partkey"))
+        .filter(
+            5 * F.col("l_quantity").cast("bigint") * F.col("cnt") < F.col("sum_qty")
+        )
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_large_volume_customers",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey, sum(l_quantity)::BIGINT AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 250
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS totalprice, big.sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q_tpch_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shape [Q]: large-volume customers — a HAVING-filtered fact
+    aggregate (orders whose total quantity exceeds 250) joined back to
+    orders and customer, global top-20 by order value.
+
+    Scale notes: the heavy side is the lineitem groupBy(orderkey), which
+    combines map-side; the HAVING filter shrinks it to ~1% of orders
+    BEFORE any join, so the join back to orders is a small-side broadcast
+    at any scale where the threshold keeps selectivity (AQE converts it
+    at runtime); sum_qty stays BIGINT (quantities are integral) so the
+    threshold predicate is exact in both engines. Top-20 runs as
+    TakeOrderedAndProject — no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_disjunctive_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shape [Q]: disjunctive join predicates (OR of brand/size/qty
+    conjunctions) — the shape that breaks naive predicate pushdown.
+
+    Scale notes: Catalyst cannot push the mixed OR across the join, but it
+    CAN and does push the derived single-side residuals: the part scan
+    gets (brand IN (1,2,3) AND size<=50-ish) and the lineitem scan gets
+    (quantity BETWEEN 1 AND 30) — both extracted from the disjunction —
+    so the join sees pre-filtered inputs and the full OR evaluates as a
+    post-join filter on the broadcast part side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_dormant_rich_customers",
+    oracle="""
+WITH bal AS (
+    SELECT sum(c_acctbal::DECIMAL(15,2)) AS total, count(*)::BIGINT AS n
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment AS segment,
+       count(*)::BIGINT AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, bal
+WHERE c.c_acctbal::DECIMAL(15,2) * bal.n > bal.total
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c.c_mktsegment
+""",
+)
+def q_tpch_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shape [Q]: dormant high-balance customers — a global scalar
+    aggregate (average positive account balance) gating a scan, plus an
+    anti join against recent orders, rolled up by segment.
+
+    Scale notes: the scalar subquery is a 1-row aggregate broadcast as a
+    literal cross join (Spark plans it as BroadcastNestedLoopJoin over one
+    row — constant cost); the NOT EXISTS is a shuffle-free broadcast anti
+    join once the date filter shrinks orders. The above-average predicate
+    runs in exact DECIMAL cross-multiplied form (bal*n > total) — acctbal
+    is 2-decimal data, so neither engine's float division order can flip
+    a boundary row."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(15,2)")).alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(bal))
+        .filter(F.col("c_acctbal").cast("decimal(15,2)") * F.col("n") > F.col("total"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
