@@ -2112,3 +2112,171 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "near_dup_pairs_08", lambda: near_dup_pairs(docs, 0.8)
     )
     return pagerank_fixed(pairs).select(F.col("id").alias("doc_id"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# X2: semantic dedup (cluster-partitioned embedding near-dup, SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+#: Seed-centroid floor, target cluster cardinality, and cosine threshold
+#: for the registered gate. K seed rows stand in for trained centroids so
+#: the WHOLE pipeline (assignment included) has an exact SQL twin;
+#: production callers pass indexing.trained_centroids. K is
+#: SCALE-ADAPTIVE — max(K_MIN, ceil(n / TARGET_CLUSTER)) — so expected
+#: cluster cardinality (and with it the within-cluster pair stage) stays
+#: bounded as the corpus grows; a fixed k would make the pair join
+#: quadratic at 100x exactly the way the retired 8x2-bit threshold-join
+#: config was.
+SEMDEDUP_K_MIN = 8
+SEMDEDUP_TARGET_CLUSTER = 64
+SEMDEDUP_TAU = 0.3
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    *,
+    k: "int | None" = None,
+    threshold: float = SEMDEDUP_TAU,
+    centroids: "DataFrame | None" = None,
+) -> DataFrame:
+    """Cluster-partitioned semantic dedup over an embedding corpus — the
+    public SemDeDup method (Abbas et al. 2023, arXiv:2303.09540): assign
+    every vector to its nearest centroid, form candidate pairs ONLY within
+    a cluster, and drop every vector that has a closer-to-centroid
+    neighbor above the cosine threshold.
+
+    Semantics (deterministic, order-free):
+    - assignment: argmax rounded cosine to the centroid table, ties to the
+      lowest centroid id;
+    - exemplar rank: within a cluster, by similarity-to-centroid DESC then
+      vec_id ASC (row_number — no ties);
+    - a vector is REMOVED iff some same-cluster vector with a better
+      (lower) rank is within ``threshold`` cosine — per qualifying pair,
+      the worse-ranked member is marked; survivors are ``kept = true``.
+
+    Returns one row per input vector: (vec_id, cluster_id, rank, kept).
+
+    Scale shape for 100 TB: the centroid table is broadcast (k rows), so
+    assignment is map-side; the ONLY shuffle keys are vec_id-free
+    (cluster_id for the rank window and the pair join). The within-cluster
+    pair join is quadratic in CLUSTER size, not corpus size — SemDeDup's
+    contract is k grows with the corpus, and the default ENFORCES it:
+    k = max(8, ceil(n / SEMDEDUP_TARGET_CLUSTER)), so expected cluster
+    cardinality stays ~64 and total pair work stays linear in n at every
+    scale (the registered gate carries the same rule, not a fixture-sized
+    constant). No stage is all-pairs over the corpus (plan-guarded in
+    tests/test_plans.py)."""
+    v = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    if centroids is None:
+        if k is None:
+            # One scalar count — small-by-contract driver round trip; the
+            # oracle computes the identical k with a scalar subquery.
+            n = v.count()
+            k = max(SEMDEDUP_K_MIN, -(-n // SEMDEDUP_TARGET_CLUSTER))
+        centroids = v.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+    sims = v.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(dot_product(F.col("embedding"), F.col("cvec")), 9).alias("csim"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    assigned = (
+        sims.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid", "csim")
+    )
+    rw = Window.partitionBy("cid").orderBy(F.col("csim").desc(), F.col("vec_id").asc())
+    ranked = transient_persist(
+        assigned.withColumn("rank", F.row_number().over(rw).cast("bigint"))
+    )
+    a = ranked.select(
+        "cid",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("rank").alias("a_rank"),
+    )
+    b = ranked.select(
+        "cid",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("rank").alias("b_rank"),
+    )
+    removed = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(dot_product(F.col("a_vec"), F.col("b_vec")), 9) > threshold)
+        .select(
+            F.when(F.col("a_rank") > F.col("b_rank"), F.col("a_id"))
+            .otherwise(F.col("b_id"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("_removed", F.lit(True))
+    )
+    return ranked.join(removed, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cluster_id"),
+        "rank",
+        F.coalesce(~F.col("_removed"), F.lit(True)).alias("kept"),
+    )
+
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+seeds AS (
+    SELECT vec_id AS cid, vec AS cvec FROM v
+    WHERE vec_id < (
+        SELECT greatest(
+            {SEMDEDUP_K_MIN},
+            ceil(count(*) / {SEMDEDUP_TARGET_CLUSTER}.0)
+        )::BIGINT FROM v
+    )
+),
+assigned AS (
+    SELECT vec_id, vec, cid, csim FROM (
+        SELECT v.vec_id, v.vec, s.cid,
+               round(list_dot_product(v.vec, s.cvec), 9) AS csim,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY round(list_dot_product(v.vec, s.cvec), 9) DESC, s.cid
+               ) AS rn
+        FROM v CROSS JOIN seeds s
+    ) WHERE rn = 1
+),
+ranked AS (
+    SELECT vec_id, vec, cid, csim,
+           row_number() OVER (
+               PARTITION BY cid ORDER BY csim DESC, vec_id
+           )::BIGINT AS rank
+    FROM assigned
+),
+removed AS (
+    SELECT DISTINCT
+           CASE WHEN a.rank > b.rank THEN a.vec_id ELSE b.vec_id END AS vec_id
+    FROM ranked a JOIN ranked b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+     AND round(list_dot_product(a.vec, b.vec), 9) > {SEMDEDUP_TAU}
+)
+SELECT r.vec_id, r.cid::BIGINT AS cluster_id, r.rank,
+       (rm.vec_id IS NULL) AS kept
+FROM ranked r LEFT JOIN removed rm ON rm.vec_id = r.vec_id
+"""
+
+
+@register("semantic_dedup", oracle=_SEMANTIC_DEDUP_ORACLE)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 [Q]: SemDeDup over the embeddings corpus — scale-adaptive seed
+    centroid count (max(8, ceil(n/64)), computed identically by the SQL
+    twin's scalar subquery), cosine threshold 0.3; returns every vector's
+    cluster, exemplar rank, and keep/drop decision (the full per-vector
+    decision table, not just the drop set, so the oracle pins the
+    negatives too)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb)

@@ -1303,3 +1303,89 @@ def q_documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("sample_rank") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# X5: sliding-window document chunking (context-window packing precursor)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    width: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into overlapping token-window chunks — the
+    standard precursor to embedding/context-window pipelines (stride <
+    width keeps ``width - stride`` tokens of overlap so no boundary
+    context is lost). Chunk starts are 0, stride, 2*stride, ... while
+    inside the document; the final chunk clamps at the document end.
+
+    Returns (doc_id, chunk_idx, start_token, chunk_tokens, chunk_text).
+
+    Scale shape: zero shuffles — tokenize, explode the start offsets, and
+    slice, all map-side inside one WholeStageCodegen scan; output row
+    count is tokens/stride per document (bounded fan-out, never
+    quadratic). Token rule is the module's whitespace ``words()`` so the
+    chunk text round-trips exactly in both engines."""
+    toks = df.select("doc_id", words(F.col(text_col)).alias("t")).filter(
+        F.size("t") > 0
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(stride))
+            ).alias("start_token"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start_token") / stride).cast("bigint").alias("chunk_idx"),
+            F.col("start_token").cast("bigint").alias("start_token"),
+            F.slice("t", F.col("start_token") + 1, F.lit(width)).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_token",
+            F.size("chunk").cast("bigint").alias("chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_WORDS_SQL} AS t FROM documents
+),
+starts AS (
+    SELECT doc_id, t, gs.s AS start_token
+    FROM toks, LATERAL (
+        SELECT unnest(range(0, len(t), {CHUNK_STRIDE})) AS s
+    ) gs
+    WHERE len(t) > 0
+)
+SELECT doc_id,
+       (start_token // {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+       start_token::BIGINT AS start_token,
+       len(list_slice(t, start_token + 1, start_token + {CHUNK_TOKENS}))::BIGINT
+           AS chunk_tokens,
+       array_to_string(
+           list_slice(t, start_token + 1, start_token + {CHUNK_TOKENS}), ' '
+       ) AS chunk_text
+FROM starts
+"""
+
+
+@register("documents_chunk_overlap", oracle=_CHUNK_ORACLE)
+def q_documents_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: overlapping 32-token chunks at stride 24 over the documents
+    corpus — every chunk's text byte-exact against the SQL twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs)

@@ -366,3 +366,58 @@ def test_bloom_prefilter_matches_anti_join_and_bounds_fp(spark, sf_dir):
     novel = [r for r in ledger.values() if r.vec_id not in stored_ids]
     fps = [r for r in novel if r.might_contain]
     assert len(fps) / len(novel) <= 0.15, (len(fps), len(novel))
+
+
+def test_semantic_dedup_drops_exact_copies(spark, sf_dir):
+    """An exact re-keyed copy of a vector has cosine 1 with its original
+    and the identical centroid similarity, so the copy (higher vec_id ->
+    worse exemplar rank) must always be dropped while the original's
+    decision is unchanged; untouched vectors keep their baseline verdict."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id").between(100, 119)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    # Pin k: the auto rule (ceil(n/64)) would shift the cluster count when
+    # the copies change n, which is correct behavior but not the property
+    # under test (copy-dropping at identical clustering).
+    base = {r.vec_id: r.kept for r in dedup.semantic_dedup(emb, k=8).collect()}
+    out = {r.vec_id: r.kept for r in
+           dedup.semantic_dedup(emb.unionByName(copies), k=8).collect()}
+    for vid in range(100, 120):
+        assert out[vid + 10_000] is False, vid  # the copy never survives
+        assert out[vid] == base[vid], vid  # original's verdict unchanged
+    assert sum(1 for k in out.values() if not k) >= sum(
+        1 for k in base.values() if not k
+    ) + 20
+
+
+def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
+    """Chunks tile each document: starts advance by the stride, the last
+    chunk clamps at the end, consecutive chunks overlap by width-stride
+    tokens, and concatenating chunk starts reconstructs the token count."""
+    from bioclip_vector_db_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+        words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    n_toks = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", F.size(words(F.col("text"))).alias("n")).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunk_documents(docs).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = n_toks[doc_id]
+        assert [c.start_token for c in chunks] == list(range(0, n, CHUNK_STRIDE))
+        for c in chunks[:-1]:
+            assert c.chunk_tokens == min(CHUNK_TOKENS, n - c.start_token)
+        last = chunks[-1]
+        assert last.start_token + last.chunk_tokens == min(
+            n, last.start_token + CHUNK_TOKENS
+        )
+        assert all(len(c.chunk_text.split(" ")) == c.chunk_tokens for c in chunks)

@@ -261,3 +261,33 @@ def test_filtered_search_prefilters_the_corpus_scan(spark, sf_dir):
         l for l in plan.splitlines() if "InMemoryTableScan" in l and "label" in l
     ]
     assert scan_lines, plan[:2000]
+
+
+def test_semantic_dedup_pairs_are_cluster_keyed(spark, sf_dir):
+    """SemDeDup's candidate stage must pair vectors only WITHIN a cluster
+    (equi-join on the cluster id): the single tolerated
+    BroadcastNestedLoopJoin is the k-row centroid assignment cross join,
+    and no stage may be a corpus-level cartesian."""
+    import re
+
+    plan = _plan(QUERIES["semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # toString re-renders the shared assignment lineage once per branch
+    # that references it, so count BUILDS, not occurrences: every
+    # nested-loop join must broadcast the k-row seed table (the filter
+    # `vec_id < 8` right under its IdentityBroadcastMode exchange) — any
+    # OTHER nested-loop build would be a corpus-sized cross join.
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    seed_builds = re.findall(
+        r"BroadcastExchange IdentityBroadcastMode[\s\S]{0,500}?Filter \([^\n]*< 8\)",
+        plan,
+    )
+    assert n_bnlj > 0 and n_bnlj == len(seed_builds), plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Overlapping chunk expansion is tokenize+explode+slice inside the
+    scan — a shuffle anywhere means the plan regressed to a join or
+    window it never needed."""
+    plan = _plan(QUERIES["documents_chunk_overlap"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
