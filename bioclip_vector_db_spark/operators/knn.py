@@ -833,3 +833,211 @@ def q_health_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.countDistinct("dim").alias("n_dims"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X3+: MMR diversified rerank (serving-side result diversification)
+# ---------------------------------------------------------------------------
+
+MMR_K = 5
+MMR_POOL = 20
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = MMR_K,
+    pool: int = MMR_POOL,
+    rel_weight: int = 1,
+    div_weight: int = 1,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998): pull
+    a ``pool``-sized exact top-k candidate set per query, then greedily
+    select ``k`` results maximizing ``rel*sim(q,d) - div*max_s sim(d,s)``
+    over the already-selected set (lambda = rel/(rel+div), default 0.5) —
+    the standard diversification pass a vector-serving tier runs on top
+    of ANN output.
+
+    Returns ``(query_id, step, vec_id, mmr_score_e9)`` — step is
+    selection order (1 = plain argmax relevance); mmr_score_e9 is the
+    greedy objective in INTEGER e9 scale (similarities quantized to
+    round(sim*1e9) before the weighted difference). Floating-point
+    0.5*q - 0.5*p on 9-decimal inputs lands exactly on ties at the 10th
+    decimal, where engines' rounding modes legitimately differ by 1e-9 —
+    integer scoring removes the tie class entirely, the same
+    quantize-before-combine rule text_lm_score uses.
+
+    Determinism: ranks on the exact integer score, ties broken by vec_id.
+
+    Scale shape: the candidate pull is the broadcast-scored,
+    WindowGroupLimit-pruned knn_join — the only corpus-sized stage. The
+    greedy loop is unrolled k-1 times over CANDIDATE-sized tables (pool
+    rows per query, pool^2 pair rows per query, both persisted once), so
+    its cost is O(queries * pool^2 * k) regardless of corpus size — the
+    iterative plan never touches the corpus again."""
+    from ..plans.registry import transient_persist
+
+    cands = knn_join(queries, corpus, k=pool).select(
+        "query_id",
+        F.col("neighbor_id").alias("vec_id"),
+        F.round((1.0 - F.col("distance")) * 1e9, 0).cast("bigint").alias("qsim_e9"),
+    )
+    cands = transient_persist(
+        cands.join(corpus.select("vec_id", "embedding"), "vec_id").select(
+            "query_id", "vec_id", "qsim_e9", "embedding"
+        )
+    )
+    a = cands.select(
+        "query_id", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")
+    )
+    b = cands.select(
+        "query_id", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")
+    )
+    pairs = transient_persist(
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.round(
+                F.round(dot_product(F.col("a_vec"), F.col("b_vec")), 9) * 1e9, 0
+            ).cast("bigint").alias("psim_e9"),
+        )
+    )
+    slim = cands.select("query_id", "vec_id", "qsim_e9")
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("qsim_e9").desc(), F.col("vec_id").asc()
+    )
+    selected = (
+        slim.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            F.lit(1).cast("bigint").alias("step"),
+            (rel_weight * F.col("qsim_e9")).alias("mmr_score_e9"),
+        )
+    )
+    for step in range(2, k + 1):
+        pen = (
+            pairs.join(
+                selected.select("query_id", F.col("vec_id").alias("b_id")),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", F.col("a_id").alias("vec_id"))
+            .agg(F.max("psim_e9").alias("penalty_e9"))
+        )
+        score = rel_weight * F.col("qsim_e9") - div_weight * F.coalesce(
+            F.col("penalty_e9"), F.lit(0).cast("bigint")
+        )
+        wn = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("vec_id").asc()
+        )
+        nxt = (
+            slim.join(selected.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti")
+            .join(pen, ["query_id", "vec_id"], "left")
+            .withColumn("mmr", score)
+            .withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                F.lit(step).cast("bigint").alias("step"),
+                F.col("mmr").alias("mmr_score_e9"),
+            )
+        )
+        selected = selected.unionByName(nxt)
+    return selected
+
+
+def _mmr_oracle_sql(
+    k: int = MMR_K, pool: int = MMR_POOL, rel: int = 1, div: int = 1
+) -> str:
+    """Unrolled-CTE SQL twin of mmr_rerank on the fixture query set."""
+    parts = [
+        f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id >= 5
+),
+scored0 AS (
+    SELECT q.query_id, c.vec_id,
+           round(1.0 - list_dot_product(q.qv, c.vec), 9) AS distance
+    FROM q CROSS JOIN corpus c
+),
+cand AS (
+    SELECT query_id, vec_id,
+           round((1.0 - distance) * 1e9)::BIGINT AS qsim_e9 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY distance, vec_id) AS rnk
+        FROM scored0
+    ) WHERE rnk <= {pool}
+),
+pairs AS (
+    SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+           round(round(list_dot_product(ca.vec, cb.vec), 9) * 1e9)::BIGINT AS psim_e9
+    FROM cand a
+    JOIN cand b ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+    JOIN corpus ca ON ca.vec_id = a.vec_id
+    JOIN corpus cb ON cb.vec_id = b.vec_id
+),
+selected1 AS (
+    SELECT query_id, vec_id, 1::BIGINT AS step,
+           ({rel} * qsim_e9)::BIGINT AS mmr_score_e9 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY qsim_e9 DESC, vec_id) AS rn
+        FROM cand
+    ) WHERE rn = 1
+)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+pen{i} AS (
+    SELECT p.query_id, p.a_id AS vec_id, max(p.psim_e9) AS penalty_e9
+    FROM pairs p
+    JOIN selected{i-1} s ON s.query_id = p.query_id AND s.vec_id = p.b_id
+    GROUP BY p.query_id, p.a_id
+),
+sel{i} AS (
+    SELECT query_id, vec_id, {i}::BIGINT AS step, mmr AS mmr_score_e9 FROM (
+        SELECT c.query_id, c.vec_id,
+               ({rel} * c.qsim_e9 - {div} * coalesce(pn.penalty_e9, 0))::BIGINT AS mmr,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {rel} * c.qsim_e9 - {div} * coalesce(pn.penalty_e9, 0) DESC,
+                            c.vec_id
+               ) AS rn
+        FROM cand c
+        LEFT JOIN pen{i} pn
+          ON pn.query_id = c.query_id AND pn.vec_id = c.vec_id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM selected{i-1} s
+            WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id
+        )
+    ) WHERE rn = 1
+),
+selected{i} AS (
+    SELECT * FROM selected{i-1} UNION ALL SELECT * FROM sel{i}
+)"""
+        )
+    parts.append(
+        f"\nSELECT query_id, vec_id, step, mmr_score_e9 FROM selected{k}"
+    )
+    return "".join(parts)
+
+
+@register("knn_mmr_rerank", oracle=_mmr_oracle_sql())
+def q_knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ [Q]: MMR-diversified top-5 from an exact top-20 pool for the 5
+    fixture queries — greedy unrolled selection, hash-exact vs the
+    unrolled-CTE oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _fixture_queries(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    return mmr_rerank(queries, corpus)

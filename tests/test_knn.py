@@ -92,3 +92,51 @@ def test_centroids_are_unit_norm(spark, sf_dir):
     cent = knn.fixture_centroids(spark, sf_dir)
     norms = cent.select(l2_norm(F.col("centroid")).alias("n")).collect()
     assert all(abs(r.n - 1.0) < 1e-9 for r in norms)
+
+
+def test_mmr_rerank_diversifies_dup_heavy_pool(spark, sf_dir):
+    """MMR invariants: 5 unique picks per query; step 1 is the plain
+    relevance argmax; and when the pool is salted with exact copies of
+    the top hit, plain top-k returns the copies back-to-back while MMR
+    defers them (an exact copy of a selected item scores rel-div*1.0,
+    the worst possible penalty)."""
+    from bioclip_vector_db_spark.operators.knn import (
+        _fixture_queries,
+        knn_join,
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = _fixture_queries(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in knn_join(queries, corpus, k=1).collect()
+    }
+    # Salt the corpus with an exact copy of every query's top-1 neighbor.
+    copies = (
+        corpus.join(
+            spark.createDataFrame(
+                [(v,) for v in set(top1.values())], "vec_id bigint"
+            ),
+            "vec_id",
+        ).select((F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+    )
+    salted = corpus.unionByName(copies)
+    sel = mmr_rerank(queries, salted).collect()
+    by_q: dict[int, list] = {}
+    for r in sel:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.step)
+        ids = [r.vec_id for r in rows]
+        assert len(ids) == len(set(ids)) == 5, (qid, ids)
+        first = rows[0].vec_id
+        # Step 1 is the pure relevance argmax: the known top-1 or its
+        # identical copy (tiebreak by id keeps the original).
+        assert first in (top1[qid], top1[qid] + 50_000), (qid, first)
+        # The identical twin of the step-1 pick cannot be step 2: its
+        # penalty is maximal. (It may appear later once diversity has
+        # been bought elsewhere.)
+        twin = first + 50_000 if first == top1[qid] else first - 50_000
+        assert rows[1].vec_id != twin, (qid, ids)
