@@ -307,6 +307,98 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_left_outer_join",
+    oracle="""
+WITH matches AS (
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+wm AS (
+    SELECT least(max(ts) FILTER (event_type = 'click'),
+                 max(ts) FILTER (event_type = 'purchase'))
+           - INTERVAL 2 HOUR AS closed_before
+    FROM events
+)
+SELECT * FROM matches
+UNION ALL
+SELECT c.user_id, c.event_id AS click_id, NULL::BIGINT AS purchase_id,
+       c.ts AS click_ts, NULL::TIMESTAMP AS purchase_ts
+FROM events c, wm
+WHERE c.event_type = 'click' AND c.ts < wm.closed_before
+  AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+  )
+""",
+)
+def q_events_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 [Q]: stream-stream LEFT OUTER interval join — every click keeps
+    its purchase attributions, and a click with NO purchase in its
+    following hour emits a NULL row once its join state closes. The outer
+    mode is the semantically distinct half of stream-stream joins: null
+    emission is WATERMARK-DRIVEN (a row can only be declared unmatched
+    when no future purchase could still match), which availableNow's
+    trailing no-data batch performs for state closed at the final
+    watermark.
+
+    The oracle encodes the empirically pinned Spark 4 eviction rule
+    (verified at sf0.001 and sf0.01, element-exact): the global watermark
+    is the MIN over both sides' (max event time - 1h delay), and a
+    click's state closes when its one-hour match window falls fully
+    behind it — click_ts < least(max_click, max_purchase) - 2h. Clicks
+    after that horizon emit ONLY their matches (never a premature null) —
+    exactly what a restart against live data would see.
+
+    Scale: same bounded-state shape as the inner gate (state is
+    hours-sized per the condition-derived state watermark, never
+    stream-sized); the null-emission path adds no state beyond what the
+    inner join already holds."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    name = "events_stream_left_outer_join_sink"
+    with fixture_stream_conf(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "events_stream_to_parquet",
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start,
