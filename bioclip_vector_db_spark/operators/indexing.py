@@ -221,6 +221,15 @@ _CORPUS_SCHEMA_CACHE: dict[str, "object"] = {}
 #: the durable ingest gate serializes appenders per index_dir.
 _NEXT_IDS_CACHE: dict[str, dict[int, int]] = {}
 
+#: Per-index partition-id universe (the leader table's ids) — lets the
+#: append fold its next-id bookkeeping into the corpus write as observe()
+#: metrics instead of a separate action per micro-batch.
+_PIDS_CACHE: dict[str, "list[int]"] = {}
+
+#: Above this nlist, per-partition observe() metrics (one conditional sum
+#: per partition id) would bloat the plan; fall back to the aggregate job.
+_OBSERVE_NLIST_MAX = 256
+
 
 def _peek_append_state(index_dir: str) -> "tuple[object, dict[int, int] | None]":
     """(cached corpus schema, cached next-id map) for ``index_dir``.
@@ -233,7 +242,11 @@ def _peek_append_state(index_dir: str) -> "tuple[object, dict[int, int] | None]"
     routing the state through accessors keeps the token a function of
     logic only; regression: tests/test_staging.py
     test_append_state_caches_do_not_thrash_gate_token)."""
-    return _CORPUS_SCHEMA_CACHE.get(index_dir), _NEXT_IDS_CACHE.get(index_dir)
+    return (
+        _CORPUS_SCHEMA_CACHE.get(index_dir),
+        _NEXT_IDS_CACHE.get(index_dir),
+        _PIDS_CACHE.get(index_dir),
+    )
 
 
 def _invalidate_next_ids(index_dir: str) -> None:
@@ -241,10 +254,11 @@ def _invalidate_next_ids(index_dir: str) -> None:
 
 
 def _store_append_state(
-    index_dir: str, schema: object, next_map: dict[int, int]
+    index_dir: str, schema: object, next_map: dict[int, int], pids: "list[int]"
 ) -> None:
     _CORPUS_SCHEMA_CACHE[index_dir] = schema
     _NEXT_IDS_CACHE[index_dir] = next_map
+    _PIDS_CACHE[index_dir] = pids
 
 
 def append_to_index(
@@ -275,7 +289,15 @@ def append_to_index(
     # faiss-id window, so this costs no extra exchange.
     batch = batch.select("vec_id", "embedding", "label").dropDuplicates(["vec_id"])
     bootstrap = not os.path.exists(f"{index_dir}/corpus")
-    cached_schema, cached_next = _peek_append_state(index_dir)
+    cached_schema, cached_next, cached_pids = _peek_append_state(index_dir)
+    pids = cached_pids
+    if pids is None:
+        # One nlist-sized collect per index lifetime (re-seeded after a
+        # process restart), not per batch — the leader table is
+        # small-by-contract (operators/knn_numpy.py:67 note).
+        pids = sorted(
+            r["partition_id"] for r in centroids.select("partition_id").collect()
+        )
     if bootstrap:
         next_map: dict[int, int] = {}
     else:
@@ -315,6 +337,28 @@ def append_to_index(
         rows.withColumn("faiss_id", F.col("_rn")).drop("_rn").localCheckpoint(eager=True)
     )
 
+    # Next-id bookkeeping rides the corpus write as observe() metrics (one
+    # conditional count per partition id — faiss_ids are dense, so next =
+    # old offset + batch count) instead of a separate aggregate action per
+    # micro-batch; past _OBSERVE_NLIST_MAX partitions the conditional-sum
+    # plan would bloat and a plain aggregate job takes over.
+    use_obs = len(pids) <= _OBSERVE_NLIST_MAX
+    if use_obs:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        corpus_src = rows.observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(F.col("partition_id") == int(p), 1).otherwise(0)
+                ).cast("bigint").alias(f"c{int(p)}")
+                for p in pids
+            ],
+        )
+    else:
+        corpus_src = rows
+
     # The two table writes read only the materialized checkpoint, so they
     # are independent jobs — run them CONCURRENTLY (the scheduler
     # interleaves their tasks; at micro-batch cadence the savings is a
@@ -323,7 +367,7 @@ def append_to_index(
     # validator treats any corpus/id_mapping row-count mismatch as
     # rebuild-from-scratch (streaming/ingest._index_consistent).
     def _write_corpus() -> None:
-        rows.write.mode("append").partitionBy("partition_id").parquet(
+        corpus_src.write.mode("append").partitionBy("partition_id").parquet(
             f"{index_dir}/corpus"
         )
 
@@ -339,9 +383,8 @@ def append_to_index(
         )
 
     def _batch_next_ids() -> dict[int, int]:
-        # max faiss_id per partition of THIS batch (checkpointed — no
-        # corpus IO); partitions untouched by the batch keep their old
-        # next id via the merge below.
+        # Fallback only (nlist > _OBSERVE_NLIST_MAX): max faiss_id per
+        # partition of THIS batch (checkpointed — no corpus IO).
         return {
             r["partition_id"]: r["_nxt"]
             for r in rows.groupBy("partition_id")
@@ -349,7 +392,9 @@ def append_to_index(
             .collect()
         }
 
-    writes = [_write_corpus, _write_mapping, _batch_next_ids]
+    writes = [_write_corpus, _write_mapping]
+    if not use_obs:
+        writes.append(_batch_next_ids)
     if bootstrap:
         writes.append(
             lambda: centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
@@ -358,12 +403,21 @@ def append_to_index(
 
     with ThreadPoolExecutor(len(writes)) as pool:
         results = [f.result() for f in [pool.submit(w) for w in writes]]
+    if use_obs:
+        counts = obs.get  # resolved: the corpus write completed above
+        batch_next = {
+            int(p): next_map.get(int(p), 0) + counts[f"c{int(p)}"]
+            for p in pids
+            if counts[f"c{int(p)}"]
+        }
+    else:
+        batch_next = results[2]
     # Cache schema + merged next-id state only after every write landed
     # (rows' columns are exactly what partitionBy-append lands, partition
     # column matched by name, so the next append skips footer inference);
     # a failed append leaves the next-id cache invalidated (popped above)
     # and the next attempt re-seeds from the stored corpus.
-    _store_append_state(index_dir, rows.schema, {**next_map, **results[2]})
+    _store_append_state(index_dir, rows.schema, {**next_map, **batch_next}, pids)
 
 
 def compact_index(

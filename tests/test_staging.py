@@ -388,10 +388,11 @@ def test_append_state_caches_do_not_thrash_gate_token():
     from bioclip_vector_db_spark.operators import indexing as ix
 
     t1 = logic_token(ix.append_to_index)
-    ix._store_append_state("/tmp/fake_dir_a", object(), {0: 7})
+    ix._store_append_state("/tmp/fake_dir_a", object(), {0: 7}, [0, 1])
     try:
         t2 = logic_token(ix.append_to_index)
     finally:
         ix._CORPUS_SCHEMA_CACHE.pop("/tmp/fake_dir_a", None)
         ix._NEXT_IDS_CACHE.pop("/tmp/fake_dir_a", None)
+        ix._PIDS_CACHE.pop("/tmp/fake_dir_a", None)
     assert t1 == t2
