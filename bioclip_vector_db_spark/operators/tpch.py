@@ -649,3 +649,471 @@ def q_tpch_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_order_priority_check",
+    oracle="""
+SELECT o.o_orderpriority AS priority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+)
+def q_tpch_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shape [Q]: correlated EXISTS with an inequality on the
+    correlated column (a lineitem shipped >60 days after its order date)
+    — counted per order priority over a six-month order window.
+
+    Scale notes: Spark plans the EXISTS as a LEFT SEMI hash join keyed on
+    orderkey with the date inequality as a residual condition, so each
+    order is matched once regardless of how many late lines it has (no
+    fan-out then distinct); the order-date window pushes into the orders
+    scan and, being the semi join's probe side, bounds the state. The
+    fixture has no commitdate/receiptdate columns, so "late" is
+    ship-vs-order lag — same correlated-inequality shape as the original
+    commit/receipt comparison."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       date_part('year', l.l_shipdate)::BIGINT AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, date_part('year', l.l_shipdate)
+""",
+)
+def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shape [Q]: bilateral trade volume — revenue between an ordered
+    nation pair in both directions, per ship year. The nation dim joins
+    twice under different roles (supplier's vs customer's nation).
+
+    Scale notes: the only fact-fact shuffle is lineitem-orders on
+    orderkey; customer/supplier/nation all broadcast, and the disjunctive
+    nation-pair predicate evaluates map-side after the broadcasts (its
+    single-side residuals n1/n2 IN (A,B) prune each broadcast build
+    before the join). Grouping is on three low-cardinality columns —
+    partial aggregation collapses the map output to a handful of rows per
+    task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_market_share",
+    oracle="""
+WITH vol AS (
+    SELECT date_part('year', o.o_orderdate)::BIGINT AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n1.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n2.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+)
+SELECT o_year,
+       round(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+             / round(sum(volume), 2), 6) AS mkt_share
+FROM vol GROUP BY o_year
+""",
+)
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shape [Q]: national market share — one nation's fraction of
+    regional promo-part revenue per order year, a conditional-aggregate
+    ratio (sum(CASE)/sum) computed in a single grouped pass.
+
+    Scale notes: one fact-fact shuffle (lineitem-orders); part, customer,
+    supplier, nation x2, region all broadcast; both CASE branches
+    accumulate in the SAME aggregation so the ratio needs no self-join.
+    Float parity across engines: numerator and denominator are each
+    rounded to 2 decimals first (summation-order noise is ~1e-5 on ~1e9
+    magnitudes — far below the cent), so the final division divides
+    bit-identical doubles in both engines and rounds to 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0))),
+                2,
+            )
+            / F.round(F.sum("volume"), 2),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_product_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       date_part('year', o.o_orderdate)::BIGINT AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, date_part('year', o.o_orderdate)
+""",
+)
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shape [Q]: product-line profit by supplier nation and order
+    year, parts selected by an unanchored LIKE on p_name. The fixture has
+    no partsupp.ps_supplycost, so cost is modeled as 60% of the part's
+    retail price — the aggregate keeps Q9's sum-of-differences shape.
+
+    Scale notes: the LIKE cannot prune the part scan via min/max stats but
+    the filtered part dim is still tiny, so it broadcasts and the
+    name-filter applies before the join build; the single fact-fact
+    shuffle is lineitem-orders on orderkey; supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "tpch_late_shipment_priority",
+    oracle="""
+SELECT date_part('year', l.l_shipdate)::BIGINT AS ship_year,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY date_part('year', l.l_shipdate)
+""",
+)
+def q_tpch_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shape [Q]: late shipments split into high/low order priority
+    per ship year — two CASE branches of one aggregation (the fixture has
+    no l_shipmode; priority plays its role, lateness is the same
+    cross-table date inequality as the Q4 gate).
+
+    Scale notes: single orderkey shuffle join; the lateness predicate is
+    a residual on the joined row (it references both sides so no scan
+    pushdown exists for it — the correct plan evaluates it before the
+    aggregate, which Spark does); both counts accumulate in one grouped
+    pass with map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_part_supplier_counts",
+    oracle="""
+WITH ps AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_size::BIGINT AS p_size,
+       count(DISTINCT ps.l_suppkey)::BIGINT AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND NOT EXISTS (
+      SELECT 1 FROM supplier s
+      WHERE s.s_suppkey = ps.l_suppkey AND s.s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p_size
+LIMIT 20
+""",
+)
+def q_tpch_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shape [Q]: distinct supplier count per (brand, size) over the
+    observed part-supplier pairs, excluding blacklisted suppliers
+    (negative balance stands in for Q16's complaints LIKE — the fixture
+    has no partsupp/comment, so lineitem's distinct (part, supplier)
+    pairs are the relationship table).
+
+    Scale notes: the pair-distinct and the count-distinct both key on
+    partkey/suppkey — under AQE the distinct's hash partitioning is
+    reused by the downstream join; the supplier blacklist is a
+    broadcast anti join (6 rows); part dim broadcasts. Top-20 via
+    TakeOrderedAndProject with full tiebreaks."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc(), F.col("p_size").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_waiting_suppliers",
+    oracle="""
+WITH order_supp AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS is_late
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_orderkey, l.l_suppkey
+), marked AS (
+    SELECT l_orderkey, l_suppkey, is_late,
+           count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+           sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+    FROM order_supp
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM marked m
+JOIN supplier s ON s.s_suppkey = m.l_suppkey
+WHERE m.is_late = 1 AND m.n_supp > 1 AND m.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+""",
+)
+def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shape [Q]: suppliers who alone held up a multi-supplier order —
+    the classic EXISTS (another supplier on the order) + NOT EXISTS
+    (another LATE supplier on the order) double correlation, DECORRELATED
+    into one per-(order, supplier) aggregate plus two windows over the
+    order key, so the fact shuffles once instead of three times.
+
+    Scale notes: order_supp collapses lineitem to at most one row per
+    (order, supplier) with map-side combine keyed on the join key; both
+    existence tests become window counts over that reduced set — same
+    partitioning, zero extra shuffles (the groupBy partitioning on
+    l_orderkey+l_suppkey satisfies the window's l_orderkey clustering
+    under AQE); supplier dim broadcasts at the end. "Late" is the same
+    ship-vs-order-date lag as the Q4/Q12 gates (no receipt/commit dates
+    in the fixture)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    order_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = order_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        marked.filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+    SELECT DISTINCT l.l_partkey, l.l_suppkey FROM lineitem l
+), eu AS (
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+), best AS (
+    SELECT ps.l_partkey, min(eu.s_acctbal) AS min_bal
+    FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey
+    GROUP BY ps.l_partkey
+)
+SELECT p.p_partkey, p.p_name,
+       min(eu.s_name) AS s_name,
+       round(best.min_bal, 2) AS acctbal
+FROM ps
+JOIN eu   ON eu.s_suppkey = ps.l_suppkey
+JOIN best ON best.l_partkey = ps.l_partkey AND eu.s_acctbal = best.min_bal
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_size <= 10
+GROUP BY p.p_partkey, p.p_name, best.min_bal
+ORDER BY acctbal, p.p_partkey
+LIMIT 25
+""",
+)
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shape [Q]: for each small part, the region-local supplier with
+    the minimum account balance (stand-in for Q2's min ps_supplycost —
+    no partsupp in the fixture) — the correlated scalar-min subquery
+    DECORRELATED into a per-part min aggregate joined back on
+    (part, min-value), with a deterministic min-name tiebreak.
+
+    Scale notes: the distinct part-supplier pair set keys on partkey for
+    both the min aggregate and the join back, so AQE reuses one hash
+    partitioning across distinct -> agg -> join; the region-filtered
+    supplier side broadcasts twice (probe + verify) rather than
+    shuffling the pair set twice."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    pairs = li.join(F.broadcast(eu), li.l_suppkey == F.col("s_suppkey"))
+    best = pairs.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_name"
+    )
+    return (
+        pairs.join(
+            best.withColumnRenamed("l_partkey", "b_partkey"),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_partkey", "p_name", "min_bal")
+        .agg(F.min("s_name").alias("s_name"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round(F.col("min_bal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.col("acctbal").asc(), F.col("p_partkey").asc())
+        .limit(25)
+    )
