@@ -2280,3 +2280,103 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives too)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup graph (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+def triangle_counts(edges: DataFrame, *, a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge set
+    — the clustering-structure probe a dedup pipeline runs on its
+    near-dup graph (dense triangle neighborhoods = template/boilerplate
+    families; an edge in zero triangles = likely spurious LSH pairing).
+
+    Distributed shape: the classic DEGREE-ORDERED orientation. Each
+    undirected edge is directed from its lower-(degree, id) endpoint to
+    the higher; every triangle then has exactly one node with two
+    out-edges, so enumerating (wedge join on the pivot) + (closure
+    semi-join against the undirected edge set) counts each triangle once.
+    The orientation bounds every node's out-degree by O(sqrt(|E|)) — the
+    wedge join's fan-out is sum(out_deg^2) <= |E|^1.5 REGARDLESS of how
+    skewed the raw degree distribution is (a web-scale near-dup graph has
+    boilerplate hubs with millions of neighbors; orienting away from hubs
+    is what keeps the join from exploding). All three steps are hash
+    equi-joins on node keys.
+
+    The output (node, count) is orientation-INVARIANT, so the DuckDB
+    oracle counts triangles with the naive ordered-edge 3-way join —
+    parity proves the orientation logic, it doesn't assume it.
+    """
+    und = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("u_deg"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("v_deg"))
+    keyed = und.join(du, "u").join(dv, "v")
+    u_first = (F.col("u_deg") < F.col("v_deg")) | (
+        (F.col("u_deg") == F.col("v_deg")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("v_deg")).otherwise(F.col("u_deg")).alias("dst_deg"),
+    )
+    e1 = oriented.select("src", F.col("dst").alias("w1"), F.col("dst_deg").alias("d1"))
+    e2 = oriented.select("src", F.col("dst").alias("w2"), F.col("dst_deg").alias("d2"))
+    wedges = e1.join(e2, "src").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2")))
+    )
+    closure = und.select(
+        F.least("u", "v").alias("cu"), F.greatest("u", "v").alias("cv")
+    )
+    tri = wedges.join(
+        closure,
+        (F.least("w1", "w2") == F.col("cu")) & (F.greatest("w1", "w2") == F.col("cv")),
+        "semi",
+    )
+    return (
+        tri.select(
+            F.explode(F.array("src", "w1", "w2")).alias("vec_id")
+        )
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+@register(
+    "dedup_near_triangles",
+    oracle=f"""
+WITH edges AS (
+    SELECT a_id, b_id FROM ({mp_threshold_join_oracle_sql()}) t
+),
+tri AS (
+    SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.a_id = e1.b_id
+    JOIN edges e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+)
+SELECT node AS vec_id, count(*)::BIGINT AS n_triangles
+FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+""",
+)
+def q_dedup_near_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph structure [Q]: per-vector triangle participation in the
+    multi-probe LSH similarity graph (similarity > 0.3) — degree-ordered
+    distributed triangle counting whose result the naive-oracle parity
+    proves orientation-correct."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    edges = embedding_threshold_join_multiprobe(
+        emb, 0.3, keys=cached_embedding_band_keys(spark, sf_dir)
+    )
+    return triangle_counts(edges)

@@ -1041,3 +1041,121 @@ def q_knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _fixture_queries(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     return mmr_rerank(queries, corpus)
+
+
+# ---------------------------------------------------------------------------
+# Radius (range) search with provably-exact angular partition pruning
+# ---------------------------------------------------------------------------
+
+#: Cosine-distance radius for the radius-search gate: ~1-5% of the corpus
+#: qualifies per query at the fixture's distance distribution.
+RADIUS_SEARCH_R = 0.75
+
+#: Conservative slack (radians) added to the pruning bound. The bound
+#: compares angles derived from round-9 distances over ~unit vectors
+#: (fixture norms are 1 +- 2e-7), so the combined angular error is
+#: < ~1e-5; 1e-3 dominates it by two orders while costing essentially no
+#: pruning power (partition spreads differ at the 0.1-radian scale).
+RADIUS_PRUNE_SLACK = 1e-3
+
+
+def partition_spreads(corpus_assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """``(partition_id, spread)`` — each partition's angular radius: the
+    max angle between a member vector and its (unit) centroid. An
+    index-BUILD artifact (one scan over the corpus, map-side join against
+    the broadcast centroid table, nlist-row result) maintained alongside
+    the centroids themselves."""
+    ang = F.acos(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(-1.0),
+                F.lit(1.0) - cosine_distance(F.col("embedding"), F.col("centroid")),
+            ),
+        )
+    )
+    return (
+        corpus_assigned.join(F.broadcast(centroids), "partition_id")
+        .select("partition_id", ang.alias("ang"))
+        .groupBy("partition_id")
+        .agg(F.max("ang").alias("spread"))
+    )
+
+
+def radius_search(
+    queries: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    radius: float = RADIUS_SEARCH_R,
+) -> DataFrame:
+    """All corpus vectors within cosine distance ``radius`` of each query —
+    the range-query twin of ivf_search, EXACT by construction: a partition
+    is skipped only when the spherical triangle inequality proves it holds
+    no qualifying vector (angle(q, x) >= angle(q, c) - spread(partition)
+    for every member x), so the result equals the brute-force scan — and
+    the DuckDB oracle IS the brute-force scan, which is what makes the
+    pruning's exactness a gated property rather than a comment.
+
+    Scale notes: spreads and centroids are nlist-row build artifacts;
+    routing is a queries x nlist broadcast cross-product filtered by the
+    bound; the corpus is only scanned in surviving partitions (same
+    partition-pruning layout as ivf_search), and the verify is one
+    map-side distance filter inside that scan — no shuffle anywhere, no
+    top-k state. Recall is 1.0 by proof, not by parameter: the knob a
+    caller tunes is the LAYOUT (more/tighter partitions shrink spreads
+    and sharpen the bound), not a probe count.
+    """
+    import math
+
+    ang_r = math.acos(max(-1.0, 1.0 - radius)) + RADIUS_PRUNE_SLACK
+    spreads = partition_spreads(corpus_assigned, centroids)
+    qc_ang = F.acos(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(-1.0),
+                F.lit(1.0) - cosine_distance(F.col("qv"), F.col("centroid")),
+            ),
+        )
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "partition_id", qc_ang.alias("qc_ang"))
+        .join(F.broadcast(spreads), "partition_id")
+        .filter(F.col("qc_ang") - F.col("spread") <= F.lit(ang_r))
+        .select("query_id", "qv", "partition_id")
+    )
+    candidates = corpus_assigned.join(F.broadcast(probes), "partition_id")
+    return (
+        candidates.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_distance(F.col("qv"), F.col("embedding")).alias("distance"),
+        )
+        .filter(F.col("distance") <= F.lit(radius))
+    )
+
+
+@register(
+    "knn_radius_search",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+)
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       round(1.0 - list_dot_product(q.qv, e.embedding::DOUBLE[]), 9) AS distance
+FROM q CROSS JOIN embeddings e
+WHERE round(1.0 - list_dot_product(q.qv, e.embedding::DOUBLE[]), 9) <= {RADIUS_SEARCH_R}
+""",
+)
+def q_knn_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query [Q]: every vector within cosine distance 0.75 of the 5
+    fixture queries, via spread-bounded partition pruning. The oracle is
+    the BRUTE-FORCE cross join — passing proves the pruning bound never
+    discards a qualifying vector."""
+    return radius_search(
+        _fixture_queries(spark, sf_dir),
+        assigned_corpus(spark, sf_dir).select("vec_id", "embedding", "partition_id"),
+        fixture_centroids(spark, sf_dir),
+    )

@@ -521,3 +521,99 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").cast("bigint").alias("zkey_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning (small-file bin assignment)
+# ---------------------------------------------------------------------------
+
+#: Pseudo-file count for the compaction gate: documents hash into this
+#: many "files" via the same content-independent md5-bucket scheme as the
+#: sampling/split gates.
+COMPACT_N_FILES = 64
+
+#: Target compacted size (chars here; bytes in real life).
+COMPACT_TARGET = 8192
+
+#: file_id range width of one prefix-sum block (same two-pass-scan knob
+#: as text.PACK_BLOCK_WIDTH).
+COMPACT_BLOCK_WIDTH = 16
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    *,
+    target: int = COMPACT_TARGET,
+    block_width: int = COMPACT_BLOCK_WIDTH,
+) -> DataFrame:
+    """Lakehouse small-file compaction planning: assign files (in file_id
+    order) to output bins by cumulative size, a new bin whenever the
+    running total crosses ``target`` — ``bin_id = floor((cumsum - size)
+    / target)``, the same prefix-sum-selects-the-bin rule as token
+    packing, so one oversized file occupies its own bin without shifting
+    successors.
+
+    The prefix sum is the two-pass distributed scan (per-block local
+    cumsums + an O(n_files / width) block-offset table), NEVER a global
+    single-partition window: a 100-TB table's manifest is millions of
+    files, and compaction planning is itself a recurring background job —
+    it cannot be the thing that funnels through one task. Result is
+    byte-identical to the naive single-window form (= the oracle).
+    """
+    from pyspark.sql import Window
+
+    base = manifest.select(
+        "file_id",
+        "size_chars",
+        F.floor(F.col("file_id") / block_width).cast("bigint").alias("_block"),
+    )
+    w_local = Window.partitionBy("_block").orderBy("file_id")
+    local = base.withColumn("_local_cum", F.sum("size_chars").over(w_local))
+    totals = base.groupBy("_block").agg(F.sum("size_chars").alias("_bt"))
+    w_blocks = Window.orderBy("_block")
+    offsets = totals.select(
+        "_block", (F.sum("_bt").over(w_blocks) - F.col("_bt")).alias("_off")
+    )
+    return (
+        local.join(offsets, "_block")
+        .withColumn(
+            "bin_id",
+            F.floor(
+                (F.col("_off") + F.col("_local_cum") - F.col("size_chars")) / target
+            ).cast("bigint"),
+        )
+        .select("file_id", "size_chars", "bin_id")
+    )
+
+
+@register(
+    "documents_compaction_plan",
+    oracle=f"""
+WITH manifest AS (
+    SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+            % {COMPACT_N_FILES}) AS file_id,
+           sum(n_chars)::BIGINT AS size_chars
+    FROM documents GROUP BY 1
+)
+SELECT file_id, size_chars,
+       floor((sum(size_chars) OVER (ORDER BY file_id) - size_chars) * 1.0
+             / {COMPACT_TARGET})::BIGINT AS bin_id
+FROM manifest
+""",
+)
+def q_documents_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse housekeeping [Q]: documents hash-bucketed into 64
+    pseudo-files (manifest = file_id + total chars), then bin-packed into
+    ~8 KB compaction groups by the two-pass distributed prefix sum. The
+    oracle is the naive single-window cumulative sum — parity proves the
+    block-decomposed scan exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    file_id = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % COMPACT_N_FILES
+    )
+    manifest = docs.groupBy(file_id.alias("file_id")).agg(
+        F.sum("n_chars").cast("bigint").alias("size_chars")
+    )
+    return compaction_plan(manifest)

@@ -269,3 +269,68 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.agg(F.count(F.lit(1)).cast("bigint").alias("purchased_after_click"))
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day, count(*)::BIGINT AS n_events
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+stats AS (
+    SELECT user_id, day, n_events,
+           count(*) OVER (PARTITION BY user_id)     AS n,
+           sum(n_events) OVER (PARTITION BY user_id) AS s,
+           sum(n_events * n_events) OVER (PARTITION BY user_id) AS ss
+    FROM daily
+)
+SELECT user_id, day, n_events,
+       round((n * n_events - s) / sqrt((n * ss - s * s)::DOUBLE), 6) AS zscore
+FROM stats
+WHERE n * n_events - s > 0
+  AND (n * n_events - s) * (n * n_events - s) > 4 * (n * ss - s * s)
+""",
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral anomaly detection [Q]: per-user daily event counts whose
+    z-score against that user's own daily distribution exceeds +2 — the
+    burst-detection pass an abuse/quality pipeline runs over activity
+    logs.
+
+    Numeric parity across engines is INTEGER, not float: with n days,
+    sum s and sum-of-squares ss (all BIGINT), ``z > 2`` is equivalent to
+    ``(n*cnt - s)^2 > 4*(n*ss - s^2)`` with ``n*cnt - s > 0`` — the
+    boundary decision never touches a double (zero-variance users fall
+    out for free: both sides are then 0). The reported zscore divides
+    bit-identical integer-derived doubles, so round-6 matches exactly.
+
+    Scale notes: one shuffle on user_id serves both the daily groupBy and
+    the stats window (same key — AQE reuses the partitioning); everything
+    else is map-side. State per user is its day vector — bounded by the
+    retention window, not the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = Window.partitionBy("user_id")
+    stats = daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ss"),
+    )
+    dev = F.col("n") * F.col("n_events") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        stats.filter((dev > 0) & (dev * dev > 4 * var_n2))
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            F.round(dev / F.sqrt(var_n2.cast("double")), 6).alias("zscore"),
+        )
+    )

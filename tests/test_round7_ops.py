@@ -1,0 +1,124 @@
+"""Round-7 additions: radius search, triangle counting, anomaly z-score,
+compaction planning — planted-structure unit tests beyond the oracle gates."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bioclip_vector_db_spark.operators.dedup import triangle_counts
+from bioclip_vector_db_spark.operators.knn import (
+    RADIUS_SEARCH_R,
+    assigned_corpus,
+    fixture_centroids,
+    _fixture_queries,
+    radius_search,
+)
+from bioclip_vector_db_spark.operators.relational import compaction_plan
+from bioclip_vector_db_spark.functions.vector import cosine_distance
+
+
+def test_radius_search_equals_brute_force(spark, sf_dir):
+    """The pruning bound must be invisible in the result: radius search
+    == brute-force distance filter, at a radius other than the gated one
+    (tighter radius => more pruning opportunity => stronger check)."""
+    queries = _fixture_queries(spark, sf_dir)
+    corpus = assigned_corpus(spark, sf_dir).select("vec_id", "embedding", "partition_id")
+    cents = fixture_centroids(spark, sf_dir)
+    for radius in (0.3, 0.65, RADIUS_SEARCH_R):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in radius_search(queries, corpus, cents, radius).collect()
+        }
+        brute = {
+            (r.query_id, r.neighbor_id)
+            for r in queries.crossJoin(
+                corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+            )
+            .withColumn("d", cosine_distance(F.col("qv"), F.col("embedding")))
+            .filter(F.col("d") <= radius)
+            .collect()
+        }
+        assert got == brute, f"radius {radius}: pruning dropped qualifying rows"
+
+
+def test_triangle_counts_k4(spark):
+    """K4 has 4 triangles; every node sits in exactly 3 of them."""
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "a_id long, b_id long"
+    )
+    got = {r.vec_id: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_skewed_hub(spark):
+    """A star (hub + 6 leaves, no leaf-leaf edges) has zero triangles —
+    and one closing edge creates exactly one. Exercises the hub-heavy
+    degree distribution the orientation exists for."""
+    star = [(0, i) for i in range(1, 7)]
+    edges = spark.createDataFrame(star, "a_id long, b_id long")
+    assert triangle_counts(edges).count() == 0
+    closed = spark.createDataFrame(star + [(1, 2)], "a_id long, b_id long")
+    got = {r.vec_id: r.n_triangles for r in triangle_counts(closed).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_compaction_plan_matches_naive_cumsum(spark):
+    """Block-decomposed prefix sum == naive cumulative bin assignment,
+    including an oversized file occupying its own bin."""
+    sizes = [100, 900, 5000, 100, 100, 700, 100, 2500, 50]
+    manifest = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "file_id long, size_chars long"
+    )
+    got = {
+        r.file_id: r.bin_id
+        for r in compaction_plan(manifest, target=1000, block_width=3).collect()
+    }
+    cum = 0
+    want = {}
+    for i, s in enumerate(sizes):
+        want[i] = cum // 1000
+        cum += s
+    assert got == want
+    # the 5000-char file crosses several bin boundaries; its successor
+    # starts from the cumulative total, not from bin+1
+    assert want[2] == 1 and want[3] == 6
+
+
+def test_anomaly_zscore_flags_planted_burst(spark, sf_dir):
+    """A synthetic user with flat activity plus one 10x day flags exactly
+    that day with a positive z-score."""
+    from bioclip_vector_db_spark.plans.registry import QUERIES
+    import datetime
+
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        n = 50 if day == 5 else 2
+        for k in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, day, 1, 0, k), 999, "view", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    stats = daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ss"),
+    )
+    dev = F.col("n") * F.col("n_events") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    flagged = stats.filter((dev > 0) & (dev * dev > 4 * var_n2)).collect()
+    assert len(flagged) == 1
+    assert flagged[0].day.day == 5
