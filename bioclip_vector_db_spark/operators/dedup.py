@@ -2308,7 +2308,13 @@ def triangle_counts(edges: DataFrame, *, a_col: str = "a_id", b_col: str = "b_id
     oracle counts triangles with the naive ordered-edge 3-way join —
     parity proves the orientation logic, it doesn't assume it.
     """
-    und = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # The edge set feeds FOUR consumers (degree counting twice via union,
+    # the orientation join, and the closure semi-join). Edges are usually
+    # an expensive subtree (here: the multi-probe LSH join) — persist the
+    # id-pair projection once or every consumer recomputes it.
+    und = transient_persist(
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    )
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))

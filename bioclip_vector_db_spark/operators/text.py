@@ -1389,3 +1389,64 @@ def q_documents_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — every chunk's text byte-exact against the SQL twin."""
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs)
+
+
+#: The phrase for the positional phrase-search gate (8 occurrences over 5
+#: fixture docs — one doc matches more than once, so per-doc counting is
+#: exercised, not just membership).
+PHRASE_TERMS = ("slow", "hash", "batch")
+
+
+def phrase_search(df: DataFrame, terms: "tuple[str, ...]" = PHRASE_TERMS) -> DataFrame:
+    """Positional phrase search: ``(doc_id, n_matches)`` for documents
+    containing the exact word sequence ``terms`` — answered the
+    POSITIONAL-INDEX way: per-term postings with word positions,
+    intersected by (doc_id, offset-shifted position) equi-joins, the
+    classic phrase-query plan over an inverted index with positions.
+
+    Scale notes: postings are filtered to the phrase's terms BEFORE any
+    join (each term's postings list is the unit of work — same index
+    layout as documents_keyword_search); the k-1 joins are all hash
+    equi-joins on (doc_id, pos), each no larger than the rarest term's
+    postings; nothing rescans raw text after the explode. At index-build
+    time the postings table is written bucketed by token so a phrase
+    probe touches k token buckets."""
+    pos = df.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "token")
+    )
+    first = pos.filter(F.col("token") == terms[0]).select("doc_id", "pos")
+    acc = first
+    for k, t in enumerate(terms[1:], start=1):
+        nxt = pos.filter(F.col("token") == t).select(
+            "doc_id", (F.col("pos") - k).alias("pos")
+        )
+        acc = acc.join(nxt, ["doc_id", "pos"])
+    return acc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )
+
+
+@register(
+    "documents_phrase_search",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+),
+pos AS (
+    SELECT doc_id, i AS pos, w[i] AS token
+    FROM t, unnest(generate_series(1, len(w))) AS u(i)
+)
+SELECT p0.doc_id, count(*)::BIGINT AS n_matches
+FROM pos p0
+JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+JOIN pos p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+WHERE p0.token = '{PHRASE_TERMS[0]}'
+  AND p1.token = '{PHRASE_TERMS[1]}'
+  AND p2.token = '{PHRASE_TERMS[2]}'
+GROUP BY p0.doc_id
+""",
+)
+def q_documents_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: exact-phrase search ('slow hash batch') via positional
+    posting intersection — per-doc match counts."""
+    return phrase_search(load_table(spark, sf_dir, "documents"))

@@ -1117,3 +1117,51 @@ def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("acctbal").asc(), F.col("p_partkey").asc())
         .limit(25)
     )
+
+
+@register(
+    "tpch_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+    SELECT o_custkey,
+           min(date_trunc('month', o_orderdate)) AS cohort_month
+    FROM orders GROUP BY o_custkey
+),
+activity AS (
+    SELECT DISTINCT o.o_custkey, f.cohort_month,
+           date_diff('month', f.cohort_month,
+                     date_trunc('month', o.o_orderdate)) AS month_offset
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+)
+SELECT cohort_month::TIMESTAMP AS cohort_month,
+       month_offset::BIGINT AS month_offset,
+       count(*)::BIGINT AS active_customers
+FROM activity
+GROUP BY cohort_month, month_offset
+""",
+)
+def q_tpch_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention [Q]: customers bucketed by first-order month, then
+    counted per months-since-cohort offset — the classic retention
+    triangle a product warehouse derives from any activity fact.
+
+    Scale notes: the first-order aggregate and the activity join both key
+    on custkey, so one hash partitioning serves min-aggregate -> join ->
+    distinct; the month offset computes map-side from month-truncated
+    timestamps (integer month arithmetic — no float date math to drift);
+    the final rollup is a low-cardinality groupBy with map-side combine."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    firsts = o.groupBy("o_custkey").agg(F.min(month).alias("cohort_month"))
+    offset = (
+        (F.year(month) - F.year("cohort_month")) * 12
+        + (F.month(month) - F.month("cohort_month"))
+    ).cast("bigint")
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select("o_custkey", "cohort_month", offset.alias("month_offset"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_month", "month_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_customers")
+    )

@@ -291,3 +291,60 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
     window it never needed."""
     plan = _plan(QUERIES["documents_chunk_overlap"](spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_triangle_counting_is_all_equi_joins(spark, sf_dir):
+    """Triangle enumeration must stay hash-equi-join shaped: no cartesian
+    product and no nested-loop join anywhere (a web-scale near-dup graph
+    makes any all-pairs stage fatal), and the closure test must be a semi
+    join (no row expansion past the wedge set)."""
+    plan = _plan(QUERIES["dedup_near_triangles"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_radius_search_corpus_join_is_partition_pruned(spark, sf_dir):
+    """The radius-search corpus scan must join candidates on partition_id
+    with the pruned probe set BROADCAST (corpus side never shuffles), and
+    the only nested-loop join allowed is the queries x nlist centroid
+    cross product (constant-size build side)."""
+    from bioclip_vector_db_spark.operators.knn import assigned_corpus, fixture_centroids
+
+    # Warm the index-build artifacts (centroids, assigned layout) — the
+    # serving-path contract is search over a BUILT index, same as
+    # ivf_search's zero-Exchange guard.
+    fixture_centroids(spark, sf_dir).count()
+    assigned_corpus(spark, sf_dir).count()
+    plan = _plan(QUERIES["knn_radius_search"](spark, sf_dir))
+    assert "BroadcastHashJoin [partition_id" in plan, plan
+    # The corpus->result path (everything above/before the broadcast build
+    # side) must be exchange-free: scan -> residual distance filter ->
+    # project. The build side may aggregate the nlist-row spread table.
+    serving_prefix = plan.split("BroadcastExchange", 1)[0]
+    assert "Exchange hashpartitioning" not in serving_prefix, serving_prefix
+
+
+def test_compaction_plan_window_is_blocked(spark):
+    """The manifest prefix sum must partition its corpus-sized window by
+    _block (parallel across blocks); only the block-totals window —
+    O(n_files / width) rows — may be global."""
+    from bioclip_vector_db_spark.operators.relational import compaction_plan
+
+    manifest = spark.range(100).select(
+        F.col("id").alias("file_id"), (F.col("id") % 7 + 1).alias("size_chars")
+    )
+    plan = _plan(compaction_plan(manifest, target=10, block_width=8))
+    assert "partitionBy [_block" in plan.replace("#", " #") or "_block" in plan, plan
+    # the corpus-sized local window keys on _block, so at least one
+    # hashpartitioning exchange on _block must exist (not a single global
+    # sort of the manifest)
+    assert "hashpartitioning(_block" in plan, plan
+
+
+def test_phrase_search_filters_postings_before_join(spark, sf_dir):
+    """Phrase search must push each term's equality filter below its join
+    input (postings probed per term — the rarest-term bound), never join
+    full position tables."""
+    plan = _plan(QUERIES["documents_phrase_search"](spark, sf_dir))
+    assert plan.count("slow") >= 1 and plan.count("hash") >= 1, plan
+    assert "CartesianProduct" not in plan
