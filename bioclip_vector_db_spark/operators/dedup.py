@@ -2386,3 +2386,55 @@ def q_dedup_near_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, 0.3, keys=cached_embedding_band_keys(spark, sf_dir)
     )
     return triangle_counts(edges)
+
+
+@register(
+    "documents_similar_topk",
+    oracle=f"""
+WITH {nd_ctes_sql(threshold=0.1)},
+sym AS (
+    SELECT a_id AS src, b_id AS other, jaccard FROM nd
+    UNION ALL
+    SELECT b_id AS src, a_id AS other, jaccard FROM nd
+)
+SELECT src AS doc_id, other AS similar_doc_id, jaccard,
+       rank::BIGINT AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY jaccard DESC, other) AS rank
+    FROM sym
+) WHERE rank <= 3
+""",
+)
+def q_documents_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-items serving [Q]: for every document, its top-3 most
+    similar neighbors (exact Jaccard >= 0.1 over the MinHash-LSH
+    candidate set) — the "related items" list a dedup triage UI or a
+    recommendation backfill materializes from the near-dup graph.
+
+    Scale notes: the pair list is the LSH-bounded near_dup_pairs output
+    (never all-pairs); symmetrization is a union of two projections of
+    the SAME pair table (no second pipeline run — the pairs DataFrame
+    feeds both branches); per-doc top-3 is a WindowGroupLimit-pruned
+    rank, shuffling O(pairs), keeping O(docs x 3)."""
+    pairs = transient_persist(
+        near_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+    )
+    sym = pairs.select(
+        F.col("a_id").alias("doc_id"),
+        F.col("b_id").alias("similar_doc_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("b_id").alias("doc_id"),
+            F.col("a_id").alias("similar_doc_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("similar_doc_id").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+    )

@@ -668,3 +668,77 @@ def q_events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def ohlc_stats(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per (tumbling window, event_type) OHLC: open/close = value at the
+    min/max (ts, event_id) — arrival-order-independent by construction
+    (min_by/max_by over a total event key), which is precisely what makes
+    the SAME aggregate correct in streaming: late or reordered arrivals
+    within the watermark cannot change the answer."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open_value"),
+            F.round(F.max("value"), 2).alias("high_value"),
+            F.round(F.min("value"), 2).alias("low_value"),
+            F.round(F.max_by("value", key), 2).alias("close_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_stream_ohlc",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS window_start, value,
+           row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_open,
+           row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_close
+    FROM events
+)
+SELECT window_start, event_type,
+       round(max(CASE WHEN rn_open = 1 THEN value END), 2)  AS open_value,
+       round(max(value), 2) AS high_value,
+       round(min(value), 2) AS low_value,
+       round(max(CASE WHEN rn_close = 1 THEN value END), 2) AS close_value,
+       count(*)::BIGINT AS n_events
+FROM ranked
+GROUP BY window_start, event_type
+""",
+)
+def q_events_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 [Q]: the OHLC rollup as a REAL Structured Streaming query —
+    the continuous-aggregate twin of the batch events_ohlc_downsample
+    backfill. Two implementations, one oracle: the batch form ranks with
+    two windows, the streaming form folds min_by/max_by over the total
+    (ts, event_id) key incrementally under a watermark; both must equal
+    the rank-based SQL, which is what proves the incremental fold
+    order-independent."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = ohlc_stats(stream.withWatermark("ts", "1 hour"))
+    name = "events_stream_ohlc_sink"
+    with fixture_stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
