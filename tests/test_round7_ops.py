@@ -122,3 +122,101 @@ def test_anomaly_zscore_flags_planted_burst(spark, sf_dir):
     flagged = stats.filter((dev > 0) & (dev * dev > 4 * var_n2)).collect()
     assert len(flagged) == 1
     assert flagged[0].day.day == 5
+
+
+# ---------------------------------------------------------------------------
+# Property tests (small example budget — each example runs a Spark job)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_triangle_counts_match_naive(spark, raw_edges):
+    """Degree-ordered triangle counting == naive per-node enumeration on
+    arbitrary small graphs (duplicates and both orientations in the
+    input collapse to one undirected edge set first, as the operator's
+    contract requires distinct a<b pairs)."""
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges})
+    nodes = sorted({n for e in edges for n in e})
+    eset = set(edges)
+    want = {}
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            for w in nodes[nodes.index(v) + 1:]:
+                if (u, v) in eset and (v, w) in eset and (u, w) in eset:
+                    for n in (u, v, w):
+                        want[n] = want.get(n, 0) + 1
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r.vec_id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+@given(st.lists(st.integers(1, 5000), min_size=1, max_size=40), st.integers(1, 4000))
+@settings(max_examples=6, deadline=None)
+def test_compaction_plan_property(spark, sizes, target):
+    """Two-pass prefix-sum bin assignment == naive sequential packing for
+    arbitrary manifests and targets (incl. oversized files and tiny
+    block widths that force many blocks)."""
+    manifest = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "file_id long, size_chars long"
+    )
+    got = {
+        r.file_id: r.bin_id
+        for r in compaction_plan(manifest, target=target, block_width=3).collect()
+    }
+    cum = 0
+    want = {}
+    for i, s in enumerate(sizes):
+        want[i] = cum // target
+        cum += s
+    assert got == want
+
+
+@given(st.integers(0, 2**31 - 1), st.floats(0.05, 1.2))
+@settings(max_examples=6, deadline=None)
+def test_radius_search_exact_on_random_vectors(spark, seed, radius):
+    """Radius search == brute force for ARBITRARY unit vectors, an
+    ARBITRARY partition assignment, and arbitrary (even bad) unit
+    centroids: the spread-based bound must stay conservative no matter
+    how poorly the layout matches the data."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(30, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    cents = rng.normal(size=(3, 8))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(30)],
+        "vec_id long, embedding array<double>, partition_id int",
+    )
+    cent_df = spark.createDataFrame(
+        [(p, [float(x) for x in cents[p]]) for p in range(3)],
+        "partition_id int, centroid array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(3)],
+        "query_id long, qv array<double>",
+    )
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in radius_search(queries, corpus, cent_df, float(radius)).collect()
+    }
+    sims = vecs[:3] @ vecs.T
+    want = {
+        (q, n)
+        for q in range(3)
+        for n in range(30)
+        if round(1.0 - sims[q, n], 9) <= radius
+    }
+    assert got == want
