@@ -2438,3 +2438,102 @@ def q_documents_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector-lifecycle flagship: dedup -> index -> search as ONE plan
+# ---------------------------------------------------------------------------
+
+def _vector_pipeline_oracle() -> str:
+    """Composed oracle: SemDeDup keep set -> centroid build on the KEPT
+    corpus -> IVF assignment/routing/search, one CTE chain."""
+    from .knn import CENTROIDS_CTE
+
+    sem_ctes = _SEMANTIC_DEDUP_ORACLE.rsplit("SELECT r.vec_id", 1)[0].strip()
+    assert sem_ctes.startswith("WITH ") and sem_ctes.endswith(")")
+    cent = CENTROIDS_CTE.strip().replace("FROM embeddings", "FROM kept_emb")
+    return f"""
+{sem_ctes},
+kept_emb AS (
+    SELECT e.vec_id, e.embedding, e.label
+    FROM embeddings e LEFT JOIN removed rm ON rm.vec_id = e.vec_id
+    WHERE rm.vec_id IS NULL
+),
+{cent},
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+assign_scored AS (
+    SELECT e.vec_id, e.embedding, c.partition_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9),
+                        c.partition_id) AS r
+    FROM kept_emb e CROSS JOIN centroids c
+),
+corpus AS (
+    SELECT vec_id, embedding, partition_id FROM assign_scored WHERE r = 1
+),
+routed AS (
+    SELECT query_id, qv, partition_id FROM (
+        SELECT q.query_id, q.qv, c.partition_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(1.0 - list_dot_product(q.qv, c.centroid), 9),
+                            c.partition_id) AS probe_rank
+        FROM q CROSS JOIN centroids c
+    ) WHERE probe_rank <= 3
+),
+scored AS (
+    SELECT r.query_id, co.partition_id, co.vec_id AS neighbor_id,
+           round(1.0 - list_dot_product(r.qv, co.embedding::DOUBLE[]), 9) AS distance
+    FROM routed r JOIN corpus co ON r.partition_id = co.partition_id
+),
+local_topn AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id, partition_id
+            ORDER BY distance, neighbor_id) AS local_rank
+        FROM scored
+    ) WHERE local_rank <= 10
+)
+SELECT query_id, neighbor_id, partition_id, distance, rank FROM (
+    SELECT query_id, neighbor_id, partition_id, distance,
+           row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rank
+    FROM local_topn
+) WHERE rank <= 100
+"""
+
+
+@register("vector_ingest_pipeline", oracle=_vector_pipeline_oracle())
+def q_vector_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (vector side) [Q]: the reference's whole lifecycle as ONE
+    composed plan with ONE oracle — SemDeDup the raw corpus, rebuild the
+    per-label centroid index over the SURVIVORS only, assign survivors to
+    partitions, then serve the fixture query set through the standard
+    two-tier IVF search (nprobe=3, top_n=10, limit=100). The documents
+    twin is documents_clean_pipeline; together they gate that the
+    engine's stages COMPOSE, not just pass in isolation.
+
+    Scale notes: every stage keeps its own gated plan shape — SemDeDup's
+    within-cluster-only pairs, the (nlist x dim)-keyed centroid mean, the
+    broadcast-routed partition-pruned search — and the composition adds
+    no new shuffle beyond its stages' own (the keep-filter is a broadcast
+    anti join of the removed set)."""
+    from .knn import assign_partitions, centroids_from, ivf_search, _fixture_queries
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    decision = semantic_dedup(emb)
+    removed = decision.filter(~F.col("kept")).select("vec_id")
+    kept = emb.join(removed, "vec_id", "left_anti")
+    cents = centroids_from(kept)
+    assigned = assign_partitions(kept, cents)
+    return ivf_search(
+        _fixture_queries(spark, sf_dir),
+        assigned.select("vec_id", "embedding", "partition_id"),
+        cents,
+        nprobe=3,
+        top_n=10,
+        global_limit=100,
+    )

@@ -350,8 +350,12 @@ def assigned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fixture_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def centroids_from(emb: DataFrame) -> DataFrame:
+    """(partition_id, centroid) from ANY (label, embedding) corpus slice —
+    per-label mean of embeddings, re-normalized. Element-wise mean via
+    posexplode + groupBy(label, pos): shuffles (nlist x dim) aggregation
+    keys with map-side partial aggregation — scales linearly with the
+    corpus, never collects vectors into one list."""
     pos = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
     )
@@ -365,6 +369,10 @@ def _fixture_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cent.select("partition_id", l2_normalize(F.col("centroid")).alias("centroid"))
+
+
+def _fixture_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return centroids_from(load_table(spark, sf_dir, "embeddings"))
 
 
 #: DuckDB CTE mirroring fixture_centroids — composed into oracle SQL below.
