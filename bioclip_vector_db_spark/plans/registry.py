@@ -42,6 +42,7 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.streaming.ingest",
     "bioclip_vector_db_spark.operators.temporal",
     "bioclip_vector_db_spark.sources.webdataset",
+    "bioclip_vector_db_spark.sources.jsonl",
 )
 
 

@@ -220,3 +220,26 @@ def test_radius_search_exact_on_random_vectors(spark, seed, radius):
         if round(1.0 - sims[q, n], 9) <= radius
     }
     assert got == want
+
+
+def test_jsonl_corrupt_lines_isolated(spark, sf_dir):
+    """The staged JSONL feed plants one malformed line per file; the scan
+    must isolate exactly those into _corrupt (never fail, never leak a
+    partial row into the good set)."""
+    from bioclip_vector_db_spark.sources.jsonl import (
+        _stage_document_jsonl,
+        read_jsonl,
+    )
+
+    staged = _stage_document_jsonl(sf_dir)
+    # Spark disallows plans referencing ONLY the corrupt column from a raw
+    # JSON scan — project real columns alongside it (the documented form).
+    rows = (
+        read_jsonl(spark, staged)
+        .filter(F.col("_corrupt").isNotNull())
+        .select("doc_id", "text", "_corrupt")
+        .collect()
+    )
+    assert len(rows) == 4
+    # corrupt rows carry no parsed payload
+    assert all(r.text is None for r in rows)
