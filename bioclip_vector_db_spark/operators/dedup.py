@@ -2526,8 +2526,11 @@ def q_vector_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     decision = semantic_dedup(emb)
     removed = decision.filter(~F.col("kept")).select("vec_id")
-    kept = emb.join(removed, "vec_id", "left_anti")
-    cents = centroids_from(kept)
+    # kept feeds BOTH the centroid rebuild and the partition assignment —
+    # persist it or the whole SemDeDup subtree runs twice (at real scale
+    # this materialization is the cleaned-corpus write between stages).
+    kept = transient_persist(emb.join(removed, "vec_id", "left_anti"))
+    cents = transient_persist(centroids_from(kept))
     assigned = assign_partitions(kept, cents)
     return ivf_search(
         _fixture_queries(spark, sf_dir),
