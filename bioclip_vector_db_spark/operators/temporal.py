@@ -442,3 +442,69 @@ def q_events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
             <= tol * F.col("exact_users")
         ).alias("within_tolerance"),
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+WITH observed AS (
+    SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hour,
+           round(sum(value), 6) AS hour_value
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM observed GROUP BY 1
+),
+spine AS (
+    SELECT b.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+    FROM bounds b
+)
+SELECT s.event_type, s.hour,
+       (o.hour_value IS NOT NULL) AS observed,
+       round(last_value(o.hour_value IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.hour
+           ROWS UNBOUNDED PRECEDING), 6) AS filled_value
+FROM spine s LEFT JOIN observed o
+  ON o.event_type = s.event_type AND o.hour = s.hour
+""",
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling [Q]: a dense hourly spine per event type
+    (generated between that type's first and last active hour), left
+    joined against observed hourly totals, holes forward-filled with the
+    last observed value — the regularization step before any
+    fixed-step time-series model sees the data.
+
+    Scale notes: the spine GENERATES (types x hours) rows from a
+    bounds-only aggregate — it never materializes from the fact table;
+    the join and the forward-fill window share one (event_type) keyed
+    partitioning; last(ignorenulls=True) over ROWS UNBOUNDED PRECEDING
+    is the running-state form (WindowExec carries one value per
+    partition, no per-row scan-back)."""
+    ev = load_table(spark, sf_dir, "events")
+    observed = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.sum("value"), 6).alias("hour_value"))
+    bounds = observed.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(observed, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.col("hour_value").isNotNull().alias("observed"),
+            F.round(
+                F.last("hour_value", ignorenulls=True).over(w), 6
+            ).alias("filled_value"),
+        )
+    )

@@ -1450,3 +1450,115 @@ def q_documents_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 [Q]: exact-phrase search ('slow hash batch') via positional
     posting intersection — per-doc match counts."""
     return phrase_search(load_table(spark, sf_dir, "documents"))
+
+
+#: BM25 constants (the canonical Robertson defaults) and the gate's query.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("scan", "merge")
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: "tuple[str, ...]" = BM25_QUERY,
+    *,
+    top_k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Scored keyword retrieval: Okapi BM25 over the inverted index for a
+    fixed query, top-``top_k`` docs — the ranking layer documents_keyword_search
+    (boolean AND) lacks.
+
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    ``score = sum_t idf_t * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Scale shape: postings filter to the query's terms BEFORE any join
+    (per-term posting lists are the unit of work); per-doc length comes
+    from a map-side token count on the SAME pass that builds postings;
+    N and avgdl ride one broadcast 1-row aggregate; df per query term is
+    a terms-sized aggregate. The only corpus-sized structure is the
+    posting explode. Ranking is ORDER BY + LIMIT => TakeOrderedAndProject.
+    Float parity: every input to the formula is an exact integer or the
+    broadcast avgdl double; identical IEEE expression trees then round-9
+    BEFORE the rank, the same ln discipline the TF-IDF gate proved."""
+    from pyspark.sql import Window
+
+    toks = df.select("doc_id", words(F.col(text_col)).alias("ws"))
+    doclen = toks.select("doc_id", F.size("ws").cast("double").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = (
+        toks.select("doc_id", F.explode("ws").alias("word"))
+        .filter(F.col("word").isin(*terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = postings.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = BM25_K1, BM25_B
+    scored = (
+        postings.join(F.broadcast(dfreq), "word")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 9).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+        .select(
+            "doc_id",
+            "score",
+        )
+    )
+
+
+@register(
+    "documents_bm25_search",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+doclen AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM doclen),
+postings AS (
+    SELECT doc_id, word, count(*)::DOUBLE AS tf FROM (
+        SELECT doc_id, unnest(ws) AS word FROM toks
+    ) WHERE word IN ('{BM25_QUERY[0]}', '{BM25_QUERY[1]}')
+    GROUP BY doc_id, word
+),
+dfreq AS (SELECT word, count(*)::DOUBLE AS df FROM postings GROUP BY word),
+scored AS (
+    SELECT p.doc_id,
+           round(sum(
+               ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * ({BM25_K1} + 1))
+               / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
+           ), 9) AS score
+    FROM postings p
+    JOIN dfreq f USING (word)
+    JOIN doclen d USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def q_documents_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: Okapi BM25 top-10 for the two-term query ('scan',
+    'merge') — scored retrieval over posting lists, the ranking layer on
+    top of the boolean keyword search."""
+    return bm25_search(load_table(spark, sf_dir, "documents"))

@@ -43,6 +43,7 @@ _PLAN_MODULES = (
     "bioclip_vector_db_spark.operators.temporal",
     "bioclip_vector_db_spark.sources.webdataset",
     "bioclip_vector_db_spark.sources.jsonl",
+    "bioclip_vector_db_spark.sources.csv",
 )
 
 
