@@ -2540,3 +2540,97 @@ def q_vector_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_n=10,
         global_limit=100,
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation as a registered query (metrics under the oracle)
+# ---------------------------------------------------------------------------
+
+#: Eval-slice bound and threshold for the minhash evaluation gate.
+MINHASH_EVAL_MAX_ID = 250
+MINHASH_EVAL_TAU = 0.5
+
+
+def _minhash_eval_oracle() -> str:
+    slice_pred = f"doc_id < {MINHASH_EVAL_MAX_ID}"
+    nd = nd_ctes_sql(threshold=MINHASH_EVAL_TAU).replace(
+        "doc_corpus AS (SELECT doc_id, text FROM documents)",
+        f"doc_corpus AS (SELECT doc_id, text FROM documents WHERE {slice_pred})",
+        1,
+    )
+    return f"""
+WITH {nd},
+exact_pairs AS (
+    SELECT i.a_id, i.b_id
+    FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) i
+    JOIN sizes za ON za.doc_id = i.a_id
+    JOIN sizes zb ON zb.doc_id = i.b_id
+    WHERE round(i.i * 1.0 / (za.sz + zb.sz - i.i), 9) >= {MINHASH_EVAL_TAU}
+),
+lsh_pairs AS (SELECT a_id, b_id FROM nd),
+m AS (
+    SELECT
+        (SELECT count(*) FROM exact_pairs e
+         WHERE EXISTS (SELECT 1 FROM lsh_pairs l
+                       WHERE l.a_id = e.a_id AND l.b_id = e.b_id))::BIGINT AS tp,
+        (SELECT count(*) FROM exact_pairs e
+         WHERE NOT EXISTS (SELECT 1 FROM lsh_pairs l
+                           WHERE l.a_id = e.a_id AND l.b_id = e.b_id))::BIGINT AS fn,
+        (SELECT count(*) FROM lsh_pairs l
+         WHERE NOT EXISTS (SELECT 1 FROM exact_pairs e
+                           WHERE e.a_id = l.a_id AND e.b_id = l.b_id))::BIGINT AS fp
+)
+SELECT tp, fn, fp,
+       round(tp * 1.0 / (tp + fn), 6) AS recall,
+       round(tp * 1.0 / (tp + fp), 6) AS precision
+FROM m
+"""
+
+
+@register("dedup_minhash_eval", oracle=_minhash_eval_oracle())
+def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-as-operator [Q]: MinHash-LSH pair quality measured
+    against the uncapped exact-Jaccard reference on a bounded eval slice
+    (doc_id < 250, threshold 0.5) — tp/fn/fp plus rounded recall and
+    precision as ONE oracle-gated row. The pytest recall gates
+    (tests/test_recall_gates.py) assert thresholds; this query puts the
+    measurement itself under cross-engine parity, the way a production
+    pipeline reports its dedup quality on a sampled slice each run.
+
+    Precision is structurally 1.0 (LSH candidates are verified with the
+    same exact Jaccard before thresholding) — the gate pins that too:
+    fp > 0 would mean the verify stage broke."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MINHASH_EVAL_MAX_ID
+    )
+    exact = jaccard_pairs(docs, MINHASH_EVAL_TAU, max_shingle_df=None).select(
+        "a_id", "b_id", F.lit(1).alias("_e")
+    )
+    lsh = near_dup_pairs(docs, MINHASH_EVAL_TAU).select(
+        "a_id", "b_id", F.lit(1).alias("_l")
+    )
+    # One full-outer join + one conditional aggregate: the whole confusion
+    # matrix in a single distributed pass, no driver-side counting.
+    j = exact.join(lsh, ["a_id", "b_id"], "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("tp"),
+        F.sum(
+            F.when(F.col("_e").isNotNull() & F.col("_l").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("fn"),
+        F.sum(
+            F.when(F.col("_e").isNull() & F.col("_l").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("fp"),
+    ).select(
+        "tp",
+        "fn",
+        "fp",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+    )

@@ -1184,3 +1184,66 @@ def q_knn_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned_corpus(spark, sf_dir).select("vec_id", "embedding", "partition_id"),
         fixture_centroids(spark, sf_dir),
     )
+
+
+@register(
+    "knn_label_vote",
+    oracle="""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+corpus AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id >= 5
+),
+topk AS (
+    SELECT query_id, vec_id, label FROM (
+        SELECT q.query_id, c.vec_id, c.label,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(1.0 - list_dot_product(q.qv, c.vec), 9), c.vec_id
+               ) AS rnk
+        FROM q CROSS JOIN corpus c
+    ) WHERE rnk <= 10
+),
+votes AS (
+    SELECT query_id, label, count(*)::BIGINT AS votes FROM topk GROUP BY 1, 2
+)
+SELECT query_id, label::BIGINT AS predicted_label, votes FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+    FROM votes
+) WHERE rn = 1
+""",
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification serving [Q]: predict each query's label by
+    majority vote over its exact top-10 neighbors (self excluded), ties
+    to the smallest label — the label-propagation read path a vector
+    store serves once neighbors carry metadata.
+
+    Scale shape: the top-k pull is the broadcast-scored
+    WindowGroupLimit-pruned knn_join; voting is a (query, label)
+    aggregate over k rows per query plus one more WindowGroupLimit —
+    nothing after the scan is corpus-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _fixture_queries(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "label", "embedding")
+    topk = knn_join(queries, corpus.select("vec_id", "embedding"), k=10).join(
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = topk.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("bigint").alias("predicted_label"),
+            "votes",
+        )
+    )

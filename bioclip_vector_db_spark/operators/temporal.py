@@ -508,3 +508,67 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("filled_value"),
         )
     )
+
+
+@register(
+    "events_type_correlation",
+    oracle="""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS x,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS y
+    FROM events GROUP BY 1
+),
+s AS (
+    SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+           sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+           sum(x * y)::BIGINT AS sxy
+    FROM hourly
+)
+SELECT n, sx, sy,
+       round((n * sxy - sx * sy)
+             / sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy))::DOUBLE), 6)
+           AS pearson_r
+FROM s
+""",
+)
+def q_events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal analytics [Q]: Pearson correlation between hourly
+    click and view counts — one conditional-aggregate pass builds both
+    series (no self-join), one moment aggregate reduces them, and the
+    correlation assembles from exact BIGINT moments with a single double
+    sqrt/division at the end (the same integer-first discipline as the
+    z-score gate: no float accumulation order anywhere near the value).
+
+    Scale notes: two shuffles total, both map-side combined — (hour) for
+    the series, then the global moment reduce. A built-in corr() would be
+    one call but accumulates in floats with engine-defined order; the
+    moment form is what stays hash-exact cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = hourly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    ).cast("double")
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        F.round(num / F.sqrt(den), 6).alias("pearson_r"),
+    )
