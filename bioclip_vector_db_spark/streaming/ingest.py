@@ -31,6 +31,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import nd_ctes_sql as _nd_ctes_sql
 from ..operators.indexing import ASSIGNED_CTE, append_to_index
@@ -404,3 +405,146 @@ def q_streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.select("a_id", "b_id", "jaccard")
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC upsert: a durable latest-state snapshot merged per batch
+# ---------------------------------------------------------------------------
+
+def _cdc_batch_partial(batch: DataFrame) -> DataFrame:
+    """Per-user partial state of ONE micro-batch: the (ts, event_id)-max
+    record's value plus the batch's event count. max over a
+    (ts_ns, event_id, value) struct is lexicographic on the unique total
+    key, so the result is arrival-order-free."""
+    return (
+        batch.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_id", "value")).alias("_k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("_k.ts").alias("last_ts_ns"),
+            F.col("_k.event_id").alias("last_event_id"),
+            F.col("_k.value").alias("last_value"),
+            "n_events",
+        )
+    )
+
+
+def merge_cdc_snapshot(
+    spark: SparkSession, store: str, batch: DataFrame, batch_id: int
+) -> None:
+    """MERGE one micro-batch into the durable snapshot — the
+    foreachBatch upsert (Delta-style MERGE INTO, expressed as a keyed
+    re-aggregation since plain parquet has no merge):
+
+    read snapshot ``batch_id - 1``  ∪  batch partial  →  groupBy(user)
+    keep the (ts, event_id)-max record, sum counts  →  write snapshot
+    ``batch_id`` (temp dir + atomic rename).
+
+    Replay-idempotent BY KEYING: a replayed batch N re-reads snapshot
+    N-1 (never its own partial output) and atomically re-publishes the
+    same snapshot N. Late data folds correctly because the merge key is
+    the total (ts, event_id) order, not arrival order — an old record
+    arriving after a newer one cannot win the max."""
+    import os as _os
+
+    part = _cdc_batch_partial(batch)
+    prev_path = _os.path.join(store, f"snap_{batch_id - 1}")
+    if batch_id > 0 and _os.path.isdir(prev_path):
+        prev = spark.read.parquet(prev_path)
+        part = prev.unionByName(part)
+    merged = (
+        part.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("last_ts_ns", "last_event_id", "last_value")
+            ).alias("_k"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("_k.last_ts_ns").alias("last_ts_ns"),
+            F.col("_k.last_event_id").alias("last_event_id"),
+            F.col("_k.last_value").alias("last_value"),
+            "n_events",
+        )
+    )
+    tmp = _os.path.join(store, f"_snap_{batch_id}.tmp")
+    final = _os.path.join(store, f"snap_{batch_id}")
+    merged.write.mode("overwrite").parquet(tmp)
+    if _os.path.isdir(final):
+        import shutil
+
+        shutil.rmtree(final)
+    _os.rename(tmp, final)
+
+
+@register(
+    "streaming_cdc_upsert",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, epoch_ns(ts)::BIGINT AS ts_ns, event_id, value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+)
+SELECT user_id, ts_ns AS last_ts_ns, event_id AS last_event_id,
+       round(value, 2) AS last_value, n::BIGINT AS n_events
+FROM ranked WHERE rn = 1
+""",
+)
+def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 [Q]: streaming CDC upsert — maintain a durable latest-record
+    snapshot per user across micro-batches via foreachBatch MERGE, fed by
+    the OUT-OF-ORDER staged feed (newest rows first, oldest rows last):
+    the late batch must fold in WITHOUT clobbering newer state, which the
+    (ts, event_id)-max merge key guarantees. Snapshots are versioned by
+    batch_id and each merge reads its predecessor only, so full-replay
+    after checkpoint loss republishes identical snapshots
+    (unit-tested in tests/test_round7_ops.py). The settled snapshot must
+    equal the batch arg-max oracle over the whole events table."""
+    import tempfile
+
+    from .events import _stage_late_feed
+
+    feed = _stage_late_feed(sf_dir)
+    store = tempfile.mkdtemp(prefix="bvds_cdc_")
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    first = sorted(_glob.glob(os.path.join(feed, "*.parquet")))[0]
+    schema = from_arrow_schema(_pq.read_schema(first))
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_cdc_snapshot(spark, store, batch, batch_id)
+
+    from .staging import fixture_stream_conf
+
+    with fixture_stream_conf(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+            .writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", os.path.join(store, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    snaps = sorted(
+        (d for d in os.listdir(store) if d.startswith("snap_")),
+        key=lambda d: int(d.split("_")[1]),
+    )
+    return spark.read.parquet(os.path.join(store, snaps[-1])).select(
+        "user_id",
+        "last_ts_ns",
+        "last_event_id",
+        F.round("last_value", 2).alias("last_value"),
+        "n_events",
+    )

@@ -243,3 +243,37 @@ def test_jsonl_corrupt_lines_isolated(spark, sf_dir):
     assert len(rows) == 4
     # corrupt rows carry no parsed payload
     assert all(r.text is None for r in rows)
+
+
+def test_cdc_merge_replay_idempotent(spark, sf_dir, tmp_path):
+    """Replaying a CDC micro-batch (crash after publish, before
+    checkpoint commit) must republish an IDENTICAL snapshot: merge N
+    reads snapshot N-1, never its own output."""
+    from bioclip_vector_db_spark.streaming.ingest import merge_cdc_snapshot
+    import os
+
+    store = str(tmp_path / "cdc")
+    os.makedirs(store)
+    b0 = spark.createDataFrame(
+        [(1, 100, 10, 1.0), (1, 200, 11, 2.0), (2, 50, 12, 9.0)],
+        "user_id long, ts long, event_id long, value double",
+    )
+    b1 = spark.createDataFrame(
+        [(1, 150, 13, 7.0), (2, 60, 14, 3.0)],  # user 1's record is LATE
+        "user_id long, ts long, event_id long, value double",
+    )
+    merge_cdc_snapshot(spark, store, b0, 0)
+    merge_cdc_snapshot(spark, store, b1, 1)
+    snap1 = sorted(
+        tuple(r) for r in spark.read.parquet(f"{store}/snap_1").collect()
+    )
+    # user 1: late ts=150 must NOT clobber ts=200; counts accumulate
+    by_user = {r[0]: r for r in snap1}
+    assert by_user[1][1] == 200 and by_user[1][4] == 3
+    assert by_user[2][1] == 60 and by_user[2][4] == 2
+    # replay batch 1
+    merge_cdc_snapshot(spark, store, b1, 1)
+    snap1b = sorted(
+        tuple(r) for r in spark.read.parquet(f"{store}/snap_1").collect()
+    )
+    assert snap1b == snap1
