@@ -100,3 +100,61 @@ def q_embedding_udf_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("dim_idx", "c")
     ).select("doc_id", "dim_idx", F.round("c", 9).alias("component"))
+
+
+#: Per-dimension mean-shift threshold for the drift gate.
+DRIFT_DELTA = 0.01
+
+
+@register(
+    "embeddings_dim_drift",
+    oracle=f"""
+WITH pos AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding)::DOUBLE AS val
+    FROM embeddings
+),
+halves AS (
+    SELECT dim,
+           avg(CASE WHEN vec_id < 250 THEN val END) AS mean_a,
+           avg(CASE WHEN vec_id >= 250 THEN val END) AS mean_b
+    FROM pos GROUP BY dim
+)
+SELECT dim::BIGINT AS dim,
+       round(mean_a, 6) AS mean_a,
+       round(mean_b, 6) AS mean_b,
+       round(abs(mean_a - mean_b), 6) AS delta,
+       round(abs(mean_a - mean_b), 6) > {DRIFT_DELTA} AS drifted
+FROM halves
+""",
+)
+def q_embeddings_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift monitor [Q]: per-dimension mean of the first half of
+    the corpus (vec_id < 250, the 'baseline' batch) vs the second (the
+    'arriving' batch), with a rounded mean-shift flag — the input-drift
+    check a serving pipeline runs before trusting a new embedding batch
+    against an index built on the old distribution (the operational
+    trigger for kmeans_refresh).
+
+    Scale shape: one posexplode + one (dim)-keyed aggregate computing
+    BOTH halves' means via conditional aggregation — a single pass, no
+    self-join; 64 result rows regardless of corpus size. The drift flag
+    compares round-6 values, so the boundary decision is taken on
+    identical doubles in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    halves = pos.groupBy("dim").agg(
+        F.avg(F.when(F.col("vec_id") < 250, F.col("val"))).alias("mean_a"),
+        F.avg(F.when(F.col("vec_id") >= 250, F.col("val"))).alias("mean_b"),
+    )
+    delta = F.round(F.abs(F.col("mean_a") - F.col("mean_b")), 6)
+    return halves.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        delta.alias("delta"),
+        (delta > DRIFT_DELTA).alias("drifted"),
+    )

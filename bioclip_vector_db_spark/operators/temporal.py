@@ -572,3 +572,52 @@ def q_events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sy",
         F.round(num / F.sqrt(den), 6).alias("pearson_r"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+),
+tot AS (
+    SELECT prev_type, sum(n)::BIGINT AS row_total FROM counts GROUP BY prev_type
+)
+SELECT c.prev_type, c.next_type, c.n,
+       round(c.n * 1.0 / t.row_total, 6) AS p
+FROM counts c JOIN tot t USING (prev_type)
+""",
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral modeling [Q]: first-order Markov transition matrix over
+    per-user event sequences — lag() pairs each event with its
+    predecessor, one grouped count per (prev, next), row-normalized into
+    transition probabilities (integer count / integer row total — one
+    exact division, round-6).
+
+    Scale notes: one shuffle on user_id for the lag window; the
+    transition count is a tiny (types^2) aggregate with map-side combine;
+    the row-total join is broadcast-sized by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = counts.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("row_total"))
+    return counts.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
+    )

@@ -1219,3 +1219,80 @@ def q_tpch_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "tpch_abc_analysis",
+    oracle="""
+WITH part_rev AS (
+    SELECT l_partkey,
+           round(sum(l_extendedprice::DECIMAL(15,2) * (1 - l_discount)::DECIMAL(5,2)), 2)::DOUBLE AS revenue
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT l_partkey, revenue,
+           sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+           sum(revenue) OVER () AS total_rev
+    FROM part_rev
+)
+SELECT l_partkey, revenue,
+       CASE WHEN cum_rev <= 0.5 * total_rev THEN 'A'
+            WHEN cum_rev <= 0.8 * total_rev THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""",
+)
+def q_tpch_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification [Q]: parts bucketed by cumulative
+    revenue share (A = first 50%, B = to 80%, C = tail) — the
+    inventory-prioritization classic built on a cumulative-distribution
+    window.
+
+    Float parity: per-part revenue accumulates in exact DECIMAL (4-dp
+    products hit .xx5 cent boundaries for ~10% of parts — float noise
+    there flips the rounding), rounds to 2, and casts back to DOUBLE
+    BEFORE the cumulative window, so both engines accumulate the same
+    doubles in the same
+    (revenue DESC, partkey) order — the running sum is then deterministic
+    because windowed accumulation order is specified, unlike a grouped
+    sum. Scale notes: the per-part aggregate combines map-side; the
+    cumulative window is a single global sort at fixture size and a
+    range-partitioned two-pass prefix sum at 100 TB (same decomposition
+    as compaction_plan — documented, the classification cut is
+    order-preserving either way)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # DECIMAL accumulation: per-part sums of 4-decimal products land on
+    # .xx5 rounding boundaries constantly (1 in 10 parts) — float noise
+    # there flips the cent. Exact decimal arithmetic in both engines
+    # (same discipline as tpch_shipping_priority), cast back to DOUBLE.
+    part_rev = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * (1 - F.col("l_discount")).cast("decimal(5,2)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    w_cum = (
+        Window.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    ranked = part_rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("total_rev"),
+    )
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        F.when(F.col("cum_rev") <= 0.5 * F.col("total_rev"), "A")
+        .when(F.col("cum_rev") <= 0.8 * F.col("total_rev"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
