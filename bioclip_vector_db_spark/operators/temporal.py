@@ -621,3 +621,74 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
     )
+
+
+@register(
+    "events_user_rfm",
+    oracle="""
+WITH maxts AS (SELECT max(ts) AS tmax FROM events),
+per_user AS (
+    SELECT user_id,
+           date_diff('day', max(ts), (SELECT tmax FROM maxts))::BIGINT AS recency_days,
+           count(*)::BIGINT AS frequency,
+           round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS monetary
+    FROM events GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary,
+       ntile(5) OVER (ORDER BY recency_days ASC, user_id)::BIGINT AS r_score,
+       ntile(5) OVER (ORDER BY frequency DESC, user_id)::BIGINT AS f_score,
+       ntile(5) OVER (ORDER BY monetary DESC, user_id)::BIGINT AS m_score
+FROM per_user
+""",
+)
+def q_events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segmentation [Q]: RFM scoring — per-user recency (days
+    since last event vs the corpus max), frequency, and monetary total,
+    each quintile-bucketed with ntile over a TOTAL order (metric +
+    user_id tiebreak, so bucket boundaries are deterministic; monetary
+    accumulates in exact DECIMAL for the same cent-boundary reason as the
+    ABC gate).
+
+    Scale notes: one user-keyed aggregate; the corpus max rides a 1-row
+    broadcast; the three ntiles share one (user-count)-sized input —
+    at 100 TB users still fit a single quantile pass or swap to
+    percent_rank bucketing over the same total order."""
+    ev = load_table(spark, sf_dir, "events")
+    tmax = ev.agg(F.max("ts").alias("tmax"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            "user_id",
+            F.datediff(F.col("tmax"), F.col("last_ts")).cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc()))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc()))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc()))
+        .cast("bigint")
+        .alias("m_score"),
+    )

@@ -1562,3 +1562,89 @@ def q_documents_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     'merge') — scored retrieval over posting lists, the ranking layer on
     top of the boolean keyword search."""
     return bm25_search(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_collocations",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+uni AS (
+    SELECT w, count(*)::BIGINT AS c FROM (
+        SELECT unnest(ws) AS w FROM toks
+    ) GROUP BY w
+),
+nu AS (SELECT sum(c)::BIGINT AS n_uni FROM uni),
+bi AS (
+    SELECT ws[i] AS x, ws[i+1] AS y, count(*)::BIGINT AS cxy
+    FROM toks, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)
+    GROUP BY 1, 2
+),
+nb AS (SELECT sum(cxy)::BIGINT AS n_bi FROM bi)
+SELECT x, y, cxy,
+       round(ln((cxy::DOUBLE * n_uni * n_uni) / (n_bi::DOUBLE * ux.c * uy.c)), 6) AS pmi
+FROM bi JOIN uni ux ON ux.w = bi.x
+        JOIN uni uy ON uy.w = bi.y
+        CROSS JOIN nu CROSS JOIN nb
+WHERE cxy >= 5
+ORDER BY pmi DESC, x, y LIMIT 20
+""",
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: collocation mining — top-20 adjacent bigrams by pointwise
+    mutual information, min count 5. PMI assembles from exact integer
+    counts (``ln(cxy * Nu^2 / (Nb * cx * cy))`` — one ln of a ratio of
+    integers, round-6 before the rank), so the boundary and the ordering
+    are engine-independent.
+
+    Scale notes: unigram and bigram counts are word-keyed aggregates with
+    map-side combine; both totals ride 1-row broadcasts; the marginal
+    joins key on the word (vocabulary-sized, NO forced broadcast — AQE
+    decides, same discipline as TF-IDF's dfreq join); top-20 is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    nu = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("x"),
+                        F.element_at("ws", i + 1).alias("y"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        ).alias("b")
+    ).select("b.x", "b.y")
+    bi = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+    nb = bi.agg(F.sum("cxy").cast("bigint").alias("n_bi"))
+    ux = uni.select(F.col("w").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("w").alias("y"), F.col("c").alias("cy"))
+    return (
+        bi.filter(F.col("cxy") >= 5)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "x",
+            "y",
+            "cxy",
+            F.round(
+                F.log(
+                    (F.col("cxy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_bi").cast("double") * F.col("cx") * F.col("cy"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(20)
+    )
