@@ -111,6 +111,12 @@ def q_jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan)."""
     staged = _stage_document_jsonl(sf_dir)
     df = read_jsonl(spark, staged)
-    return df.filter(F.col("_corrupt").isNull()).select(
-        "doc_id", "text", "lang", "n_chars"
-    )
+    # The filter references doc_id ALONGSIDE the corrupt column: a plan
+    # whose only referenced column is the corrupt record (e.g. a bare
+    # count() pruning away the projection) is rejected by Spark
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); anchoring a real column keeps
+    # every downstream shape legal. Semantically redundant — a corrupt
+    # line parses every typed field as NULL.
+    return df.filter(
+        F.col("_corrupt").isNull() & F.col("doc_id").isNotNull()
+    ).select("doc_id", "text", "lang", "n_chars")
