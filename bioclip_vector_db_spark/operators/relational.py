@@ -617,3 +617,42 @@ def q_documents_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("size_chars")
     )
     return compaction_plan(manifest)
+
+
+@register(
+    "events_grouping_sets",
+    oracle="""
+SELECT event_type,
+       date_trunc('day', ts)::TIMESTAMP AS day,
+       count(*)::BIGINT AS n_events,
+       round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value,
+       grouping(event_type)::BIGINT * 2 + grouping(date_trunc('day', ts))::BIGINT
+           AS grouping_id
+FROM events
+GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+""",
+)
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-relational [Q]: explicit GROUPING SETS — per-type totals,
+    per-day totals, and the grand total in ONE pass with a grouping_id
+    disambiguator (the general form CUBE/ROLLUP specialize; Spark expands
+    the sets without rescanning the input, value sums in exact DECIMAL).
+    The grouping_id column is what downstream consumers key on to split
+    the union back apart — gating it pins the bit order cross-engine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    g = ev.groupingSets(
+        [[F.col("event_type")], [F.col("day")], []],
+        F.col("event_type"),
+        F.col("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+        F.grouping_id().cast("bigint").alias("grouping_id"),
+    )
+    return g.select(
+        "event_type", "day", "n_events", "total_value", "grouping_id"
+    )
