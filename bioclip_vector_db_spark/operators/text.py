@@ -1648,3 +1648,88 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
         .limit(20)
     )
+
+
+#: Planted contamination for the unicode-clean gate: decomposed e+acute
+#: (NFC-composes to one char), NBSP, zero-width space, BEL control.
+_UNICODE_TAINT = " é x​\x07"
+
+
+def unicode_clean(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Unicode hygiene — the text-normalization pass every LLM corpus gets
+    before tokenization: NFC composition (decomposed accents fold to
+    their composed forms), zero-width/control characters stripped, NBSP
+    mapped to plain space.
+
+    NFC has no Catalyst builtin, so this is the one text stage that runs
+    as an Arrow ``mapInPandas`` (vectorized pandas string ops per batch —
+    never per-row Python). Returns (doc_id, clean_text, orig_len,
+    clean_len)."""
+    def _clean(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            s = pdf[text_col].map(lambda t: unicodedata.normalize("NFC", t))
+            s = s.str.replace("[\u200b\x00-\x1f\x7f]", "", regex=True)
+            s = s.str.replace(" ", " ", regex=False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "clean_text": s,
+                    "orig_len": pdf[text_col].str.len().astype("int64"),
+                    "clean_len": s.str.len().astype("int64"),
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        _clean, "doc_id long, clean_text string, orig_len long, clean_len long"
+    )
+
+
+@register(
+    "documents_unicode_clean",
+    oracle="""
+WITH tainted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 50 = 0
+                THEN text || ' e' || chr(769) || chr(160) || 'x'
+                          || chr(8203) || chr(7)
+                ELSE text END AS text
+    FROM documents
+),
+cleaned AS (
+    SELECT doc_id, text,
+           replace(
+               regexp_replace(nfc_normalize(text),
+                              '[' || chr(8203) || chr(1) || '-' || chr(31)
+                                  || chr(127) || ']',
+                              '', 'g'),
+               chr(160), ' ') AS clean_text
+    FROM tainted
+)
+SELECT doc_id, clean_text,
+       length(text)::BIGINT AS orig_len,
+       length(clean_text)::BIGINT AS clean_len
+FROM cleaned
+""",
+)
+def q_documents_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: unicode normalization over the corpus with deterministic
+    contamination planted on every 50th doc (decomposed accent + NBSP +
+    zero-width space + BEL) — NFC folds the accent pair to one composed
+    char, the strip removes the invisibles, NBSP becomes a space; clean
+    docs pass through unchanged. Python's unicodedata and DuckDB's
+    nfc_normalize implement the same UAX#15 tables, which the gate
+    proves rather than assumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    tainted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(_UNICODE_TAINT))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return unicode_clean(tainted)
