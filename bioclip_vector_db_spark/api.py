@@ -85,6 +85,30 @@ class VectorSearchEngine:
             global_limit=GLOBAL_MAX_NEIGHBORS,
         )
 
+    def search_radius(self, queries: DataFrame, radius: float) -> DataFrame:
+        """Range query over the built index: every neighbor within cosine
+        distance ``radius`` — exact by the spread-bound pruning proof
+        (operators.knn.radius_search; the oracle gate is the brute-force
+        scan). ``queries`` carries (query_id, qv)."""
+        from .operators.knn import radius_search
+
+        return radius_search(queries, self.corpus, self.centroids, radius)
+
+    def search_diverse(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        pool: int = 20,
+    ) -> DataFrame:
+        """MMR-diversified top-k: exact top-``pool`` candidates per query,
+        greedily re-ranked for diversity (operators.knn.mmr_rerank —
+        integer-quantized scores, per-query Arrow greedy)."""
+        from .operators.knn import mmr_rerank
+
+        return mmr_rerank(
+            queries, self.corpus.select("vec_id", "embedding"), k=k, pool=pool
+        )
+
     # -- health (GET /health analog) --------------------------------------
 
     def health(self) -> dict:

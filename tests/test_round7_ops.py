@@ -277,3 +277,33 @@ def test_cdc_merge_replay_idempotent(spark, sf_dir, tmp_path):
         tuple(r) for r in spark.read.parquet(f"{store}/snap_1").collect()
     )
     assert snap1b == snap1
+
+
+def test_api_radius_and_diverse_search(spark, sf_dir, tmp_path):
+    """The serving facade exposes the round-7 read paths: radius search
+    equals a brute-force filter over the stored corpus, and diverse
+    search returns k ranked rows per query."""
+    from bioclip_vector_db_spark.api import VectorSearchEngine
+    from bioclip_vector_db_spark.operators.indexing import build_index
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = str(tmp_path / "idx")
+    build_index(emb, index_dir, k=4)
+    eng = VectorSearchEngine(spark, index_dir)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in eng.search_radius(queries, 0.8).collect()
+    }
+    brute = {
+        (q.query_id, c.vec_id)
+        for q in queries.collect()
+        for c in emb.select("vec_id", "embedding").collect()
+        if round(1.0 - sum(a * b for a, b in zip(q.qv, c.embedding)), 9) <= 0.8
+    }
+    assert got == brute
+    diverse = eng.search_diverse(queries, k=3, pool=10).collect()
+    assert len(diverse) == 6  # 2 queries x 3 steps
