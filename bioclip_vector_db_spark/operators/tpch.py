@@ -1296,3 +1296,34 @@ def q_tpch_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "tpch_part_size_ranks",
+    oracle="""
+SELECT p_partkey, p_brand, p_size::BIGINT AS p_size,
+       rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC)::BIGINT AS size_rank,
+       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC)::BIGINT AS size_dense_rank,
+       round(percent_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC), 9) AS size_pct_rank
+FROM part
+WHERE p_partkey % 20 = 0
+""",
+)
+def q_tpch_part_size_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family semantics [Q]: rank / dense_rank / percent_rank per
+    brand over a column FULL of ties (p_size repeats constantly) — the
+    three tie behaviors (gapped, dense, normalized) pinned cross-engine
+    in one window pass. Every other ranking in this repo uses row_number
+    with a total tiebreak; this gate covers the tie-preserving family a
+    warehouse user reaches for when equal keys must share a rank.
+    percent_rank divides two integers per row (round-9, no accumulation)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("bigint").alias("p_size"),
+        F.rank().over(w).cast("bigint").alias("size_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("size_dense_rank"),
+        F.round(F.percent_rank().over(w), 9).alias("size_pct_rank"),
+    )
