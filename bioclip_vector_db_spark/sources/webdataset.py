@@ -182,3 +182,120 @@ def q_webdataset_scan_roundtrip(spark, sf_dir: str) -> DataFrame:
         F.col("members")["lang.txt"].cast("string").alias("lang"),
         F.size("members").cast("bigint").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Write side: distributed WebDataset shard packing (the export sink)
+# ---------------------------------------------------------------------------
+
+#: Shard count for the export gate.
+EXPORT_N_SHARDS = 8
+
+
+def pack_webdataset(
+    df, *, n_shards: int = EXPORT_N_SHARDS, id_col: str = "doc_id"
+):
+    """Pack a documents table into WebDataset tar shards DISTRIBUTEDLY:
+    rows hash to a shard by id, each shard group becomes ONE deterministic
+    tar blob (members sorted by key; zeroed mtime/uid/gid so the bytes are
+    a pure function of the content) via applyInPandas — the export sink a
+    training pipeline runs to hand a corpus to a dataloader.
+
+    Returns ``(shard_id, payload, n_members)`` with one row per shard.
+    At scale each shard group is one task producing one tar — the same
+    parallelism as the dataloader that consumes it; shard size is set by
+    ``n_shards`` against the corpus row count (a real export sizes shards
+    to ~100MB-1GB)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def _pack(pdf: pd.DataFrame):
+        import io as _io
+        import tarfile as _tarfile
+
+        shard_id = int(pdf["_shard"].iloc[0])
+        buf = _io.BytesIO()
+        with _tarfile.open(fileobj=buf, mode="w") as tf:
+            rows = sorted(
+                zip(pdf["doc_id"], pdf["text"], pdf["lang"]), key=lambda r: r[0]
+            )
+            for doc_id, text, lang in rows:
+                for member, payload in (
+                    ("txt", str(text).encode()),
+                    ("lang.txt", str(lang).encode()),
+                ):
+                    info = _tarfile.TarInfo(name=f"doc{int(doc_id):08d}.{member}")
+                    data = payload
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tf.addfile(info, _io.BytesIO(data))
+        return pd.DataFrame(
+            {
+                "shard_id": [shard_id],
+                "payload": [buf.getvalue()],
+                "n_members": [2 * len(pdf)],
+            }
+        )
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 17, 8), 16, 10)
+        .cast("bigint")
+        % n_shards
+    )
+    return (
+        df.select("doc_id", "text", "lang", shard.alias("_shard"))
+        .groupBy("_shard")
+        .applyInPandas(_pack, "shard_id long, payload binary, n_members long")
+    )
+
+
+@register(
+    "webdataset_export_roundtrip",
+    oracle="""
+SELECT doc_id, text, lang FROM documents
+""",
+)
+def q_webdataset_export_roundtrip(spark, sf_dir: str):
+    """O2 write-side [Q]: pack the documents table into 8 deterministic
+    tar shards (distributed applyInPandas, one tar per shard group), then
+    scan the produced blobs back through the SAME untar path the read
+    side uses — the full export->import cycle must reproduce the source
+    table exactly. Gates the packing operator's byte discipline (sorted
+    members, zeroed metadata) without ever trusting it: only the
+    round-trip equality is asserted."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from ..plans.registry import transient_persist
+
+    docs = _load_table(spark, sf_dir, "documents")
+    shards = transient_persist(pack_webdataset(docs))
+
+    def _unpack(batches):
+        import io as _io
+        import tarfile as _tarfile
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                with _tarfile.open(fileobj=_io.BytesIO(bytes(payload))) as tf:
+                    members = {}
+                    for m in tf.getmembers():
+                        key, ext = _split_key(m.name)
+                        members.setdefault(key, {})[ext] = tf.extractfile(m).read()
+                for key, mm in members.items():
+                    out.append(
+                        (
+                            int(key[3:]),
+                            mm["txt"].decode(),
+                            mm["lang.txt"].decode(),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "text", "lang"])
+
+    return shards.select("payload").mapInPandas(
+        _unpack, "doc_id long, text string, lang string"
+    )
