@@ -692,3 +692,55 @@ def q_events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_score"),
     )
+
+
+@register(
+    "events_rolling_active_users",
+    oracle="""
+WITH day_user AS (
+    SELECT DISTINCT date_trunc('day', ts)::TIMESTAMP AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM day_user),
+contrib AS (
+    SELECT d.day, du.user_id
+    FROM days d JOIN day_user du
+      ON du.day <= d.day AND du.day > d.day - INTERVAL 7 DAY
+)
+SELECT day,
+       count(DISTINCT user_id)::BIGINT AS wau
+FROM contrib GROUP BY day
+""",
+)
+def q_events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth analytics [Q]: rolling 7-day active users per day (WAU) —
+    the trailing-distinct aggregate no window frame can express (COUNT
+    DISTINCT over a sliding range isn't a streaming-friendly frame).
+
+    Scale shape: events first collapse to DISTINCT (day, user) rows —
+    the only corpus-sized stage; each such row then EXPLODES to the <=7
+    observation days it contributes to (a constant replication factor,
+    the bucket-replication trick the range join uses), and one grouped
+    count-distinct finishes. Versus the oracle's declarative theta-join
+    (fine at fixture scale), the explode form is an equi-join on day —
+    shuffle-bounded at 7x the daily-active row count, never a range
+    probe per day pair."""
+    ev = load_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = day_user.select("day").distinct()
+    contrib = day_user.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("_off"),
+        F.col("day").alias("_src_day"),
+        "user_id",
+    ).select(
+        (F.col("_src_day") + F.make_dt_interval(days=F.col("_off"))).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
