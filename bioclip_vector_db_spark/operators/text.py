@@ -1733,3 +1733,52 @@ def q_documents_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return unicode_clean(tainted)
+
+
+@register(
+    "text_vocab_health",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest({_WORDS_SQL}) AS w FROM documents
+),
+counts AS (
+    SELECT lang, w, count(*)::BIGINT AS c FROM toks GROUP BY lang, w
+)
+SELECT lang,
+       count(*)::BIGINT AS vocab_size,
+       sum(c)::BIGINT AS n_tokens,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           AS hapax_ratio,
+       round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio
+FROM counts GROUP BY lang
+""",
+)
+def q_text_vocab_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: per-language vocabulary health — vocab size, token count,
+    hapax legomena (words seen exactly once) and the hapax / type-token
+    ratios that flag OCR noise or boilerplate floods in a crawl slice
+    (healthy natural text keeps hapax_ratio near 0.4-0.6; near-zero means
+    template spam, near-one means garbage tokens). All ratios are single
+    divisions of exact integers, round-6.
+
+    Scale shape: one (lang, word)-keyed count with map-side combine —
+    vocabulary-sized, never corpus-sized — then a lang-keyed rollup of
+    counts-of-counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias(
+            "hapax_count"
+        ),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("hapax_ratio"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
+    )
