@@ -1247,3 +1247,110 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "votes",
         )
     )
+
+
+def _nprobe_curve_oracle(probes=(1, 2, 3)) -> str:
+    """Oracle for the nprobe/recall tradeoff curve: one micro-averaged
+    recall row per nprobe setting, all sharing the exact-scan yardstick."""
+    blocks = []
+    for p in probes:
+        blocks.append(f"""
+SELECT {p}::BIGINT AS nprobe,
+       (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+       (SELECT count(*) FROM exact e
+        WHERE EXISTS (
+            SELECT 1 FROM (
+                SELECT s.query_id, s.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY s.query_id
+                           ORDER BY s.distance, s.neighbor_id) AS rank
+                FROM (
+                    SELECT r.query_id, co.vec_id AS neighbor_id,
+                           round(1.0 - list_dot_product(r.qv, co.embedding::DOUBLE[]), 9) AS distance
+                    FROM (
+                        SELECT query_id, qv, partition_id FROM (
+                            SELECT q.query_id, q.qv, c.partition_id,
+                                   row_number() OVER (
+                                       PARTITION BY q.query_id
+                                       ORDER BY round(1.0 - list_dot_product(q.qv, c.centroid), 9),
+                                                c.partition_id) AS probe_rank
+                            FROM q CROSS JOIN centroids c
+                        ) WHERE probe_rank <= {p}
+                    ) r JOIN corpus co ON r.partition_id = co.partition_id
+                ) s
+            ) a
+            WHERE a.rank <= 10 AND a.query_id = e.query_id
+              AND a.neighbor_id = e.neighbor_id
+        ))::BIGINT AS n_hit""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH {CENTROIDS_CTE.strip()},
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 25
+),
+assign_scored AS (
+    SELECT e.vec_id, e.embedding, c.partition_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9),
+                        c.partition_id) AS r
+    FROM embeddings e CROSS JOIN centroids c
+),
+corpus AS (
+    SELECT vec_id, embedding, partition_id FROM assign_scored WHERE r = 1
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(1.0 - list_dot_product(q.qv, e.embedding::DOUBLE[]), 9),
+                            e.vec_id) AS rank
+        FROM q CROSS JOIN embeddings e
+    ) WHERE rank <= 10
+),
+curve AS ({body})
+SELECT nprobe, n_exact, n_hit,
+       round(n_hit * 1.0 / n_exact, 9) AS recall_at_10
+FROM curve
+"""
+
+
+@register("knn_nprobe_curve", oracle=_nprobe_curve_oracle())
+def q_knn_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve [Q]: micro-averaged recall@10 at nprobe 1, 2, 3
+    against one exact-scan yardstick — the table an operator reads to
+    pick the probe budget (knn_recall_eval gates the per-query view at
+    the reference default; this gates the aggregate TRADEOFF the tuning
+    decision actually uses). The exact side computes once and is shared
+    by all three probe settings; each setting adds only its own pruned
+    scan + top-k."""
+    queries = _fixture_queries(spark, sf_dir, n=25)
+    cent = fixture_centroids(spark, sf_dir)
+    corpus = assigned_corpus(spark, sf_dir)
+    from ..plans.registry import transient_persist
+
+    exact = transient_persist(
+        knn_join(queries, corpus, k=10).select("query_id", "neighbor_id")
+    )
+    rows = None
+    for p in (1, 2, 3):
+        approx = ivf_search(
+            queries, corpus, cent, nprobe=p, top_n=10, global_limit=10
+        ).select("query_id", "neighbor_id")
+        agg = (
+            exact.join(approx.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+            )
+            .select(
+                F.lit(p).cast("bigint").alias("nprobe"),
+                "n_exact",
+                "n_hit",
+                F.round(F.col("n_hit") / F.col("n_exact"), 9).alias("recall_at_10"),
+            )
+        )
+        rows = agg if rows is None else rows.unionByName(agg)
+    return rows

@@ -744,3 +744,54 @@ def q_events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
+
+
+@register(
+    "events_twap",
+    oracle="""
+WITH seq AS (
+    SELECT event_type, value,
+           epoch_us(ts)::BIGINT AS t_us,
+           lead(epoch_us(ts)::BIGINT) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS t_next_us
+    FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_segments,
+       round(sum(value::DECIMAL(12,2) * (t_next_us - t_us))
+             / sum(t_next_us - t_us), 6)::DOUBLE AS twap
+FROM seq
+WHERE t_next_us IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular time series [Q]: time-weighted average value per event
+    type — each observation holds until the next one (step-function
+    integral), so the mean weighs values by their holding duration in
+    microseconds, not by observation count: the standard TWAP correction
+    for irregularly sampled feeds (a value sampled rarely counts for the
+    whole gap it covered).
+
+    Exactness: weights are integer microsecond gaps, values 2-decimal —
+    the weighted sum accumulates in DECIMAL x BIGINT (exact), and one
+    final division rounds to 6. One event_type-keyed window + one grouped
+    aggregate on the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    t_us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "event_type",
+        "value",
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("t_next_us"),
+    ).filter(F.col("t_next_us").isNotNull())
+    gap = F.col("t_next_us") - F.col("t_us")
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)") * gap) / F.sum(gap), 6
+        )
+        .cast("double")
+        .alias("twap"),
+    )
