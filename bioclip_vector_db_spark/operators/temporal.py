@@ -795,3 +795,58 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("twap"),
     )
+
+
+#: Fixed-point scale for per-term entropy contributions (same
+#: quantize-before-sum discipline as text.LM_LP_SCALE): each term is
+#: floored to an integer BEFORE the aggregate, so summation order cannot
+#: produce engine-dependent last bits.
+ENTROPY_SCALE = 10**9
+
+
+@register(
+    "events_user_entropy",
+    oracle=f"""
+WITH counts AS (
+    SELECT user_id, event_type, count(*)::BIGINT AS c
+    FROM events GROUP BY user_id, event_type
+),
+tot AS (SELECT user_id, sum(c)::BIGINT AS n FROM counts GROUP BY user_id),
+terms AS (
+    SELECT c.user_id,
+           floor(-(c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n) * {ENTROPY_SCALE})::BIGINT
+               AS term_e9
+    FROM counts c JOIN tot t USING (user_id)
+)
+SELECT t.user_id, tt.n AS n_events,
+       round(sum(t.term_e9) / {ENTROPY_SCALE}.0, 6) AS entropy_nats
+FROM terms t JOIN tot tt ON tt.user_id = t.user_id
+GROUP BY t.user_id, tt.n
+""",
+)
+def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity [Q]: Shannon entropy (nats) of each user's
+    event-type distribution — the specialization/exploration signal a
+    personalization pipeline features on.
+
+    Exactness discipline: each ``-p ln p`` term is floor-quantized to an
+    integer at 1e9 scale BEFORE the per-user sum (the text.LM_LP_SCALE
+    convention), so aggregate accumulation order — which neither engine
+    specifies — cannot move the result; the final division is one double
+    op on an exact integer. One (user, type) count, one user rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = counts.groupBy("user_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c") / F.col("n")
+    terms = counts.join(tot, "user_id").select(
+        "user_id",
+        "n",
+        F.floor(-p * F.log(p) * ENTROPY_SCALE).cast("bigint").alias("term_e9"),
+    )
+    return terms.groupBy("user_id", F.col("n").alias("n_events")).agg(
+        F.round(F.sum("term_e9") / F.lit(float(ENTROPY_SCALE)), 6).alias(
+            "entropy_nats"
+        )
+    )

@@ -1327,3 +1327,66 @@ def q_tpch_part_size_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("bigint").alias("size_dense_rank"),
         F.round(F.percent_rank().over(w), 9).alias("size_pct_rank"),
     )
+
+
+@register(
+    "tpch_yoy_growth",
+    oracle="""
+WITH yearly AS (
+    SELECT n.n_name AS nation,
+           date_part('year', o.o_orderdate)::BIGINT AS o_year,
+           round(sum(l.l_extendedprice::DECIMAL(15,2)
+                     * (1 - l.l_discount)::DECIMAL(5,2)), 2)::DOUBLE AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE n.n_nationkey < 5
+    GROUP BY n.n_name, date_part('year', o.o_orderdate)
+)
+SELECT nation, o_year, revenue,
+       round(revenue / lag(revenue) OVER (
+           PARTITION BY nation ORDER BY o_year) - 1.0, 6) AS yoy_growth
+FROM yearly
+""",
+)
+def q_tpch_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend analytics [Q]: year-over-year revenue growth per nation —
+    yearly DECIMAL-exact revenue rollup, then one lag window per nation
+    computing the growth ratio (a division of two already-rounded
+    doubles — deterministic; the first year is NULL growth by
+    construction). Two shuffles total: the (nation, year) aggregate and
+    the nation-keyed window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    yearly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(15,2)")
+                    * (1 - F.col("l_discount")).cast("decimal(5,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("o_year")
+    return yearly.select(
+        "nation",
+        "o_year",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1.0, 6).alias(
+            "yoy_growth"
+        ),
+    )
