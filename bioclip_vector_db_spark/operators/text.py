@@ -1782,3 +1782,99 @@ def q_text_vocab_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hapax_ratio"),
         F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
     )
+
+
+#: Fixed-point scale for JS-divergence terms (quantize-before-sum).
+JS_SCALE = 10**9
+
+
+@register(
+    "documents_source_drift",
+    oracle=f"""
+WITH toks AS (
+    SELECT source, unnest({_WORDS_SQL}) AS w FROM documents
+),
+counts AS (SELECT source, w, count(*)::BIGINT AS c FROM toks GROUP BY source, w),
+tot AS (SELECT source, sum(c)::BIGINT AS n FROM counts GROUP BY source),
+pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b, a.w,
+           a.c * 1.0 / ta.n AS p, b.c * 1.0 / tb.n AS q
+    FROM counts a
+    JOIN counts b ON b.w = a.w AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+),
+agg AS (
+    SELECT src_a, src_b, count(*)::BIGINT AS n_common,
+           sum(floor((0.5 * p * ln(2.0 * p / (p + q))
+                      + 0.5 * q * ln(2.0 * q / (p + q))) * {JS_SCALE})::BIGINT)
+               AS s_js,
+           sum(floor(p * {JS_SCALE})::BIGINT) AS s_p,
+           sum(floor(q * {JS_SCALE})::BIGINT) AS s_q
+    FROM pairs GROUP BY src_a, src_b
+)
+SELECT src_a, src_b, n_common,
+       round((s_js + 0.5 * 0.6931471805599453 * (({JS_SCALE} - s_p) + ({JS_SCALE} - s_q)))
+             / {JS_SCALE}.0, 6) AS js_divergence
+FROM agg
+""",
+)
+def q_documents_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift QA [Q]: Jensen-Shannon divergence between every pair
+    of sources' word distributions — the mixture-monitoring matrix that
+    flags a source whose content shifted (scrape change, injected spam)
+    before it pollutes a training mix.
+
+    The disjoint-vocabulary mass needs NO anti joins: a word present in
+    only one source contributes exactly 0.5*ln2*p, and the total such
+    mass is 1 - (shared mass), so the whole matrix computes from the
+    INTERSECTION join alone. Every per-word term and probability is
+    floor-quantized to a 1e9 integer before its sum (accumulation-order-
+    proof), with one closed-form double correction at the end.
+
+    Scale shape: word-keyed count aggregates, then a word-keyed
+    self-join restricted to src_a < src_b (hot words bounded by the
+    source count, not the corpus), then a (pair)-keyed rollup of
+    integers — no stage touches documents twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = counts.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a = counts.join(tot, "source").select(
+        F.col("source").alias("src_a"), "w", (F.col("c") / F.col("n")).alias("p")
+    )
+    b = counts.join(tot, "source").select(
+        F.col("source").alias("src_b"),
+        F.col("w").alias("wb"),
+        (F.col("c") / F.col("n")).alias("q"),
+    )
+    pairs = a.join(b, (F.col("w") == F.col("wb")) & (F.col("src_a") < F.col("src_b")))
+    js_term = (
+        0.5 * F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q")))
+        + 0.5 * F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q")))
+    )
+    agg = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum(F.floor(js_term * JS_SCALE).cast("bigint")).alias("s_js"),
+        F.sum(F.floor(F.col("p") * JS_SCALE).cast("bigint")).alias("s_p"),
+        F.sum(F.floor(F.col("q") * JS_SCALE).cast("bigint")).alias("s_q"),
+    )
+    # ln(2) as a shared literal: two libms can disagree by an ulp on
+    # ln(2.0), and this constant multiplies ~1e9-scale integers.
+    ln2 = 0.6931471805599453
+    return agg.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        F.round(
+            (
+                F.col("s_js")
+                + 0.5 * ln2 * ((JS_SCALE - F.col("s_p")) + (JS_SCALE - F.col("s_q")))
+            )
+            / F.lit(float(JS_SCALE)),
+            6,
+        ).alias("js_divergence"),
+    )
