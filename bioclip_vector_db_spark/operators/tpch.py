@@ -1390,3 +1390,80 @@ def q_tpch_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+@register(
+    "tpch_basket_affinity",
+    oracle="""
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n_orders AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM ob),
+brand_n AS (SELECT p_brand, count(*)::BIGINT AS c FROM ob GROUP BY p_brand),
+pair_n AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*)::BIGINT AS c_ab
+    FROM ob a JOIN ob b
+      ON b.l_orderkey = a.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY a.p_brand, b.p_brand
+)
+SELECT p.brand_a, p.brand_b, p.c_ab,
+       round(p.c_ab * 1.0 / n.n, 6) AS support,
+       round((p.c_ab * 1.0 * n.n) / (ca.c * 1.0 * cb.c), 6) AS lift
+FROM pair_n p
+JOIN brand_n ca ON ca.p_brand = p.brand_a
+JOIN brand_n cb ON cb.p_brand = p.brand_b
+CROSS JOIN n_orders n
+WHERE p.c_ab >= 20
+""",
+)
+def q_tpch_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis [Q]: brand co-occurrence within orders —
+    support and lift per brand pair (min co-count 20), the association
+    signal a recommender's candidate generator mines from transactions.
+    All inputs are exact integers; support and lift are single
+    cross-multiplied divisions, round-6.
+
+    Scale shape: the basket table collapses to DISTINCT (order, brand)
+    first — the only fact-sized stage; the pair join is keyed on the
+    ORDER (fan-out bounded by brands-per-order squared, a per-basket
+    constant, never corpus-quadratic); marginals broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    from ..plans.registry import transient_persist
+
+    ob = transient_persist(ob)
+    n_orders = ob.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pair_n = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 20)
+    )
+    ca = brand_n.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("ca"))
+    cb = brand_n.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("cb"))
+    return (
+        pair_n.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            F.round(F.col("c_ab") / F.col("n"), 6).alias("support"),
+            F.round(
+                (F.col("c_ab") * F.col("n")) / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
+    )
