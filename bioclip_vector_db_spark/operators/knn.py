@@ -1354,3 +1354,57 @@ def q_knn_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = agg if rows is None else rows.unionByName(agg)
     return rows
+
+
+#: Fixed-point scale for per-vector inertia terms (quantize-before-sum).
+INERTIA_SCALE = 10**9
+
+
+@register(
+    "kmeans_cluster_inertia",
+    oracle=f"""
+WITH {CENTROIDS_CTE.strip()},
+assigned AS (
+    SELECT vec_id, partition_id, d2 FROM (
+        SELECT e.vec_id, c.partition_id,
+               round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9) AS d,
+               round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9)
+                 * round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9) AS d2,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid), 9),
+                            c.partition_id) AS r
+        FROM embeddings e CROSS JOIN centroids c
+    ) WHERE r = 1
+)
+SELECT partition_id::BIGINT AS partition_id,
+       count(*)::BIGINT AS n_vectors,
+       round(sum(floor(d2 * {INERTIA_SCALE})::BIGINT) / {INERTIA_SCALE}.0, 6)
+           AS inertia
+FROM assigned GROUP BY partition_id
+""",
+)
+def q_kmeans_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality dashboard [Q]: per-partition inertia — the sum of
+    squared assigned-centroid distances, the compactness number that
+    (with kmeans_assignment_balance and embeddings_dim_drift) decides
+    when kmeans_refresh is due. Each squared distance is floor-quantized
+    to a 1e9 integer BEFORE the per-partition sum, so engine-unspecified
+    aggregate order cannot move the rollup; one scan over the cached
+    assigned layout."""
+    assigned = assigned_corpus(spark, sf_dir)
+    cent = fixture_centroids(spark, sf_dir)
+    d = cosine_distance(F.col("embedding"), F.col("centroid"))
+    scored = assigned.join(F.broadcast(cent), "partition_id").select(
+        "partition_id", (d * d).alias("d2")
+    )
+    return scored.groupBy(
+        F.col("partition_id").cast("bigint").alias("partition_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum(F.floor(F.col("d2") * INERTIA_SCALE).cast("bigint"))
+            / F.lit(float(INERTIA_SCALE)),
+            6,
+        ).alias("inertia"),
+    )
