@@ -19,7 +19,7 @@ Everything here is pure Catalyst string/array expressions + aggregations:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -1877,4 +1877,99 @@ def q_documents_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(JS_SCALE)),
             6,
         ).alias("js_divergence"),
+    )
+
+
+#: Winnowing parameters: k-gram width, window size, and the hash/pos
+#: packing base (must exceed any in-document k-gram position).
+WINNOW_K = 3
+WINNOW_W = 4
+WINNOW_POS_BASE = 4096
+
+
+@register(
+    "documents_winnowing",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+grams AS (
+    SELECT doc_id, i AS pos,
+           ('0x' || substr(md5(array_to_string(ws[i:i+{WINNOW_K - 1}], ' ')), 1, 5))::BIGINT AS h
+    FROM toks, unnest(generate_series(1, greatest(len(ws) - {WINNOW_K - 1}, 0))) AS u(i)
+),
+keyed AS (
+    SELECT doc_id, pos,
+           h * {WINNOW_POS_BASE} + ({WINNOW_POS_BASE - 1} - pos) AS key,
+           max(pos) OVER (PARTITION BY doc_id) AS max_pos
+    FROM grams
+),
+sel AS (
+    SELECT DISTINCT doc_id,
+           min(key) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS k
+    FROM keyed
+    WHERE pos <= max_pos - {WINNOW_W - 1}
+)
+SELECT doc_id,
+       ({WINNOW_POS_BASE - 1} - k % {WINNOW_POS_BASE})::BIGINT AS sel_pos,
+       (k // {WINNOW_POS_BASE})::BIGINT AS fingerprint
+FROM sel
+""",
+)
+def q_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 [Q]: winnowing fingerprints (Schleimer et al., the MOSS scheme)
+    — per document, the guaranteed-coverage fingerprint subset: every
+    window of {WINNOW_W} consecutive 3-gram hashes contributes its
+    minimum (rightmost on ties), then selections dedupe. Any shared
+    substring of length >= w + k - 1 between two documents is GUARANTEED
+    to share a fingerprint — the density/recall contract plain sampled
+    hashing lacks, and a third fingerprint family next to MinHash (set
+    resemblance) and SimHash (distribution similarity).
+
+    The windowed argmin packs (hash asc, pos desc) into ONE bigint
+    (h * base + (base-1-pos)) so a plain frame MIN implements the
+    rightmost-tie rule identically in both engines — no struct-ordered
+    window needed. One explode + one frame window per doc partition;
+    fingerprints are constant bytes per document like every other
+    signature here."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    w = WINNOW_K
+    gram_arr = F.when(
+        F.size("ws") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (w - 1)),
+            lambda i: F.concat_ws(" ", F.slice("ws", i, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.posexplode(gram_arr).alias("pos0", "gram")).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 5), 16, 10).cast("bigint").alias("h"),
+    )
+    win = Window.partitionBy("doc_id")
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        (F.col("h") * WINNOW_POS_BASE + (WINNOW_POS_BASE - 1 - F.col("pos"))).alias(
+            "key"
+        ),
+        F.max("pos").over(win).alias("max_pos"),
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    sel = (
+        keyed.filter(F.col("pos") <= F.col("max_pos") - (WINNOW_W - 1))
+        .select("doc_id", F.min("key").over(frame).alias("k"))
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (WINNOW_POS_BASE - 1 - F.col("k") % WINNOW_POS_BASE)
+        .cast("bigint")
+        .alias("sel_pos"),
+        (F.col("k") / WINNOW_POS_BASE).cast("bigint").alias("fingerprint"),
     )
