@@ -1973,3 +1973,82 @@ def q_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sel_pos"),
         (F.col("k") / WINNOW_POS_BASE).cast("bigint").alias("fingerprint"),
     )
+
+
+#: Hot-fingerprint document-frequency cap and the shared-count floor for
+#: the winnowing overlap gate (same skew discipline as MAX_SHINGLE_DF).
+WINNOW_MAX_DF = 32
+WINNOW_MIN_SHARED = 5
+
+
+@register(
+    "documents_winnowing_overlap",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+grams AS (
+    SELECT doc_id, i AS pos,
+           ('0x' || substr(md5(array_to_string(ws[i:i+{WINNOW_K - 1}], ' ')), 1, 5))::BIGINT AS h
+    FROM toks, unnest(generate_series(1, greatest(len(ws) - {WINNOW_K - 1}, 0))) AS u(i)
+),
+keyed AS (
+    SELECT doc_id, pos,
+           h * {WINNOW_POS_BASE} + ({WINNOW_POS_BASE - 1} - pos) AS key,
+           max(pos) OVER (PARTITION BY doc_id) AS max_pos
+    FROM grams
+),
+fps AS (
+    SELECT DISTINCT doc_id, (k // {WINNOW_POS_BASE})::BIGINT AS fingerprint
+    FROM (
+        SELECT doc_id,
+               min(key) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS k
+        FROM keyed
+        WHERE pos <= max_pos - {WINNOW_W - 1}
+    )
+),
+kept AS (
+    SELECT fingerprint FROM fps GROUP BY fingerprint
+    HAVING count(*) <= {WINNOW_MAX_DF}
+),
+pruned AS (SELECT f.* FROM fps f JOIN kept USING (fingerprint))
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS n_shared
+FROM pruned a JOIN pruned b
+  ON b.fingerprint = a.fingerprint AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+""",
+)
+def q_documents_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+ [Q]: winnowing-based overlap detection — document pairs
+    sharing >= {WINNOW_MIN_SHARED} distinct winnowing fingerprints (the
+    MOSS plagiarism-candidate join), completing the
+    fingerprint -> detection path for the third fingerprint family.
+
+    Scale shape identical to the exact-Jaccard join: blocking key is the
+    fingerprint itself (docs never meet unless they share one), the
+    document-frequency cap kills hot-fingerprint quadratic buckets, and
+    the per-doc fingerprint count is winnowing's density guarantee
+    (~2/(w+1) of positions) — constant bytes per document."""
+    wn = q_documents_winnowing(spark, sf_dir).select(
+        "doc_id", "fingerprint"
+    ).distinct()
+    from ..plans.registry import transient_persist
+
+    wn = transient_persist(wn)
+    kept = (
+        wn.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= WINNOW_MAX_DF)
+        .select("fingerprint")
+    )
+    pruned = wn.join(kept, "fingerprint", "left_semi")
+    a = pruned.select(F.col("doc_id").alias("a_id"), "fingerprint")
+    b = pruned.select(F.col("doc_id").alias("b_id"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
