@@ -1467,3 +1467,81 @@ def q_tpch_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "tpch_revenue_gini",
+    oracle="""
+WITH cust_rev AS (
+    SELECT n.n_name AS nation, c.c_custkey,
+           round(sum(l.l_extendedprice::DECIMAL(15,2)
+                     * (1 - l.l_discount)::DECIMAL(5,2)) * 100)::BIGINT AS cents
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, c.c_custkey
+),
+ranked AS (
+    SELECT nation, cents,
+           row_number() OVER (
+               PARTITION BY nation ORDER BY cents, c_custkey) AS rk,
+           count(*) OVER (PARTITION BY nation) AS n
+    FROM cust_rev
+)
+SELECT nation, max(n)::BIGINT AS n_customers,
+       round((2.0 * sum(rk * cents)) / (max(n) * sum(cents))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM ranked GROUP BY nation
+""",
+)
+def q_tpch_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality analytics [Q]: Gini coefficient of customer revenue per
+    nation — the rank formula ``G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n``
+    over revenues held as EXACT integer cents (DECIMAL sum * 100), ranked
+    ascending with a custkey tiebreak: both big sums are pure BIGINT
+    aggregates, so the only float ops are the two final divisions —
+    deterministic in both engines.
+
+    Scale shape: one custkey-keyed revenue aggregate, one nation-keyed
+    rank window (per-nation sort, parallel across nations), one rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(15,2)")
+                    * (1 - F.col("l_discount")).cast("decimal(5,2)")
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("cents").asc(), F.col("c_custkey").asc()
+    )
+    wn = Window.partitionBy("nation")
+    ranked = cust_rev.select(
+        "nation",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("nation").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(
+            (2.0 * F.sum(F.col("rk") * F.col("cents")))
+            / (F.max("n") * F.sum("cents"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
