@@ -2052,3 +2052,42 @@ def q_documents_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, lang AS labeled_lang,
+           {", ".join(f"{_hits_sql(wl)} AS {lg}_hits" for lg, wl in sorted(STOPWORDS_MULTI.items()))}
+    FROM documents
+),
+pred AS (
+    SELECT labeled_lang,
+           CASE WHEN greatest({", ".join(f"{lg}_hits" for lg in sorted(STOPWORDS_MULTI))}) = 0 THEN 'und'
+                {" ".join(f"WHEN {lg}_hits = greatest({', '.join(f'{l2}_hits' for l2 in sorted(STOPWORDS_MULTI))}) THEN '{lg}'" for lg in sorted(STOPWORDS_MULTI))}
+           END AS predicted_lang
+    FROM h
+)
+SELECT labeled_lang, predicted_lang, count(*)::BIGINT AS n_docs,
+       (labeled_lang = predicted_lang) AS agree
+FROM pred GROUP BY labeled_lang, predicted_lang
+""",
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier QA [Q]: the language-ID confusion matrix — labeled vs
+    predicted language counts with an agreement flag, the quality table a
+    pipeline monitors before trusting the detector's routing (a rising
+    off-diagonal cell is a detector or scrape regression). Pure rollup of
+    the gated detector's output — same argmax, same tiebreaks."""
+    pred = language_id_multi(load_table(spark, sf_dir, "documents"))
+    return (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            (F.col("labeled_lang") == F.col("predicted_lang")).alias("agree"),
+        )
+    )
