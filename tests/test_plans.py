@@ -371,3 +371,24 @@ def test_written_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
     # the pushed filter must not ALSO appear as a post-scan Filter on
     # partition_id (that would mean pruning didn't happen at the source)
     assert scan.count() > 0
+
+
+def test_new_candidate_joins_are_equi_only(spark, sf_dir):
+    """Round-7 additions that form candidate pairs must stay equi-join
+    shaped: basket affinity (order-keyed), winnowing overlap
+    (fingerprint-keyed), source drift (word-keyed), and similar-topk
+    (bucket-keyed) — no cartesian product or nested-loop join anywhere."""
+    for name in (
+        "tpch_basket_affinity",
+        "documents_winnowing_overlap",
+        "documents_source_drift",
+        "documents_similar_topk",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan or name == "tpch_basket_affinity", name
+        # basket affinity carries the 1-row n_orders broadcast — the one
+        # constant-size nested-loop allowed (same convention as TF-IDF's
+        # n_docs); anything larger would appear as a second BNLJ.
+        if name == "tpch_basket_affinity":
+            assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
