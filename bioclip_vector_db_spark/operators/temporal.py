@@ -850,3 +850,60 @@ def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats"
         )
     )
+
+
+@register(
+    "events_bot_regularity",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id,
+           (epoch_us(ts)::BIGINT // 1000000)
+             - (lag(epoch_us(ts)::BIGINT // 1000000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+    FROM events
+),
+stats AS (
+    SELECT user_id, count(*)::BIGINT AS n,
+           sum(gap_s)::BIGINT AS s, sum(gap_s * gap_s)::BIGINT AS ss
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id HAVING count(*) >= 10
+)
+SELECT user_id, n,
+       round(s * 1.0 / n, 6) AS mean_gap_s,
+       (100 * (n * ss - s * s) < s * s) AS too_regular
+FROM stats
+""",
+)
+def q_events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abuse detection [Q]: inter-arrival regularity — a user whose event
+    gaps have a coefficient of variation under 0.1 fires like a cron job,
+    not a human. The CV threshold decides ENTIRELY in BIGINT:
+    ``cv < 0.1  <=>  100 * (n*ss - s^2) < s^2`` over second-granularity
+    integer gaps (the z-score/correlation cross-multiplication trick;
+    micros would overflow s^2 at real horizons, seconds don't). One
+    user-keyed lag window + one aggregate on the same partitioning;
+    users under 10 gaps are excluded (CV is noise there)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    t_s = F.floor(F.unix_micros(F.col("ts")) / 1000000).cast("bigint")
+    gaps = ev.select(
+        "user_id", (t_s - F.lag(t_s).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("gap_s").cast("bigint").alias("s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("ss"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    return stats.select(
+        "user_id",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean_gap_s"),
+        (
+            100 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+            < F.col("s") * F.col("s")
+        ).alias("too_regular"),
+    )
