@@ -907,3 +907,65 @@ def q_events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("s") * F.col("s")
         ).alias("too_regular"),
     )
+
+
+@register(
+    "events_profile_similarity",
+    oracle="""
+WITH prof AS (
+    SELECT event_type, hour(ts)::INT AS h, count(*)::BIGINT AS c
+    FROM events GROUP BY event_type, hour(ts)
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           sum(a.c * b.c)::BIGINT AS dot
+    FROM prof a JOIN prof b
+      ON b.h = a.h AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+),
+norms AS (SELECT event_type, sum(c * c)::BIGINT AS nrm2 FROM prof GROUP BY event_type)
+SELECT p.type_a, p.type_b,
+       round(p.dot / sqrt((na.nrm2 * nb.nrm2)::DOUBLE), 6) AS cosine_sim
+FROM pairs p
+JOIN norms na ON na.event_type = p.type_a
+JOIN norms nb ON nb.event_type = p.type_b
+""",
+)
+def q_events_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral clustering [Q]: cosine similarity between event types'
+    hour-of-day activity profiles (24-dim integer count vectors) — the
+    signal that groups usage patterns (e.g. errors tracking clicks means
+    load-correlated failures). Dot products and norms are pure BIGINT
+    aggregates over the hour-keyed join; the one float op per pair is the
+    final divide-by-sqrt, round-6.
+
+    Scale shape: the profile table is (types x 24) rows regardless of
+    corpus size — everything after the first hour-keyed count is
+    constant-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = prof.select(F.col("event_type").alias("type_a"), "h", F.col("c").alias("ca"))
+    b = prof.select(F.col("event_type").alias("type_b"), F.col("h").alias("hb"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    norms = prof.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("nrm2")
+    )
+    na = norms.select(F.col("event_type").alias("type_a"), F.col("nrm2").alias("na2"))
+    nb = norms.select(F.col("event_type").alias("type_b"), F.col("nrm2").alias("nb2"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                F.col("dot") / F.sqrt((F.col("na2") * F.col("nb2")).cast("double")), 6
+            ).alias("cosine_sim"),
+        )
+    )
