@@ -724,3 +724,72 @@ def q_knn_rp_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
     return knn_rp_rescore(queries, corpus)
+
+
+#: Fixed-point scale for per-vector distortion terms (quantize-before-sum).
+PQ_DISTORTION_SCALE = 10**9
+
+
+@register(
+    "pq_distortion",
+    oracle=f"""
+WITH {_PQ_MEANV_SQL.strip()},
+corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+best AS (
+    SELECT vec_id, s, min(d) AS d FROM (
+        SELECT c.vec_id, s.s,
+               round({_pq_l2sq_sql(
+                   "c.v[s.s*16+1 : s.s*16+16]", "m.mean_vec[s.s*16+1 : s.s*16+16]"
+               )}, 9) AS d
+        FROM corpus c
+        CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) s
+        CROSS JOIN meanv m
+    ) GROUP BY vec_id, s
+)
+SELECT s::BIGINT AS subspace,
+       count(*)::BIGINT AS n_vectors,
+       round(sum(floor(d * {PQ_DISTORTION_SCALE})::BIGINT)
+             / ({PQ_DISTORTION_SCALE}.0 * count(*)), 9) AS mean_distortion
+FROM best GROUP BY s
+""",
+)
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer quality dashboard [Q]: per-subspace mean PQ
+    reconstruction error — each vector's squared distance to its nearest
+    codeword per 16-dim subspace, floor-quantized to a 1e9 integer before
+    the rollup (order-proof), averaged per subspace. The number an
+    operator watches to size n_codes: distortion that stops falling as
+    codes grow means the subspace is saturated; a subspace whose
+    distortion dwarfs the others wants its own budget (the same
+    index-health role inertia plays for the coarse quantizer).
+
+    Scale shape: one corpus x (m x n_codes) broadcast scoring pass —
+    identical to encoding — then an m-row rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _cached_codebooks(spark, sf_dir)
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    best = None
+    for s in range(PQ_M):
+        lo = s * PQ_SUB_DIM + 1
+        sub = v.select(
+            "vec_id", F.slice("v", lo, PQ_SUB_DIM).alias("sub")
+        ).crossJoin(
+            F.broadcast(
+                cb.select(F.slice("mean_vec", lo, PQ_SUB_DIM).alias("cw"))
+            )
+        )
+        d = F.round(_l2sq(F.col("sub"), F.col("cw")), 9)
+        part = sub.groupBy("vec_id").agg(F.min(d).alias("d")).select(
+            "vec_id", F.lit(s).alias("s"), "d"
+        )
+        best = part if best is None else best.unionByName(part)
+    return best.groupBy(F.col("s").cast("bigint").alias("subspace")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum(F.floor(F.col("d") * PQ_DISTORTION_SCALE).cast("bigint"))
+            / (F.lit(float(PQ_DISTORTION_SCALE)) * F.count(F.lit(1))),
+            9,
+        ).alias("mean_distortion"),
+    )
