@@ -2634,3 +2634,56 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
         F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+WITH RECURSIVE {_ND_CTES},
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM nd
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM nd
+),
+reach AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+    SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
+    FROM reach GROUP BY src
+),
+csizes AS (
+    SELECT cluster_id, count(*)::BIGINT AS cluster_size
+    FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       (cluster_size * count(*))::BIGINT AS docs_covered
+FROM csizes GROUP BY cluster_size
+""",
+)
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup reporting [Q]: the cluster-size histogram — how many
+    duplicate groups exist at each size and how many documents they
+    cover, the one-line summary a dedup run reports (pair counts
+    undercount; the histogram is what tells you whether duplication is a
+    few huge template families or many near-pairs, which changes the
+    survivorship savings estimate). A counts-of-counts rollup on the
+    gated connected-components output."""
+    from .knn import _cached
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _cached(
+        spark, sf_dir, "near_dup_pairs_08", lambda: near_dup_pairs(docs, 0.8)
+    )
+    clusters = near_dup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias(
+            "docs_covered"
+        ),
+    )
