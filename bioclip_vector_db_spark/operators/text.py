@@ -1220,7 +1220,7 @@ WITH toks AS (
     SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS token FROM documents
 )
 SELECT token, count(*)::BIGINT AS df_count,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
 FROM toks GROUP BY token
 HAVING count(*) >= 50
 """,
@@ -1229,9 +1229,19 @@ def q_documents_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 [Q]: the inverted index restricted to tokens with document
     frequency >= 50 (the head of the vocabulary — keeps the gated result
     meaningfully sized while the full index is the same plan without the
-    HAVING)."""
+    HAVING). Postings are serialized to a comma-joined string so every
+    registered-query output column is scalar (the driver's canonicalizer
+    can't hash array cells); the reusable ``inverted_index`` operator
+    keeps the typed array."""
     docs = load_table(spark, sf_dir, "documents")
-    return inverted_index(docs).filter(F.col("df_count") >= 50)
+    idx = inverted_index(docs).filter(F.col("df_count") >= 50)
+    return idx.select(
+        "token",
+        "df_count",
+        F.array_join(
+            F.transform("postings", lambda d: d.cast("string")), ","
+        ).alias("postings"),
+    )
 
 
 @register(

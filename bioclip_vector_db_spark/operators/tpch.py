@@ -311,17 +311,25 @@ def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
     )
-    return (
+    agged = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+            ).alias("revenue_dec")
         )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    )
+    return (
+        agged.orderBy(F.col("revenue_dec").desc(), F.col("l_orderkey").asc())
         .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            F.round("revenue_dec", 2).cast("double").alias("revenue"),
+        )
     )
 
 

@@ -392,3 +392,23 @@ def test_new_candidate_joins_are_equi_only(spark, sf_dir):
         # n_docs); anything larger would appear as a second BNLJ.
         if name == "tpch_basket_affinity":
             assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_shipping_priority_revenue_accumulates_in_decimal(spark, sf_dir):
+    """tpch_shipping_priority's top-10 cutoff orders on a cross-row sum;
+    the sum must accumulate in DECIMAL (exact, order-independent) so an
+    engine-specific float reduction order can't flip rank-10/11
+    membership. Round 7 had the docstring claim this while the code still
+    summed DOUBLE — this pins the aggregated type pre-round so that
+    divergence can't recur (VERDICT r7 findings 2-3)."""
+    df = QUERIES["tpch_shipping_priority"](spark, sf_dir)
+    plan = _plan(df)
+    # The unrounded decimal sum is the sort key of the final top-k.
+    assert "TakeOrderedAndProject" in plan
+    assert "revenue_dec" in plan, "sort must key on the decimal sum"
+    # The analyzed plan must carry the DecimalType product inside the sum,
+    # upstream of the rounded DOUBLE output column.
+    analyzed = df._jdf.queryExecution().analyzed().toString().lower()
+    assert "sum((cast(l_extendedprice" in analyzed and "as decimal(15,2))" in analyzed, (
+        analyzed
+    )

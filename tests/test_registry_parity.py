@@ -33,9 +33,30 @@ def test_every_query_has_an_oracle():
     assert missing == [], f"queries without oracles: {missing}"
 
 
+def _assert_scalar_output(name, df):
+    """Driver-canon output contract: every registered query must emit only
+    scalar columns. The driver's canonicalizer (pandas sort_values ->
+    factorize) throws `unhashable type: 'list'` on array/map/struct cells
+    — round 7's only red CORRECTNESS row (`documents_inverted_index`,
+    since serialized via array_join). Serialize complex values
+    (array_join / to_json / explode) before registering."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert bad == [], (
+        f"{name}: non-scalar output columns {bad} break the driver's "
+        "canonicalizer — serialize them (array_join/to_json) or explode"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_registry_oracle_parity(name, spark, sf_dir, duck):
     df = QUERIES[name](spark, sf_dir)
+    _assert_scalar_output(name, df)
     if name in ORACLES:
         assert_matches_oracle(df, duck, ORACLES[name])
     else:
