@@ -59,33 +59,45 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_top_orders",
     oracle="""
 SELECT o.o_orderkey, o.o_orderdate,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)), 2)::DOUBLE AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY o.o_orderkey, o.o_orderdate
-ORDER BY revenue DESC, o_orderkey
+ORDER BY sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)) DESC, o_orderkey
 LIMIT 10
 """,
 )
 def q_tpch_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3-shape [Q]: selective dim filter broadcast into two fact joins,
-    then global top-10 by revenue (TakeOrderedAndProject)."""
+    then global top-10 by revenue (TakeOrderedAndProject). The top-10
+    cutoff orders on the exact DECIMAL revenue sum (order-independent in
+    both engines) — same rank-cutoff discipline as
+    q_tpch_shipping_priority; the reported column is the rounded sum
+    cast back to DOUBLE."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    agged = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+            ).alias("revenue_dec")
         )
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        agged.orderBy(F.col("revenue_dec").desc(), F.col("o_orderkey").asc())
         .limit(10)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("revenue_dec", 2).cast("double").alias("revenue"),
+        )
     )
 
 
@@ -186,32 +198,43 @@ def q_tpch_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_top_suppliers",
     oracle="""
 SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)), 2)::DOUBLE AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY s.s_suppkey, s.s_name, n.n_name
-ORDER BY revenue DESC, s_suppkey
+ORDER BY sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)) DESC, s_suppkey
 LIMIT 10
 """,
 )
 def q_tpch_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 suppliers by revenue with nation names — two broadcast dim
-    joins into one fact aggregation, global top-k."""
+    joins into one fact aggregation, global top-k. Rank cutoff on the
+    exact DECIMAL revenue sum (same discipline as
+    q_tpch_shipping_priority)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    return (
+    agged = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_suppkey", "s_name", F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+            ).alias("revenue_dec")
         )
-        .orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
+    )
+    return (
+        agged.orderBy(F.col("revenue_dec").desc(), F.col("s_suppkey").asc())
         .limit(10)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "nation",
+            F.round("revenue_dec", 2).cast("double").alias("revenue"),
+        )
     )
 
 
@@ -1179,7 +1202,7 @@ def q_tpch_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_returned_item_ranking",
     oracle="""
 SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)), 2)::DOUBLE AS revenue,
        round(c.c_acctbal, 2) AS acctbal
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -1189,7 +1212,7 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate <  TIMESTAMP '1996-07-01'
   AND l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
-ORDER BY revenue DESC, c_custkey
+ORDER BY sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)) DESC, c_custkey
 LIMIT 20
 """,
 )
@@ -1197,7 +1220,9 @@ def q_tpch_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10-shape [Q]: customers ranked by revenue lost to returned items
     in a quarter — fact-fact join with BOTH scans pre-filtered (order
     window pushed to orders, returnflag pushed to lineitem), customer and
-    nation dims broadcast, top-20 via TakeOrderedAndProject."""
+    nation dims broadcast, top-20 via TakeOrderedAndProject. Rank cutoff
+    on the exact DECIMAL revenue sum (same discipline as
+    q_tpch_shipping_priority)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1213,19 +1238,20 @@ def q_tpch_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal"
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+            ).alias("revenue_dec")
         )
+        .orderBy(F.col("revenue_dec").desc(), F.col("c_custkey").asc())
+        .limit(20)
         .select(
             "c_custkey",
             "c_name",
             "nation",
-            "revenue",
+            F.round("revenue_dec", 2).cast("double").alias("revenue"),
             F.round(F.col("c_acctbal"), 2).alias("acctbal"),
         )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(20)
     )
 
 
