@@ -216,6 +216,40 @@ def main() -> None:
             }
         )
     )
+    # The round driver records only the LAST 2000 chars of stdout, so the
+    # full per-query dict above truncates (110/170 timings were invisible
+    # in BENCH_r07). Print a compact aggregate as the FINAL line — same
+    # schema, but "queries" holds only the 20 slowest — so the recorded
+    # tail always ends with a complete, parseable headline.
+    ratios = {}
+    if os.path.exists(BENCH_REF):
+        with open(BENCH_REF) as fh:
+            _ref_q = json.load(fh)
+        if _ref_q.get("sf") == sf_val:
+            ratios = {
+                n: round(timings[n] / r, 3)
+                for n, r in _ref_q.get("queries", {}).items()
+                if n in timings and r >= GUARD_FLOOR_SEC
+            }
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": slowest,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries_is_slowest_20_of_n": True,
+                "worst_ratio_vs_ref": max(ratios.values(), default=None),
+                "worst_ratio_query": max(ratios, key=ratios.get, default=None)
+                if ratios
+                else None,
+                "n_over_2x": sum(1 for v in ratios.values() if v > GUARD_FACTOR),
+            }
+        )
+    )
     if os.environ.get("SPARK_GRAFT_BENCH_WRITE_REF") == "1":
         with open(BENCH_REF, "w") as fh:
             json.dump({"sf": sf_val, "queries": timings}, fh, indent=1, sort_keys=True)
