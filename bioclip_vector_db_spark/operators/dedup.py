@@ -2312,8 +2312,20 @@ def triangle_counts(edges: DataFrame, *, a_col: str = "a_id", b_col: str = "b_id
     # the orientation join, and the closure semi-join). Edges are usually
     # an expensive subtree (here: the multi-probe LSH join) — persist the
     # id-pair projection once or every consumer recomputes it.
+    # Canonicalize defensively (least/greatest + distinct + self-loop
+    # drop): the math below requires a distinct a<b undirected edge set,
+    # and a caller passing symmetrized or duplicated pairs would inflate
+    # degrees and multiply per-triangle counts SILENTLY (ADVICE r7 — the
+    # contract used to live only in a test docstring). The distinct is
+    # edge-set-sized, cheap next to the wedge join, and a no-op shuffle
+    # reuse when the input is already canonical.
     und = transient_persist(
-        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
     )
     deg = (
         und.select(F.col("u").alias("n"))

@@ -921,10 +921,17 @@ def mmr_rerank(
         )
     )
     slim = cands.select("query_id", "vec_id", "qsim_e9")
-    qsim_pairs = pairs.join(
-        slim.select("query_id", F.col("vec_id").alias("a_id"), "qsim_e9"),
-        ["query_id", "a_id"],
-    ).select("query_id", "a_id", "b_id", "qsim_e9", "psim_e9")
+    # LEFT join pairs into the candidate list (not the reverse): a query
+    # whose pool contains exactly ONE vector produces zero pair rows, and
+    # an inner join from pairs would silently drop it from the output —
+    # the retired unrolled form emitted its step-1 row. With the left
+    # join the candidate arrives with null (b_id, psim_e9) and _greedy
+    # still runs its step-1 argmax.
+    qsim_pairs = (
+        slim.select("query_id", F.col("vec_id").alias("a_id"), "qsim_e9")
+        .join(pairs, ["query_id", "a_id"], "left")
+        .select("query_id", "a_id", "b_id", "qsim_e9", "psim_e9")
+    )
 
     def _greedy(pdf):
         import numpy as np
@@ -938,6 +945,7 @@ def mmr_rerank(
         psim = {
             (int(a), int(b)): int(v)
             for a, b, v in zip(pdf["a_id"], pdf["b_id"], pdf["psim_e9"])
+            if not pd.isna(b)  # pair-less candidate from the left join
         }
         ids = sorted(qsim)
         out = []

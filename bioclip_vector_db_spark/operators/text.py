@@ -1674,7 +1674,16 @@ def unicode_clean(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     NFC has no Catalyst builtin, so this is the one text stage that runs
     as an Arrow ``mapInPandas`` (vectorized pandas string ops per batch —
     never per-row Python). Returns (doc_id, clean_text, orig_len,
-    clean_len)."""
+    clean_len).
+
+    Strip class: zero-width space + C0 controls + DEL, EXCEPT tab (x09),
+    newline (x0a) and carriage return (x0d) -- document-structural
+    whitespace a hygiene pass must not destroy (ADVICE r7: the earlier
+    x00-x1f class silently removed every newline/tab, and the oracle
+    mirrored the loss, so the gate could not see it). NUL (x00) is
+    stripped here but absent from the oracle's class only because a
+    DuckDB VARCHAR cannot contain it -- the parity domain never includes
+    one, so the bound difference is unreachable by construction."""
     def _clean(batches):
         import unicodedata
 
@@ -1682,7 +1691,9 @@ def unicode_clean(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 
         for pdf in batches:
             s = pdf[text_col].map(lambda t: unicodedata.normalize("NFC", t))
-            s = s.str.replace("[\u200b\x00-\x1f\x7f]", "", regex=True)
+            s = s.str.replace(
+                "[\u200b\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", regex=True
+            )
             s = s.str.replace(" ", " ", regex=False)
             yield pd.DataFrame(
                 {
@@ -1713,7 +1724,9 @@ cleaned AS (
     SELECT doc_id, text,
            replace(
                regexp_replace(nfc_normalize(text),
-                              '[' || chr(8203) || chr(1) || '-' || chr(31)
+                              '[' || chr(8203) || chr(1) || '-' || chr(8)
+                                  || chr(11) || chr(12)
+                                  || chr(14) || '-' || chr(31)
                                   || chr(127) || ']',
                               '', 'g'),
                chr(160), ' ') AS clean_text
@@ -1942,7 +1955,18 @@ def q_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     window needed. One explode + one frame window per doc partition;
     fingerprints are constant bytes per document like every other
     signature here."""
-    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprint core over a ``(doc_id, text)`` table — see
+    q_documents_winnowing for the scheme. Overflow guard: the packed key
+    reserves log2(WINNOW_POS_BASE) low bits for the position, so a
+    document with >= WINNOW_POS_BASE k-gram positions would make the
+    position term collide across hashes and silently corrupt key
+    ordering IN BOTH ENGINES — the parity gate cannot catch it (ADVICE
+    r7). The key expression embeds an assert_true so such a document
+    fails the job loudly instead."""
     toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
     w = WINNOW_K
     gram_arr = F.when(
@@ -1958,12 +1982,26 @@ def q_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("gram"), 1, 5), 16, 10).cast("bigint").alias("h"),
     )
     win = Window.partitionBy("doc_id")
+    overflow_guard = F.coalesce(
+        F.assert_true(
+            F.col("pos") < WINNOW_POS_BASE,
+            F.concat(
+                F.lit("winnowing position overflow: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(f" has >= {WINNOW_POS_BASE} k-gram positions; "),
+                F.lit("raise WINNOW_POS_BASE"),
+            ),
+        ).cast("bigint"),
+        F.lit(0),
+    )
     keyed = grams.select(
         "doc_id",
         "pos",
-        (F.col("h") * WINNOW_POS_BASE + (WINNOW_POS_BASE - 1 - F.col("pos"))).alias(
-            "key"
-        ),
+        (
+            F.col("h") * WINNOW_POS_BASE
+            + (WINNOW_POS_BASE - 1 - F.col("pos"))
+            + overflow_guard
+        ).alias("key"),
         F.max("pos").over(win).alias("max_pos"),
     )
     frame = (

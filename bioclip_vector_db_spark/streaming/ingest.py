@@ -525,26 +525,40 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .staging import fixture_stream_conf
 
-    with fixture_stream_conf(spark):
-        q = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "*.parquet")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(feed)
-            .writeStream.foreachBatch(_merge)
-            .option("checkpointLocation", os.path.join(store, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
+    import shutil
+
+    try:
+        with fixture_stream_conf(spark):
+            q = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "*.parquet")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(feed)
+                .writeStream.foreachBatch(_merge)
+                .option("checkpointLocation", os.path.join(store, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        snaps = sorted(
+            (d for d in os.listdir(store) if d.startswith("snap_")),
+            key=lambda d: int(d.split("_")[1]),
         )
-        q.awaitTermination()
-    snaps = sorted(
-        (d for d in os.listdir(store) if d.startswith("snap_")),
-        key=lambda d: int(d.split("_")[1]),
-    )
-    return spark.read.parquet(os.path.join(store, snaps[-1])).select(
-        "user_id",
-        "last_ts_ns",
-        "last_event_id",
-        F.round("last_value", 2).alias("last_value"),
-        "n_events",
-    )
+        # localCheckpoint detaches the result from the snap_N files so the
+        # store can be removed eagerly — without it, the returned lazy
+        # DataFrame pins the tempdir and repeated gate runs accumulate
+        # bvds_cdc_* directories (ADVICE r7; same discipline as
+        # q_streaming_near_dup_ingest above).
+        return (
+            spark.read.parquet(os.path.join(store, snaps[-1]))
+            .select(
+                "user_id",
+                "last_ts_ns",
+                "last_event_id",
+                F.round("last_value", 2).alias("last_value"),
+                "n_events",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

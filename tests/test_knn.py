@@ -140,3 +140,23 @@ def test_mmr_rerank_diversifies_dup_heavy_pool(spark, sf_dir):
         # been bought elsewhere.)
         twin = first + 50_000 if first == top1[qid] else first - 50_000
         assert rows[1].vec_id != twin, (qid, ids)
+
+
+def test_mmr_rerank_single_candidate_pool_emits_step1(spark, sf_dir):
+    """A query whose candidate pool contains exactly ONE vector produces
+    zero similarity-pair rows; the pair join must not drop it — the
+    greedy still owes its step-1 relevance argmax (ADVICE r7: reachable
+    via api.search_diverse against a tiny corpus)."""
+    from bioclip_vector_db_spark.operators.knn import _fixture_queries, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = _fixture_queries(spark, sf_dir).limit(2)
+    corpus = emb.filter(F.col("vec_id") == 7)  # one-vector corpus
+    rows = mmr_rerank(queries, corpus, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 2, rows  # both queries present, not vanished
+    for qid, rs in by_q.items():
+        assert [r.step for r in rs] == [1], (qid, rs)
+        assert rs[0].vec_id == 7

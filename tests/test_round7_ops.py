@@ -63,6 +63,17 @@ def test_triangle_counts_skewed_hub(spark):
     assert got == {0: 1, 1: 1, 2: 1}
 
 
+def test_triangle_counts_canonicalizes_messy_input(spark):
+    """Symmetrized, duplicated, and self-loop edges must not inflate
+    counts: triangle_counts canonicalizes to a distinct a<b edge set
+    internally (ADVICE r7 — previously an unenforced contract)."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    messy = k4 + [(b, a) for a, b in k4] + k4 + [(2, 2)]
+    edges = spark.createDataFrame(messy, "a_id long, b_id long")
+    got = {r.vec_id: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
 def test_compaction_plan_matches_naive_cumsum(spark):
     """Block-decomposed prefix sum == naive cumulative bin assignment,
     including an oversized file occupying its own bin."""

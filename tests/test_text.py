@@ -229,3 +229,41 @@ def test_lm_score_keep_gate_properties(spark, sf_dir):
     # every gibberish bigram backs off to the same smoothing floor, so
     # its integer lp_sum is an exact multiple of its gram count
     assert by_id[id_b].lp_sum % by_id[id_b].n_grams == 0
+
+
+def test_winnowing_overflows_loudly_past_pos_base(spark):
+    """A document with >= WINNOW_POS_BASE k-gram positions would corrupt
+    the packed (hash, pos) key ordering in BOTH engines simultaneously —
+    invisible to the parity gate — so the key expression must fail the
+    job loudly instead (ADVICE r7)."""
+    import pytest as _pytest
+
+    from bioclip_vector_db_spark.operators.text import (
+        WINNOW_POS_BASE,
+        winnowing_fingerprints,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(WINNOW_POS_BASE + 3))
+    docs = spark.createDataFrame([(1, long_text)], "doc_id bigint, text string")
+    with _pytest.raises(Exception, match="winnowing position overflow"):
+        winnowing_fingerprints(docs).collect()
+    ok = spark.createDataFrame(
+        [(2, " ".join(f"w{i}" for i in range(50)))], "doc_id bigint, text string"
+    )
+    assert winnowing_fingerprints(ok).count() > 0
+
+
+def test_unicode_clean_preserves_structural_whitespace(spark):
+    """Tab, newline, and carriage return are document STRUCTURE, not
+    contamination — the hygiene strip must remove C0 noise (BEL,
+    zero-width space) while leaving them intact (ADVICE r7: the earlier
+    x00-x1f class destroyed every newline/tab and the oracle mirrored
+    the loss, so parity couldn't see it)."""
+    from bioclip_vector_db_spark.operators.text import unicode_clean
+
+    docs = spark.createDataFrame(
+        [(1, "line one\nline two\ttabbed\r\nwindows \x07bel​zw")],
+        "doc_id bigint, text string",
+    )
+    out = unicode_clean(docs).collect()[0]
+    assert out.clean_text == "line one\nline two\ttabbed\r\nwindows belzw"
