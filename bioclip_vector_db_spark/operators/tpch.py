@@ -25,6 +25,40 @@ from pyspark.sql import functions as F
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
+#: Exact integer-revenue recipe for RANK-CUTOFF queries (top-k on a
+#: cross-row revenue sum). l_extendedprice has 2 decimals and l_discount
+#: has 2, so round(price*100) and round((1-disc)*100) are both exact
+#: BIGINTs and their product is revenue in 1e-4 currency units — BIGINT
+#: summation is exact and order-independent like the DECIMAL form, but
+#: stays inside whole-stage codegen (the DECIMAL sum measured ~2x slower
+#: on tpch_top_suppliers at sf0.1). Same family as tpch_revenue_gini's
+#: integer cents. Group sums stay far under 2^63: per-group row counts
+#: are order- or supplier-sized (constant / SF-invariant), each term
+#: <= ~1e9.
+def _revenue_e4():
+    # Built lazily: Column construction needs an active SparkContext.
+    return F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") * F.round(
+        (F.lit(1) - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+
+#: SQL twin of _REVENUE_E4 (DuckDB).
+_REVENUE_E4_SQL = (
+    "round(l.l_extendedprice * 100)::BIGINT * round((1 - l.l_discount) * 100)::BIGINT"
+)
+
+
+def _revenue_from_e4(col: str = "rev_e4"):
+    """Rounded-to-cent DOUBLE from the exact 1e-4-unit integer sum:
+    half-up at the half-cent in pure integer arithmetic, then one IEEE
+    division both engines perform identically (cents <= ~1e14 are exact
+    in a double)."""
+    return (F.expr(f"({col} + 50) div 100") / 100.0).alias("revenue")
+
+
+#: SQL twin of _revenue_from_e4 (DuckDB // is floor division; sums are
+#: positive here).
+_REVENUE_FROM_E4_SQL = "((rev_e4 + 50) // 100) / 100.0 AS revenue"
+
 
 @register(
     "tpch_pricing_summary",
@@ -57,25 +91,26 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_top_orders",
-    oracle="""
-SELECT o.o_orderkey, o.o_orderdate,
-       round(sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)), 2)::DOUBLE AS revenue
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-GROUP BY o.o_orderkey, o.o_orderdate
-ORDER BY sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)) DESC, o_orderkey
-LIMIT 10
+    oracle=f"""
+WITH agged AS (
+    SELECT o.o_orderkey, o.o_orderdate, sum({_REVENUE_E4_SQL}) AS rev_e4
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY rev_e4 DESC, o_orderkey
+    LIMIT 10
+)
+SELECT o_orderkey, o_orderdate, {_REVENUE_FROM_E4_SQL} FROM agged
 """,
 )
 def q_tpch_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3-shape [Q]: selective dim filter broadcast into two fact joins,
     then global top-10 by revenue (TakeOrderedAndProject). The top-10
-    cutoff orders on the exact DECIMAL revenue sum (order-independent in
-    both engines) — same rank-cutoff discipline as
-    q_tpch_shipping_priority; the reported column is the rounded sum
-    cast back to DOUBLE."""
+    cutoff orders on the exact integer-1e-4-unit revenue sum
+    (order-independent in both engines, codegen-friendly) — same
+    rank-cutoff discipline as q_tpch_shipping_priority."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -83,21 +118,12 @@ def q_tpch_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(15,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
-            ).alias("revenue_dec")
-        )
+        .agg(F.sum(_revenue_e4()).alias("rev_e4"))
     )
     return (
-        agged.orderBy(F.col("revenue_dec").desc(), F.col("o_orderkey").asc())
+        agged.orderBy(F.col("rev_e4").desc(), F.col("o_orderkey").asc())
         .limit(10)
-        .select(
-            "o_orderkey",
-            "o_orderdate",
-            F.round("revenue_dec", 2).cast("double").alias("revenue"),
-        )
+        .select("o_orderkey", "o_orderdate", _revenue_from_e4())
     )
 
 
@@ -196,21 +222,23 @@ def q_tpch_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_top_suppliers",
-    oracle="""
-SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
-       round(sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)), 2)::DOUBLE AS revenue
-FROM lineitem l
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-GROUP BY s.s_suppkey, s.s_name, n.n_name
-ORDER BY sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)) DESC, s_suppkey
-LIMIT 10
+    oracle=f"""
+WITH agged AS (
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation, sum({_REVENUE_E4_SQL}) AS rev_e4
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY s.s_suppkey, s.s_name, n.n_name
+    ORDER BY rev_e4 DESC, s_suppkey
+    LIMIT 10
+)
+SELECT s_suppkey, s_name, nation, {_REVENUE_FROM_E4_SQL} FROM agged
 """,
 )
 def q_tpch_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 suppliers by revenue with nation names — two broadcast dim
     joins into one fact aggregation, global top-k. Rank cutoff on the
-    exact DECIMAL revenue sum (same discipline as
+    exact integer revenue sum (same discipline as
     q_tpch_shipping_priority)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -219,22 +247,12 @@ def q_tpch_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_suppkey", "s_name", F.col("n_name").alias("nation"))
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(15,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
-            ).alias("revenue_dec")
-        )
+        .agg(F.sum(_revenue_e4()).alias("rev_e4"))
     )
     return (
-        agged.orderBy(F.col("revenue_dec").desc(), F.col("s_suppkey").asc())
+        agged.orderBy(F.col("rev_e4").desc(), F.col("s_suppkey").asc())
         .limit(10)
-        .select(
-            "s_suppkey",
-            "s_name",
-            "nation",
-            F.round("revenue_dec", 2).cast("double").alias("revenue"),
-        )
+        .select("s_suppkey", "s_name", "nation", _revenue_from_e4())
     )
 
 
@@ -299,18 +317,20 @@ def q_tpch_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_shipping_priority",
-    oracle="""
-SELECT l.l_orderkey, o.o_orderdate,
-       round(sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)), 2)::DOUBLE AS revenue
-FROM customer c
-JOIN orders o ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1997-01-01'
-  AND l.l_shipdate > TIMESTAMP '1997-01-01'
-GROUP BY l.l_orderkey, o.o_orderdate
-ORDER BY sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)) DESC, l.l_orderkey ASC
-LIMIT 10
+    oracle=f"""
+WITH agged AS (
+    SELECT l.l_orderkey, o.o_orderdate, sum({_REVENUE_E4_SQL}) AS rev_e4
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY rev_e4 DESC, l.l_orderkey ASC
+    LIMIT 10
+)
+SELECT l_orderkey, o_orderdate, {_REVENUE_FROM_E4_SQL} FROM agged
 """,
 )
 def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,12 +339,15 @@ def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation with map-side combine, global top-10 via
     TakeOrderedAndProject (no full sort).
 
-    Revenue accumulates in DECIMAL, not DOUBLE: the top-10 cutoff orders
-    a cross-row sum, and engine-specific float reduction order could
-    flip rank-10/11 membership by an ULP. Per-term double->decimal
-    rounding is deterministic (same binary input in both engines), and
-    decimal summation is exact, so the cutoff is order-independent; the
-    reported column is the rounded sum cast back to DOUBLE."""
+    Revenue accumulates as the EXACT integer sum of
+    round(price*100) * round((1-disc)*100) (1e-4 currency units), not as
+    a DOUBLE sum: the top-10 cutoff orders a cross-row sum, and
+    engine-specific float reduction order could flip rank-10/11
+    membership by an ULP. Per-term rounding is deterministic (same binary
+    input in both engines), BIGINT summation is exact, so the cutoff is
+    order-independent — and unlike the DECIMAL form it stays inside
+    whole-stage codegen (~2x on this shape at sf0.1). The reported
+    column is the integer half-up cent rounding divided once in IEEE."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -338,21 +361,12 @@ def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(15,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
-            ).alias("revenue_dec")
-        )
+        .agg(F.sum(_revenue_e4()).alias("rev_e4"))
     )
     return (
-        agged.orderBy(F.col("revenue_dec").desc(), F.col("l_orderkey").asc())
+        agged.orderBy(F.col("rev_e4").desc(), F.col("l_orderkey").asc())
         .limit(10)
-        .select(
-            "l_orderkey",
-            "o_orderdate",
-            F.round("revenue_dec", 2).cast("double").alias("revenue"),
-        )
+        .select("l_orderkey", "o_orderdate", _revenue_from_e4())
     )
 
 
@@ -1200,20 +1214,24 @@ def q_tpch_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_returned_item_ranking",
-    oracle="""
-SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-       round(sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)), 2)::DOUBLE AS revenue,
-       round(c.c_acctbal, 2) AS acctbal
-FROM customer c
-JOIN orders o   ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN nation n   ON n.n_nationkey = c.c_nationkey
-WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
-  AND l.l_returnflag = 'R'
-GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
-ORDER BY sum(l.l_extendedprice::DECIMAL(15,2) * (1 - l.l_discount)::DECIMAL(5,2)) DESC, c_custkey
-LIMIT 20
+    oracle=f"""
+WITH agged AS (
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_acctbal,
+           sum({_REVENUE_E4_SQL}) AS rev_e4
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY rev_e4 DESC, c_custkey
+    LIMIT 20
+)
+SELECT c_custkey, c_name, nation, {_REVENUE_FROM_E4_SQL},
+       round(c_acctbal, 2) AS acctbal
+FROM agged
 """,
 )
 def q_tpch_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,7 +1239,7 @@ def q_tpch_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a quarter — fact-fact join with BOTH scans pre-filtered (order
     window pushed to orders, returnflag pushed to lineitem), customer and
     nation dims broadcast, top-20 via TakeOrderedAndProject. Rank cutoff
-    on the exact DECIMAL revenue sum (same discipline as
+    on the exact integer revenue sum (same discipline as
     q_tpch_shipping_priority)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -1237,19 +1255,14 @@ def q_tpch_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal"
         )
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(15,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
-            ).alias("revenue_dec")
-        )
-        .orderBy(F.col("revenue_dec").desc(), F.col("c_custkey").asc())
+        .agg(F.sum(_revenue_e4()).alias("rev_e4"))
+        .orderBy(F.col("rev_e4").desc(), F.col("c_custkey").asc())
         .limit(20)
         .select(
             "c_custkey",
             "c_name",
             "nation",
-            F.round("revenue_dec", 2).cast("double").alias("revenue"),
+            _revenue_from_e4(),
             F.round(F.col("c_acctbal"), 2).alias("acctbal"),
         )
     )

@@ -394,21 +394,30 @@ def test_new_candidate_joins_are_equi_only(spark, sf_dir):
             assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
-def test_shipping_priority_revenue_accumulates_in_decimal(spark, sf_dir):
-    """tpch_shipping_priority's top-10 cutoff orders on a cross-row sum;
-    the sum must accumulate in DECIMAL (exact, order-independent) so an
-    engine-specific float reduction order can't flip rank-10/11
-    membership. Round 7 had the docstring claim this while the code still
-    summed DOUBLE — this pins the aggregated type pre-round so that
-    divergence can't recur (VERDICT r7 findings 2-3)."""
-    df = QUERIES["tpch_shipping_priority"](spark, sf_dir)
-    plan = _plan(df)
-    # The unrounded decimal sum is the sort key of the final top-k.
-    assert "TakeOrderedAndProject" in plan
-    assert "revenue_dec" in plan, "sort must key on the decimal sum"
-    # The analyzed plan must carry the DecimalType product inside the sum,
-    # upstream of the rounded DOUBLE output column.
-    analyzed = df._jdf.queryExecution().analyzed().toString().lower()
-    assert "sum((cast(l_extendedprice" in analyzed and "as decimal(15,2))" in analyzed, (
-        analyzed
-    )
+def test_rank_cutoff_revenue_queries_sum_exact_integers(spark, sf_dir):
+    """The four top-k revenue queries order their cutoff on a cross-row
+    sum; the sum must accumulate EXACTLY (order-independent) so an
+    engine-specific float reduction order can't flip boundary-rank
+    membership. Round 7 had the docstring claim this while the code
+    still summed DOUBLE — this pins the aggregated type pre-round
+    (VERDICT r7 findings 2-3). The exact form is the integer-1e-4-unit
+    BIGINT sum (round(price*100) * round((1-disc)*100)): same
+    order-independence as the DECIMAL recipe, but stays inside
+    whole-stage codegen (DECIMAL measured ~2x slower at sf0.1)."""
+    for name, key in (
+        ("tpch_shipping_priority", "l_orderkey"),
+        ("tpch_top_orders", "o_orderkey"),
+        ("tpch_top_suppliers", "s_suppkey"),
+        ("tpch_returned_item_ranking", "c_custkey"),
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = _plan(df)
+        # The exact integer sum is the sort key of the final top-k.
+        assert "TakeOrderedAndProject" in plan, name
+        assert "rev_e4" in plan, f"{name}: sort must key on the exact integer sum"
+        analyzed = df._jdf.queryExecution().analyzed().toString().lower()
+        assert "sum((cast(round((l_extendedprice" in analyzed.replace("#", ""), (
+            name,
+            analyzed,
+        )
+        assert "as bigint)" in analyzed, (name, analyzed)
