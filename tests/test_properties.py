@@ -135,3 +135,38 @@ def test_pagerank_reference_conserves_mass(edges):
             inflow[d] += rank[s] / deg[s]
         rank = {v: 0.15 / n + 0.85 * inflow[v] for v in verts}
         assert abs(sum(rank.values()) - 1.0) < 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
+            # 2-dp money in [1.00, 120000.00] (TPC-H extendedprice range)
+            st.integers(min_value=100, max_value=12_000_000),
+            # 2-dp discount in [0.00, 0.10]
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_integer_revenue_recipe_equals_exact_decimal(rows):
+    """The rank-cutoff revenue recipe (operators/tpch.py::_revenue_e4):
+    sum(round(price*100) * round((1-disc)*100)) over DOUBLE inputs must
+    equal the exact decimal sum of price*(1-disc) in 1e-4 units for any
+    2-dp inputs, and the reported cent rounding ((e4+50) div 100) must
+    equal decimal ROUND_HALF_UP — the claim both engines' SQL encodes."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    e4_sum = 0
+    dec_sum = Decimal(0)
+    for cents_i, disc_pct_i in rows:
+        price = cents_i / 100.0  # the DOUBLE the parquet column holds
+        disc = disc_pct_i / 100.0
+        e4_sum += round(price * 100) * round((1 - disc) * 100)
+        dec_sum += (Decimal(cents_i) / 100) * (1 - Decimal(disc_pct_i) / 100)
+    assert e4_sum == int(dec_sum * 10_000)
+    want_cents = int(
+        dec_sum.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) * 100
+    )
+    assert (e4_sum + 50) // 100 == want_cents
