@@ -2620,6 +2620,14 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < MINHASH_EVAL_MAX_ID
     )
+    return minhash_confusion(docs)
+
+
+def minhash_confusion(docs: DataFrame) -> DataFrame:
+    """tp/fn/fp + recall/precision of MinHash LSH vs the uncapped exact
+    Jaccard reference over ``docs`` — one full-outer join, one
+    conditional aggregate, exactly one output row even when the slice
+    has ZERO pairs on either side (counts 0, ratios NULL)."""
     exact = jaccard_pairs(docs, MINHASH_EVAL_TAU, max_shingle_df=None).select(
         "a_id", "b_id", F.lit(1).alias("_e")
     )
@@ -2628,23 +2636,42 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # One full-outer join + one conditional aggregate: the whole confusion
     # matrix in a single distributed pass, no driver-side counting.
+    # coalesce(sum, 0): an eval slice with ZERO pairs on both sides (seen
+    # at sf0.1) makes the join empty, where sum() yields NULL but the
+    # oracle's scalar count(*) subqueries yield 0 — counts must stay 0
+    # and only recall/precision go NULL (0/0).
     j = exact.join(lsh, ["a_id", "b_id"], "full_outer")
     return j.agg(
-        F.sum(
-            F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).cast("bigint").alias("tp"),
-        F.sum(
-            F.when(F.col("_e").isNotNull() & F.col("_l").isNull(), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_e").isNotNull() & F.col("_l").isNull(), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).cast("bigint").alias("fn"),
-        F.sum(
-            F.when(F.col("_e").isNull() & F.col("_l").isNotNull(), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_e").isNull() & F.col("_l").isNotNull(), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).cast("bigint").alias("fp"),
     ).select(
         "tp",
         "fn",
         "fp",
-        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
-        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        # try_divide: a zero-pair slice gives 0/0, which must be NULL like
+        # the oracle's x/0 (ANSI mode would throw DIVIDE_BY_ZERO).
+        F.round(F.try_divide(F.col("tp"), F.col("tp") + F.col("fn")), 6).alias(
+            "recall"
+        ),
+        F.round(F.try_divide(F.col("tp"), F.col("tp") + F.col("fp")), 6).alias(
+            "precision"
+        ),
     )
 
 

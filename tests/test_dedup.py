@@ -421,3 +421,25 @@ def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
             n, last.start_token + CHUNK_TOKENS
         )
         assert all(len(c.chunk_text.split(" ")) == c.chunk_tokens for c in chunks)
+
+
+def test_minhash_confusion_zero_pair_slice(spark):
+    """An eval slice with no near-dup pairs at all (seen at sf0.1) must
+    still produce one row with ZERO counts and NULL ratios — sum() over
+    the empty full-outer join returns NULL (vs the oracle's count(*)=0),
+    and ANSI 0/0 would throw without try_divide."""
+    from bioclip_vector_db_spark.operators.dedup import minhash_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "red orange yellow green blue indigo violet colors"),
+        ],
+        "doc_id bigint, text string",
+    )
+    row = minhash_confusion(docs).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r.tp, r.fn, r.fp) == (0, 0, 0)
+    assert r.recall is None and r.precision is None
