@@ -220,8 +220,11 @@ def main() -> None:
     # full per-query dict above truncates (110/170 timings were invisible
     # in BENCH_r07). Print a compact aggregate as the FINAL line — same
     # schema, but "queries" holds only the 20 slowest — so the recorded
-    # tail always ends with a complete, parseable headline.
+    # tail always ends with a complete, parseable headline. Ratios use
+    # the SAME floor (env-overridable) as the strict gate below, so
+    # n_over_2x in the record can never disagree with the gate's verdict.
     ratios = {}
+    floor = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", GUARD_FLOOR_SEC))
     if os.path.exists(BENCH_REF):
         with open(BENCH_REF) as fh:
             _ref_q = json.load(fh)
@@ -229,7 +232,7 @@ def main() -> None:
             ratios = {
                 n: round(timings[n] / r, 3)
                 for n, r in _ref_q.get("queries", {}).items()
-                if n in timings and r >= GUARD_FLOOR_SEC
+                if n in timings and r >= floor
             }
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     print(

@@ -48,7 +48,7 @@ CORPUS_PATH = os.path.join(
 _PARTITIONING_KIND_RE = re.compile(r"([A-Za-z]+)")
 
 
-def _walk(node, counts: dict[str, int]) -> None:
+def _walk(node, counts: dict[str, int], seen_subqueries: set | None = None) -> None:
     """Count ``node`` and recurse into its physical children.
 
     The TREE walk (not toString parsing) is what makes the fingerprint
@@ -65,7 +65,7 @@ def _walk(node, counts: dict[str, int]) -> None:
         # LeafExecNode wrapper; fingerprint the deterministic INITIAL
         # plan — post-execution the current plan has QueryStage wrappers
         # and runtime join rewrites baked in.
-        _walk(node.initialPlan(), counts)
+        _walk(node.initialPlan(), counts, seen_subqueries)
         return
     if name == "InMemoryTableScan":
         # Cache substitution is SESSION-STATE: any persist() anywhere in
@@ -75,7 +75,7 @@ def _walk(node, counts: dict[str, int]) -> None:
         # the cached fragment's own physical plan and don't count the
         # scan node, so cached and inline renderings of the same
         # fragment fingerprint identically.
-        _walk(node.relation().cachedPlan(), counts)
+        _walk(node.relation().cachedPlan(), counts, seen_subqueries)
         return
     if name.startswith("Scan "):
         name = "FileScan"  # drop the relation identifier/path
@@ -90,16 +90,33 @@ def _walk(node, counts: dict[str, int]) -> None:
     # tracks plan SHAPE only.
     if name not in ("Project", "Filter", "ColumnarToRow"):
         counts[name] = counts.get(name, 0) + 1
+    if seen_subqueries is None:
+        seen_subqueries = set()
     children = node.children()
     for i in range(children.size()):
-        _walk(children.apply(i), counts)
+        _walk(children.apply(i), counts, seen_subqueries)
+    # Expression-embedded subquery plans (ScalarSubquery / InSubquery /
+    # DPP's SubqueryBroadcast) are NOT in children() — without this the
+    # gate is blind to regressions inside them. The same subquery is
+    # referenced from several tree nodes, so dedupe by plan id.
+    try:
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            sub = subs.apply(i)
+            sid = sub.id()
+            if sid in seen_subqueries:
+                continue
+            seen_subqueries.add(sid)
+            _walk(sub, counts, seen_subqueries)
+    except Exception:
+        pass  # node types without the accessor
 
 
 def plan_fingerprint(df) -> dict[str, int]:
     """Operator-name multiset of ``df``'s physical plan (pre-execution
     initial plan — deterministic, no AQE runtime re-plan baked in)."""
     counts: dict[str, int] = {}
-    _walk(df._jdf.queryExecution().executedPlan(), counts)
+    _walk(df._jdf.queryExecution().executedPlan(), counts, set())
     return dict(sorted(counts.items()))
 
 

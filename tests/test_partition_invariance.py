@@ -74,7 +74,7 @@ INVARIANCE_QUERIES = [
     "events_zorder_layout",
     "customer_scd2_merge",
     "tpch_salted_skew_join",
-    "kmeans_train",
+    "partition_assignment",
     "text_lm_score",
 ]
 
@@ -83,6 +83,46 @@ def _canon(df):
     cols = sorted(df.columns)
     rows = [tuple(r[c] for c in cols) for r in df.collect()]
     return sorted(rows, key=lambda t: tuple(str(x) for x in t))
+
+
+def _evict_deterministic_derived_caches():
+    """Drop every memoized derived table EXCEPT trained_centroids so the
+    scrambled run genuinely rebuilds them from the scrambled scans.
+
+    Without this the gate is vacuous for exactly the shapes it targets:
+    the baseline run memoizes LSH band keys / signatures / assigned
+    corpus / near-dup pairs into knn._DERIVED_CACHE (keyed by session,
+    never released by release_transient), and the scrambled run would
+    get the identical cached DataFrame back. trained_centroids stays: a
+    k-means|| fit is LEGITIMATELY layout-sensitive (its init samples per
+    partition), and on a real deployment it is a prebuilt index artifact
+    read by the serving path, not recomputed per query — the corpus side
+    of every consumer still scrambles. Returns the evicted entries for
+    restoration."""
+    from bioclip_vector_db_spark.operators import knn as _knn
+
+    evicted = {}
+    for key, df in list(_knn._DERIVED_CACHE.items()):
+        if key[2] != "trained_centroids":
+            evicted[key] = df
+            df.unpersist()
+            del _knn._DERIVED_CACHE[key]
+    return evicted
+
+
+def _restore_derived_caches(saved):
+    from bioclip_vector_db_spark.operators import knn as _knn
+
+    for key, df in list(_knn._DERIVED_CACHE.items()):
+        if key not in saved and key[2] != "trained_centroids":
+            df.unpersist()  # scrambled-run rebuilds: drop, don't keep
+            del _knn._DERIVED_CACHE[key]
+    for key, df in saved.items():
+        _knn._DERIVED_CACHE[key] = df
+        try:
+            df.persist()
+        except Exception:
+            pass
 
 
 @pytest.mark.parametrize("name", INVARIANCE_QUERIES)
@@ -104,10 +144,12 @@ def test_result_invariant_under_repartitioned_scans(name, spark, sf_dir, monkeyp
         mod = importlib.import_module(mod_name)
         if hasattr(mod, "load_table"):
             monkeypatch.setattr(mod, "load_table", scrambled)
+    saved = _evict_deterministic_derived_caches()
     try:
         scrambled_result = _canon(QUERIES[name](spark, sf_dir))
     finally:
         release_transient()
+        _restore_derived_caches(saved)
     assert scrambled_result == baseline, (
         f"{name}: result depends on the physical data distribution "
         f"({len(baseline)} baseline rows vs {len(scrambled_result)} scrambled)"

@@ -27,8 +27,11 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_all_plan_fingerprints_match_corpus():
+    import pytest
+
     if not SF_DIR.rstrip("/").endswith("sf0.001"):
-        return  # corpus recorded at the default fixture SF
+        # A silent `return` would report PASSED with zero coverage.
+        pytest.skip("plan-fingerprint corpus is recorded at sf0.001")
     proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "tools", "plan_fingerprints.py"), SF_DIR],
         capture_output=True,

@@ -34,12 +34,28 @@ from bioclip_vector_db_spark.session import get_spark  # noqa: E402
 def main(argv: list[str]) -> int:
     write = "--write" in argv
     args = [a for a in argv if a != "--write"]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
-    names = [a for a in args if not os.path.isdir(a)]
-
     load_all_plans()
+    # Strict arg classification: a dir is the sf_dir, a registered name
+    # is a target; anything else (e.g. a mistyped path) is an error, not
+    # silently reinterpreted as a query name or dropped.
+    sf_dir = "/root/testdata/sf0.001"
+    names: list[str] = []
+    for a in args:
+        if os.path.isdir(a):
+            sf_dir = a
+        elif a in QUERIES:
+            names.append(a)
+        else:
+            print(f"unknown argument {a!r}: not a directory or registered query")
+            return 2
     spark = get_spark("plan-fingerprints", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     targets = names or sorted(QUERIES)
+    if write and names:
+        print(
+            "NOTE: subset --write records under this invocation's cache "
+            "state; run a full check afterwards (the full sorted sweep is "
+            "the canonical protocol)."
+        )
 
     corpus = load_corpus()
     rc = 0
