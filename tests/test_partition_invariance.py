@@ -175,3 +175,43 @@ def test_scramble_mechanism_actually_perturbs(spark, sf_dir, monkeypatch):
     text_mod = importlib.import_module("bioclip_vector_db_spark.operators.text")
     df = text_mod.load_table(spark, sf_dir, "documents")
     assert df.rdd.getNumPartitions() == 11
+
+
+#: The opposite edge: EVERYTHING in one partition. Stresses the block
+#: decompositions (prefix sums, local windows) where per-partition
+#: boundaries vanish entirely rather than multiply.
+SINGLE_PARTITION_QUERIES = [
+    "documents_pack_batches",
+    "documents_compaction_plan",
+    "documents_chunk_overlap",
+    "dedup_substring_spans",
+    "events_asof_join",
+]
+
+
+@pytest.mark.parametrize("name", SINGLE_PARTITION_QUERIES)
+def test_result_invariant_under_single_partition(name, spark, sf_dir, monkeypatch):
+    import importlib
+
+    baseline = _canon(QUERIES[name](spark, sf_dir))
+    release_transient()
+
+    real_load = _catalog.load_table
+
+    def collapsed(spark_, sf_dir_, table):
+        return real_load(spark_, sf_dir_, table).repartition(1)
+
+    monkeypatch.setattr(_catalog, "load_table", collapsed)
+    for mod_name in _MODULES:
+        mod = importlib.import_module(mod_name)
+        if hasattr(mod, "load_table"):
+            monkeypatch.setattr(mod, "load_table", collapsed)
+    saved = _evict_deterministic_derived_caches()
+    try:
+        collapsed_result = _canon(QUERIES[name](spark, sf_dir))
+    finally:
+        release_transient()
+        _restore_derived_caches(saved)
+    assert collapsed_result == baseline, (
+        f"{name}: result changes when all input lands in one partition"
+    )
