@@ -1690,7 +1690,12 @@ def unicode_clean(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            s = pdf[text_col].map(lambda t: unicodedata.normalize("NFC", t))
+            # na_action + nullable Int64 lengths: a NULL text cell must
+            # pass through as NULL (real corpora have them), not crash
+            # the Arrow batch in unicodedata.normalize(None).
+            s = pdf[text_col].map(
+                lambda t: unicodedata.normalize("NFC", t), na_action="ignore"
+            )
             s = s.str.replace(
                 "[\u200b\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", regex=True
             )
@@ -1699,8 +1704,8 @@ def unicode_clean(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "clean_text": s,
-                    "orig_len": pdf[text_col].str.len().astype("int64"),
-                    "clean_len": s.str.len().astype("int64"),
+                    "orig_len": pdf[text_col].str.len().astype("Int64"),
+                    "clean_len": s.str.len().astype("Int64"),
                 }
             )
 

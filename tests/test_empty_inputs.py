@@ -82,3 +82,16 @@ def test_mmr_rerank_empty_corpus(spark, sf_dir):
     """Zero candidates for every query: no output rows, no exception."""
     queries = knn._fixture_queries(spark, sf_dir).limit(1)
     assert knn.mmr_rerank(queries, _empty_embeddings(spark), k=3).count() == 0
+
+
+def test_unicode_clean_null_text_passthrough(spark):
+    """NULL text cells exist in real corpora; the Arrow batch must pass
+    them through as NULL (clean_text/lengths all NULL), not crash in
+    unicodedata.normalize(None)."""
+    docs = spark.createDataFrame(
+        [(1, "keep me"), (2, None)], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in text.unicode_clean(docs).collect()}
+    assert rows[1].clean_text == "keep me"
+    assert rows[2].clean_text is None
+    assert rows[2].orig_len is None and rows[2].clean_len is None
