@@ -124,3 +124,19 @@ def test_stream_stream_join_stable_and_bounded(spark, sf_dir):
     n1 = QUERIES["events_stream_stream_join"](spark, sf_dir).count()
     n2 = QUERIES["events_stream_stream_join"](spark, sf_dir).count()
     assert n1 == n2 > 0
+
+
+def test_cdc_upsert_leaves_no_tempdirs(spark, sf_dir):
+    """The CDC gate mkdtemps a snapshot store + checkpoint per run; the
+    result must be detached (localCheckpoint) and the store rmtree'd in
+    the same invocation — repeated gate runs previously accumulated
+    bvds_cdc_* directories in tmp (ADVICE r7)."""
+    import glob
+    import os as _os
+    import tempfile
+
+    pattern = _os.path.join(tempfile.gettempdir(), "bvds_cdc_*")
+    before = set(glob.glob(pattern))
+    df = QUERIES["streaming_cdc_upsert"](spark, sf_dir)
+    assert df.count() > 0  # the detached snapshot is still readable
+    assert set(glob.glob(pattern)) == before
