@@ -25,11 +25,16 @@ def get_spark(app_name: str = "bioclip_vector_db_spark", cpus: int | None = None
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    # SPARK_GRAFT_AQE=0 disables adaptive execution — a correctness-only
+    # escape hatch used by tools/check_correctness.py sweeps to exercise
+    # the static-planner path (results must be identical; only plans may
+    # differ). Never set it for benchmarking.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
