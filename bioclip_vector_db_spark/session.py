@@ -47,6 +47,13 @@ def get_spark(app_name: str = "bioclip_vector_db_spark", cpus: int | None = None
         # (functions in streaming/events.py derive micros from it).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2": correctness-sweep hatch for
+    # exercising alternate execution paths (e.g.
+    # spark.sql.codegen.wholeStage=false for interpreted evaluation).
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
