@@ -95,3 +95,17 @@ def test_unicode_clean_null_text_passthrough(spark):
     assert rows[1].clean_text == "keep me"
     assert rows[2].clean_text is None
     assert rows[2].orig_len is None and rows[2].clean_len is None
+
+
+def test_asof_join_empty_sides(spark):
+    """An empty build side yields probe rows with NULL matches (not an
+    exception, not dropped rows); an empty probe yields zero rows."""
+    from bioclip_vector_db_spark.operators import temporal
+
+    schema = "user_id bigint, ts bigint, event_id bigint, value double"
+    probe = spark.createDataFrame([(1, 100, 11, 1.0), (1, 200, 12, 2.0)], schema)
+    empty = spark.createDataFrame([], schema)
+    out = temporal.asof_join(probe, empty, ["user_id"]).collect()
+    assert len(out) == 2
+    assert all(r["asof_event_id"] is None for r in out)
+    assert temporal.asof_join(empty, probe, ["user_id"]).count() == 0
