@@ -123,6 +123,15 @@ def check_against_reference(timings: dict[str, float], sf_val) -> bool:
 
 
 def main() -> None:
+    # The correctness-sweep hatches cripple performance (static planner /
+    # interpreted evaluation); a leftover export in the shell would make
+    # strict mode fail spuriously — or worse, poison BENCH_REF under
+    # SPARK_GRAFT_BENCH_WRITE_REF=1. Refuse outright.
+    for hatch in ("SPARK_GRAFT_EXTRA_CONF",):
+        if os.environ.get(hatch):
+            sys.exit(f"bench.py: unset {hatch} first (correctness-sweep hatch)")
+    if os.environ.get("SPARK_GRAFT_AQE", "1") == "0":
+        sys.exit("bench.py: unset SPARK_GRAFT_AQE first (correctness-sweep hatch)")
     spark = get_spark("bench")
     qs = entry_mod.queries()
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")

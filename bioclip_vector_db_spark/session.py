@@ -50,10 +50,28 @@ def get_spark(app_name: str = "bioclip_vector_db_spark", cpus: int | None = None
     # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2": correctness-sweep hatch for
     # exercising alternate execution paths (e.g.
     # spark.sql.codegen.wholeStage=false for interpreted evaluation).
+    extra_pairs: list[tuple[str, str]] = []
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for kv in filter(None, (p.strip() for p in extra.split(";"))):
-        k, _, v = kv.partition("=")
+        k, sep, v = kv.partition("=")
+        if not sep or not k:
+            # A typo like "spark.sql.codegen.wholeStage" (missing =false)
+            # must fail fast, not silently set the conf to '' and let the
+            # sweep believe it exercised a path it didn't.
+            raise ValueError(f"SPARK_GRAFT_EXTRA_CONF entry {kv!r} is not k=v")
+        extra_pairs.append((k, v))
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate REUSES a pre-existing session, silently ignoring the
+    # hatch configs — a sweep would then report 'verified under X' while
+    # testing nothing. Static confs can't be re-applied, so verify.
+    for k, v in extra_pairs + ([] if aqe else [("spark.sql.adaptive.enabled", "false")]):
+        got = spark.conf.get(k, None)
+        if got != v:
+            raise RuntimeError(
+                f"requested conf {k}={v!r} but live session has {got!r} — "
+                "a SparkSession predates this get_spark() call; run the "
+                "sweep in a fresh process"
+            )
     spark.sparkContext.setLogLevel("WARN")
     return spark

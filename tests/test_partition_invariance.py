@@ -125,35 +125,44 @@ def _restore_derived_caches(saved):
             pass
 
 
-@pytest.mark.parametrize("name", INVARIANCE_QUERIES)
-def test_result_invariant_under_repartitioned_scans(name, spark, sf_dir, monkeypatch):
+def _patch_scans(monkeypatch, n_parts: int):
+    """Monkeypatch every module-bound load_table to repartition(n_parts)
+    — round-robin, so rows land in different partitions in a different
+    order than the default file split."""
     import importlib
-
-    baseline = _canon(QUERIES[name](spark, sf_dir))
-    release_transient()
 
     real_load = _catalog.load_table
 
-    def scrambled(spark_, sf_dir_, table):
-        # Round-robin to a prime count: every row lands in a different
-        # partition, in a different order, than the default file split.
-        return real_load(spark_, sf_dir_, table).repartition(11)
+    def perturbed(spark_, sf_dir_, table):
+        return real_load(spark_, sf_dir_, table).repartition(n_parts)
 
-    monkeypatch.setattr(_catalog, "load_table", scrambled)
+    monkeypatch.setattr(_catalog, "load_table", perturbed)
     for mod_name in _MODULES:
         mod = importlib.import_module(mod_name)
         if hasattr(mod, "load_table"):
-            monkeypatch.setattr(mod, "load_table", scrambled)
+            monkeypatch.setattr(mod, "load_table", perturbed)
+
+
+def _assert_layout_invariant(name, n_parts, spark, sf_dir, monkeypatch):
+    baseline = _canon(QUERIES[name](spark, sf_dir))
+    release_transient()
+    _patch_scans(monkeypatch, n_parts)
     saved = _evict_deterministic_derived_caches()
     try:
-        scrambled_result = _canon(QUERIES[name](spark, sf_dir))
+        perturbed_result = _canon(QUERIES[name](spark, sf_dir))
     finally:
         release_transient()
         _restore_derived_caches(saved)
-    assert scrambled_result == baseline, (
+    assert perturbed_result == baseline, (
         f"{name}: result depends on the physical data distribution "
-        f"({len(baseline)} baseline rows vs {len(scrambled_result)} scrambled)"
+        f"(repartition({n_parts}): {len(baseline)} baseline rows vs "
+        f"{len(perturbed_result)} perturbed)"
     )
+
+
+@pytest.mark.parametrize("name", INVARIANCE_QUERIES)
+def test_result_invariant_under_repartitioned_scans(name, spark, sf_dir, monkeypatch):
+    _assert_layout_invariant(name, 11, spark, sf_dir, monkeypatch)
 
 
 def test_scramble_mechanism_actually_perturbs(spark, sf_dir, monkeypatch):
@@ -163,15 +172,7 @@ def test_scramble_mechanism_actually_perturbs(spark, sf_dir, monkeypatch):
     silently test nothing)."""
     import importlib
 
-    real_load = _catalog.load_table
-
-    def scrambled(spark_, sf_dir_, table):
-        return real_load(spark_, sf_dir_, table).repartition(11)
-
-    for mod_name in _MODULES:
-        mod = importlib.import_module(mod_name)
-        if hasattr(mod, "load_table"):
-            monkeypatch.setattr(mod, "load_table", scrambled)
+    _patch_scans(monkeypatch, 11)
     text_mod = importlib.import_module("bioclip_vector_db_spark.operators.text")
     df = text_mod.load_table(spark, sf_dir, "documents")
     assert df.rdd.getNumPartitions() == 11
@@ -191,27 +192,4 @@ SINGLE_PARTITION_QUERIES = [
 
 @pytest.mark.parametrize("name", SINGLE_PARTITION_QUERIES)
 def test_result_invariant_under_single_partition(name, spark, sf_dir, monkeypatch):
-    import importlib
-
-    baseline = _canon(QUERIES[name](spark, sf_dir))
-    release_transient()
-
-    real_load = _catalog.load_table
-
-    def collapsed(spark_, sf_dir_, table):
-        return real_load(spark_, sf_dir_, table).repartition(1)
-
-    monkeypatch.setattr(_catalog, "load_table", collapsed)
-    for mod_name in _MODULES:
-        mod = importlib.import_module(mod_name)
-        if hasattr(mod, "load_table"):
-            monkeypatch.setattr(mod, "load_table", collapsed)
-    saved = _evict_deterministic_derived_caches()
-    try:
-        collapsed_result = _canon(QUERIES[name](spark, sf_dir))
-    finally:
-        release_transient()
-        _restore_derived_caches(saved)
-    assert collapsed_result == baseline, (
-        f"{name}: result changes when all input lands in one partition"
-    )
+    _assert_layout_invariant(name, 1, spark, sf_dir, monkeypatch)
