@@ -1,0 +1,182 @@
+"""Empirical scaling study: time every registered query at sf0.001 /
+sf0.01 / sf0.1 and fit a per-query scaling exponent.
+
+Why this exists: the correctness gates prove the 170 queries compute the
+right answer; BENCH_REF proves they stay fast at ONE scale. This tool is
+the third leg — evidence that cost grows sub-quadratically as the data
+grows, i.e. that the partition/bucket/broadcast strategy documented per
+operator actually holds when the input is 10x and 100x bigger. It reuses
+bench.py verbatim (subprocess per SF) so the methodology — untimed
+warm-up, pre-materialized index artifacts, min-of-two passes, durable-
+gate wipes — is identical to the per-round record.
+
+Exponent model: t(sf) ~ c + a * n^e where n is the query's PRIMARY input
+size and c is fixed per-query overhead (session/stage scheduling — it
+DOMINATES small-SF timings on local[32]: a 15-stage query costs seconds
+at any SF). The report gives the RAW exponent e = log(t_hi/t_lo) /
+log(n_hi/n_lo) over the 0.01 -> 0.1 step, which treats the overhead as
+work and therefore UNDER-estimates e when t is small — so it is read one
+way only: a LARGE raw exponent on a slow query is a real scale problem;
+a small one on a fast query proves nothing. Overhead-corrected fits were
+tried and dropped: no per-query overhead estimate survives the fixture
+shape (documents/embeddings have identical rows at sf0.001 and sf0.01,
+so their small-SF time is overhead PLUS constant work, and subtracting
+it sends the denominator to ~0). The heavy embedding operators — where
+fixture growth is only 4x and overhead masks the trend — get their scale
+evidence from tools/scale_stress.py instead, which measures CANDIDATE /
+SHUFFLE ROW COUNTS (noise-free, overhead-free) against a replicated
+corpus.
+
+Primary-table growth factors come from the actual parquet row counts, so
+the denominators track the generator, not an assumed 10x.
+
+Usage:
+    python tools/check_scaling.py             # full run (~15 min)
+    python tools/check_scaling.py --only a,b  # subset
+Writes SCALING.json (raw data) and prints the SCALING.md body to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SFS = ["0.001", "0.01", "0.1"]
+#: Exponents are only meaningful where the measured time is comfortably
+#: above scheduler jitter at the LARGE end of the fitted step.
+FLOOR_SEC = 0.5
+
+#: Query-name prefix -> the table whose row count is the query's primary
+#: scale driver. Checked longest-prefix-first. Queries that genuinely mix
+#: families (the flagship pipelines) are pinned explicitly below.
+PREFIX_TABLE = [
+    ("tpch_", "lineitem"),
+    ("events_", "events"),
+    ("streaming_", "events"),
+    ("documents_", "documents"),
+    ("text_", "documents"),
+    ("json_", "documents"),
+    ("csv_", "documents"),
+    ("jsonl_", "documents"),
+    ("webdataset_", "documents"),
+    ("multimodal_", "documents"),
+    ("dedup_", "documents"),
+    ("knn_", "embeddings"),
+    ("ivf_", "embeddings"),
+    ("kmeans_", "embeddings"),
+    ("pq_", "embeddings"),
+    ("embedding", "embeddings"),
+    ("vector_", "embeddings"),
+    ("semantic_", "embeddings"),
+    ("similarity_", "embeddings"),
+    ("leader_", "embeddings"),
+    ("partition_", "embeddings"),
+    ("id_", "embeddings"),
+    ("metadata_", "embeddings"),
+    ("health_", "embeddings"),
+    ("taxon_", "documents"),
+]
+EXPLICIT_TABLE = {
+    # embedding-graph family despite the dedup_ prefix
+    "dedup_near_triangles": "embeddings",
+    "dedup_pagerank": "embeddings",
+    "dedup_connected_components": "embeddings",
+    "dedup_near_simhash_embedding": "embeddings",
+    "dedup_embedding_cosine": "embeddings",
+    "dedup_semantic": "embeddings",
+}
+
+
+def table_rows(sf: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(TESTDATA, f"sf{sf}", f"{table}.parquet")).metadata.num_rows
+
+
+def primary_table(name: str) -> str | None:
+    if name in EXPLICIT_TABLE:
+        return EXPLICIT_TABLE[name]
+    for pref, tab in sorted(PREFIX_TABLE, key=lambda kv: -len(kv[0])):
+        if name.startswith(pref):
+            return tab
+    return None
+
+
+def run_bench(sf: str, only: str | None) -> dict[str, float]:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = os.path.join(TESTDATA, f"sf{sf}")
+    # No reference guard: this is a measurement run, not a gate, and the
+    # committed reference is sf0.1-only anyway.
+    env["SPARK_GRAFT_BENCH_REF"] = "/nonexistent"
+    env.pop("SPARK_GRAFT_BENCH_STRICT", None)
+    if only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = only
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    if out.returncode != 0:
+        sys.exit(f"bench.py failed at sf{sf}:\n{out.stderr[-4000:]}")
+    first = out.stdout.strip().splitlines()[0]
+    return json.loads(first)["queries"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="comma-separated query subset")
+    ap.add_argument("--from-json", default=None, help="re-render from an existing SCALING.json")
+    args = ap.parse_args()
+
+    if args.from_json:
+        with open(args.from_json) as fh:
+            data = json.load(fh)
+        timings = data["timings"]
+        growth = data["growth"]
+    else:
+        timings = {sf: run_bench(sf, args.only) for sf in SFS}
+        tables = sorted({t for _, t in PREFIX_TABLE} | set(EXPLICIT_TABLE.values()))
+        growth = {
+            t: {sf: table_rows(sf, t) for sf in SFS} for t in tables
+        }
+        with open(os.path.join(REPO, "SCALING.json"), "w") as fh:
+            json.dump({"timings": timings, "growth": growth}, fh, indent=1, sort_keys=True)
+
+    lo, hi = "0.01", "0.1"
+    rows = []
+    for name in sorted(timings[hi]):
+        t_lo, t_hi = timings[lo].get(name), timings[hi][name]
+        t_min = timings["0.001"].get(name)
+        tab = primary_table(name)
+        exp = None
+        if tab and t_lo and t_hi > FLOOR_SEC:
+            n_ratio = growth[tab][hi] / growth[tab][lo]
+            if n_ratio > 1:
+                exp = math.log(t_hi / t_lo) / math.log(n_ratio)
+        rows.append((name, tab, t_min, t_lo, t_hi, exp))
+
+    print("| query | table | t(0.001) | t(0.01) | t(0.1) | exponent |")
+    print("|---|---|---|---|---|---|")
+    for name, tab, a, b, c, e in sorted(rows, key=lambda r: -(r[5] or -99)):
+        if c < FLOOR_SEC and e is None:
+            continue
+        estr = f"{e:.2f}" if e is not None else "—"
+        print(f"| {name} | {tab or '?'} | {a} | {b} | {c} | {estr} |")
+    fitted = [r for r in rows if r[5] is not None]
+    sup = [r for r in fitted if r[5] > 1.2]
+    print(
+        f"\nfitted {len(fitted)} queries (t(0.1) > {FLOOR_SEC}s); "
+        f"{len(sup)} with exponent > 1.2: {sorted(r[0] for r in sup)}"
+    )
+
+
+if __name__ == "__main__":
+    main()

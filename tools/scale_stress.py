@@ -1,0 +1,328 @@
+"""Scale-stress harness for the embedding/dedup operator family.
+
+The fixture corpora only give the embedding family a 4x spread
+(500 -> 2,000 vectors), and at those sizes per-stage scheduling overhead
+swamps the data-dependent cost — tools/check_scaling.py can't see the
+growth law. This tool measures the quantity that IS the growth law:
+LOAD-BEARING ROW COUNTS (LSH candidates, verified edges, scored pairs)
+on a deterministic M-times replicated corpus, plus wall time as a
+secondary signal. Counts are noise-free: they are the number of rows the
+shuffles and verify stages must move, i.e. exactly what explodes or
+doesn't at 100 TB.
+
+Corpus construction (never touches /root/testdata):
+- embeddings: M copies of the sf0.1 table; copy c != 0 is re-normalized
+  v + sigma*N(0,1) with sigma=1.0 (seeded per copy), which drives the
+  copy's cosine to its source down to ~0.12 — far below every gate
+  threshold — so the replicas behave like fresh draws from the same
+  distribution rather than an artificial M-clique per vector.
+- documents: M copies with every 3rd token suffixed by the copy index —
+  no run of unchanged tokens reaches shingle width, so sibling copies
+  share (almost) no shingles and the MinHash candidate rate measures
+  bucket selectivity, not planted similarity. (A 7-token stride was
+  tried first: runs of 6 unchanged tokens left sibling Jaccard ~0.16,
+  whose band-collision tail grew candidates linearly in M — an artifact
+  of the corpus, visible as exactly M-1 sibling candidates per doc, not
+  an engine behavior.)
+
+What to expect (and what a regression looks like):
+- mp_join candidates: the multi-probe config is one point on the LSH
+  curve (candidates ~ n^(1+rho), rho ~ 0.73 at threshold 0.3 — the
+  operator docstring derives it); at FIXED width-8 bands the per-pair
+  collision rate is a constant ~0.85, so candidates grow ~quadratically
+  until the width knob is turned. The candidates-per-pair column holding
+  ~0.85 while n grows 4x is the "config is the knob, generator is sound"
+  evidence; a SUPER-quadratic count would be a bug.
+- semantic_dedup pair rows: k grows with n by contract, so
+  pairs-per-vector must stay O(target cluster size) — flat per-vector
+  pair work while n grows is the SemDeDup scale claim, verified here.
+- minhash candidates: bucket-mate pairs per doc must stay bounded (no
+  hot-bucket blowup) on a corpus with no planted dups.
+- ivf_search scored rows: ~nprobe/nlist of the corpus per query, with
+  nlist grown alongside n (the index contract), so scored-per-query
+  stays ~flat.
+
+Usage:
+    python tools/scale_stress.py                 # M = 1 2 4
+    python tools/scale_stress.py --m 1 2 4 8 --ops mp_join,triangles
+Writes SCALE_STRESS.json and prints one JSON line per (op, M).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ID_STRIDE = 10_000_000
+
+
+def build_corpora(workdir: str, m: int) -> tuple[str, str]:
+    """Write the M-times replicated embeddings/documents parquet files."""
+    emb_path = os.path.join(workdir, f"embeddings_m{m}.parquet")
+    doc_path = os.path.join(workdir, f"documents_m{m}.parquet")
+    if not os.path.exists(emb_path):
+        base = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pandas()
+        vecs = np.stack(base["embedding"].to_numpy())  # (n, d) float32
+        parts = []
+        for c in range(m):
+            if c == 0:
+                v = vecs
+            else:
+                rng = np.random.RandomState(1234 + c)
+                v = vecs + rng.standard_normal(vecs.shape).astype(np.float32)
+                v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": base["vec_id"] + c * ID_STRIDE,
+                        "embedding": list(v.astype(np.float32)),
+                        "label": base["label"],
+                    }
+                )
+            )
+        out = pd.concat(parts, ignore_index=True)
+        schema = pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(out, schema=schema, preserve_index=False), emb_path)
+    if not os.path.exists(doc_path):
+        base = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pandas()
+        parts = []
+        for c in range(m):
+            df = base.copy()
+            df["doc_id"] = df["doc_id"] + c * ID_STRIDE
+            if c:
+                df["text"] = df["text"].map(
+                    lambda t, c=c: " ".join(
+                        w + str(c) if i % 3 == 1 else w
+                        for i, w in enumerate(t.split(" "))
+                    )
+                )
+            parts.append(df)
+        out = pd.concat(parts, ignore_index=True)
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), doc_path)
+    return emb_path, doc_path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", nargs="+", type=int, default=[1, 2, 4])
+    ap.add_argument(
+        "--ops",
+        default="mp_join,triangles,semantic_dedup,minhash_pairs,ivf_search,knn_brute",
+    )
+    ap.add_argument("--keep-workdir", action="store_true")
+    args = ap.parse_args()
+    ops = set(args.ops.split(","))
+
+    from pyspark.sql import functions as F
+
+    from bioclip_vector_db_spark.session import get_spark
+    from bioclip_vector_db_spark.plans.registry import release_transient
+    from bioclip_vector_db_spark.operators import dedup as D
+    from bioclip_vector_db_spark.operators.dedup import (
+        doc_shingles,
+        embedding_band_keys,
+        embedding_threshold_join_multiprobe,
+        lsh_band_buckets,
+        minhash_signatures,
+        near_dup_pairs,
+        semantic_dedup,
+        triangle_counts,
+        transient_persist,
+    )
+    from bioclip_vector_db_spark.operators.indexing import train_kmeans_centroids
+    from bioclip_vector_db_spark.operators.knn import (
+        assign_partitions,
+        knn_join,
+        route_queries,
+    )
+    from bioclip_vector_db_spark.functions.vector import cosine_distance
+
+    spark = get_spark("scale-stress")
+    workdir = tempfile.mkdtemp(prefix="bvds_scale_stress_")
+    results: list[dict] = []
+
+    def emit(op: str, m: int, n: int, wall: float, **counts) -> None:
+        rec = {"op": op, "m": m, "n_input": n, "wall_s": round(wall, 2), **counts}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    try:
+        for m in args.m:
+            emb_path, doc_path = build_corpora(workdir, m)
+            emb = spark.read.parquet(emb_path).select("vec_id", "embedding")
+            docs = spark.read.parquet(doc_path).select("doc_id", "text")
+            n_emb = emb.count()
+            n_doc = docs.count()
+            keys = transient_persist(embedding_band_keys(emb))
+            keys.count()  # build the LSH index untimed, like bench.py
+
+            if "mp_join" in ops or "triangles" in ops:
+                t0 = time.perf_counter()
+                masks = D._probe_masks(D.MP_BAND_WIDTH, D.MP_PROBE_HAMMING)
+                rows = keys.select("vec_id", F.posexplode("keys").alias("band", "key"))
+                probes = rows.select(
+                    F.col("vec_id").alias("a_id"),
+                    "band",
+                    F.explode(F.array(*[F.lit(x) for x in masks])).alias("mask"),
+                    "key",
+                ).select(
+                    "a_id", "band", F.col("key").bitwiseXOR(F.col("mask")).alias("pkey")
+                )
+                bside = rows.select(
+                    F.col("vec_id").alias("b_id"), "band", F.col("key").alias("pkey")
+                )
+                n_cand = (
+                    probes.join(bside, ["band", "pkey"])
+                    .filter(F.col("a_id") < F.col("b_id"))
+                    .select("a_id", "b_id")
+                    .distinct()
+                    .count()
+                )
+                t_cand = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                edges = transient_persist(
+                    embedding_threshold_join_multiprobe(emb, 0.3, keys=keys)
+                )
+                n_edges = edges.count()
+                t_edges = time.perf_counter() - t0
+                pairs_total = n_emb * (n_emb - 1) / 2
+                emit(
+                    "mp_join",
+                    m,
+                    n_emb,
+                    t_cand + t_edges,
+                    candidates=n_cand,
+                    cand_per_pair=round(n_cand / pairs_total, 4),
+                    edges=n_edges,
+                )
+                if "triangles" in ops:
+                    t0 = time.perf_counter()
+                    n_tri = triangle_counts(edges).count()
+                    emit(
+                        "triangles", m, n_edges, time.perf_counter() - t0, out_rows=n_tri
+                    )
+
+            if "semantic_dedup" in ops:
+                t0 = time.perf_counter()
+                sd = transient_persist(semantic_dedup(emb))
+                n_out = sd.count()
+                n_removed = sd.filter(~F.col("kept")).count()
+                emit(
+                    "semantic_dedup",
+                    m,
+                    n_emb,
+                    time.perf_counter() - t0,
+                    out_rows=n_out,
+                    removed=n_removed,
+                )
+
+            if "minhash_pairs" in ops:
+                t0 = time.perf_counter()
+                sh = transient_persist(doc_shingles(docs))
+                buckets = lsh_band_buckets(minhash_signatures(sh))
+                a = buckets.alias("a")
+                b = buckets.alias("b")
+                n_cand = (
+                    a.join(
+                        b,
+                        (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.sig") == F.col("b.sig"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")),
+                    )
+                    .select(F.col("a.doc_id"), F.col("b.doc_id"))
+                    .distinct()
+                    .count()
+                )
+                n_pairs = near_dup_pairs(docs).count()
+                emit(
+                    "minhash_pairs",
+                    m,
+                    n_doc,
+                    time.perf_counter() - t0,
+                    candidates=n_cand,
+                    cand_per_doc=round(n_cand / n_doc, 3),
+                    pairs=n_pairs,
+                )
+
+            if "ivf_search" in ops:
+                # Index contract: nlist grows with the corpus (~64/cluster).
+                nlist = max(8, math.ceil(n_emb / 64))
+                t0 = time.perf_counter()
+                cent = train_kmeans_centroids(emb, nlist, max_iter=5).localCheckpoint()
+                t_train = time.perf_counter() - t0
+                # assign_partitions keeps the input columns (embedding included)
+                assigned = transient_persist(assign_partitions(emb, cent))
+                assigned.count()
+                queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+                    F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+                )
+                n_q = queries.count()
+                t0 = time.perf_counter()
+                routed = route_queries(queries, cent, nprobe=3)
+                scored = assigned.join(
+                    routed.select("query_id", "qv", "partition_id"), "partition_id"
+                ).select(
+                    "query_id",
+                    cosine_distance(F.col("qv"), F.col("embedding")).alias("d"),
+                )
+                n_scored = scored.count()
+                emit(
+                    "ivf_search",
+                    m,
+                    n_emb,
+                    time.perf_counter() - t0,
+                    nlist=nlist,
+                    n_queries=n_q,
+                    scored=n_scored,
+                    scored_per_query=round(n_scored / max(n_q, 1), 1),
+                    train_s=round(t_train, 2),
+                )
+
+            if "knn_brute" in ops:
+                queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+                    F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+                )
+                n_q = queries.count()
+                t0 = time.perf_counter()
+                n_out = knn_join(queries, emb, k=10).count()
+                emit(
+                    "knn_brute",
+                    m,
+                    n_emb,
+                    time.perf_counter() - t0,
+                    n_queries=n_q,
+                    scored=n_q * n_emb,
+                    out_rows=n_out,
+                )
+
+            release_transient()
+    finally:
+        if not args.keep_workdir:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    with open(os.path.join(REPO, "SCALE_STRESS.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
