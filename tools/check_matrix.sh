@@ -13,13 +13,22 @@ rc=0
 run_leg() {
     local label="$1"; shift
     echo "=== $label ==="
-    if env "$@" python tools/check_correctness.py "$SF_DIR" 2>&1 \
-        | grep -E "FAIL|ERROR|DRIFT|ROWS-ONLY"; then
-        echo "=== $label: FAILURES ABOVE ==="
+    # Capture BOTH the output and the exit status: a leg that crashes
+    # before the per-query loop (import error, pre-existing-session
+    # RuntimeError, JVM OOM kill) prints a traceback matching none of the
+    # failure patterns — the grep alone would report a false "all OK".
+    local out status
+    out="$(mktemp)"
+    env "$@" python tools/check_correctness.py "$SF_DIR" >"$out" 2>&1
+    status=$?
+    if [ "$status" -ne 0 ] || grep -E "FAIL|ERROR|DRIFT|ROWS-ONLY" "$out"; then
+        [ "$status" -ne 0 ] && tail -n 40 "$out"
+        echo "=== $label: FAILED (exit=$status) ==="
         rc=1
     else
         echo "=== $label: all OK ==="
     fi
+    rm -f "$out"
 }
 
 run_leg "baseline (AQE on, codegen on)" SPARK_GRAFT_CPUS=16

@@ -165,7 +165,9 @@ def main() -> None:
 
     print("| query | table | t(0.001) | t(0.01) | t(0.1) | exponent |")
     print("|---|---|---|---|---|---|")
-    for name, tab, a, b, c, e in sorted(rows, key=lambda r: -(r[5] or -99)):
+    for name, tab, a, b, c, e in sorted(
+        rows, key=lambda r: -(r[5] if r[5] is not None else -99)
+    ):
         if c < FLOOR_SEC and e is None:
             continue
         estr = f"{e:.2f}" if e is not None else "—"
