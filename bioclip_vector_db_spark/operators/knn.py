@@ -506,13 +506,22 @@ def q_partition_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle(
-    loaded_spec: str | None = None, label_in: "tuple[int, ...] | None" = None
+    loaded_spec: str | None = None,
+    label_in: "tuple[int, ...] | None" = None,
+    *,
+    nprobe: int = 3,
+    top_n: int = 10,
+    global_limit: int = 100,
 ) -> str:
     """The ivf_search DuckDB oracle, optionally restricted to an O15
     loaded-partition spec (same expansion SQL as partition_range_expansion,
     applied AFTER routing — the reference's intersection order) and/or to
     a metadata label filter (applied to the corpus side BEFORE the
-    per-partition top-n — filtered-search semantics)."""
+    per-partition top-n — filtered-search semantics).
+
+    (nprobe, top_n, global_limit) mirror ivf_search's knobs so any search
+    configuration is parity-gated from the same numbers the Spark plan
+    runs (tests/test_param_fuzz.py sweeps them)."""
     loaded_cte = ""
     routed_filter = ""
     if loaded_spec is not None:
@@ -558,7 +567,7 @@ routed AS (
                    ORDER BY round(1.0 - list_dot_product(q.qv, c.centroid), 9),
                             c.partition_id) AS probe_rank
         FROM q CROSS JOIN centroids c
-    ) WHERE probe_rank <= 3{routed_filter}
+    ) WHERE probe_rank <= {nprobe}{routed_filter}
 ),
 scored AS (
     SELECT r.query_id, co.partition_id, co.vec_id AS neighbor_id,
@@ -571,13 +580,13 @@ local_topn AS (
             PARTITION BY query_id, partition_id
             ORDER BY distance, neighbor_id) AS local_rank
         FROM scored
-    ) WHERE local_rank <= 10
+    ) WHERE local_rank <= {top_n}
 )
 SELECT query_id, neighbor_id, partition_id, distance, rank FROM (
     SELECT query_id, neighbor_id, partition_id, distance,
            row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rank
     FROM local_topn
-) WHERE rank <= 100
+) WHERE rank <= {global_limit}
 """
 
 

@@ -1474,6 +1474,8 @@ def bm25_search(
     *,
     top_k: int = 10,
     text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> DataFrame:
     """Scored keyword retrieval: Okapi BM25 over the inverted index for a
     fixed query, top-``top_k`` docs — the ranking layer documents_keyword_search
@@ -1506,7 +1508,6 @@ def bm25_search(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     dfreq = postings.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    k1, b = BM25_K1, BM25_B
     scored = (
         postings.join(F.broadcast(dfreq), "word")
         .join(doclen, "doc_id")
@@ -1537,16 +1538,26 @@ def bm25_search(
     )
 
 
-@register(
-    "documents_bm25_search",
-    oracle=f"""
+def bm25_oracle_sql(
+    terms: "tuple[str, ...]" = BM25_QUERY,
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = 10,
+) -> str:
+    """SQL twin of bm25_search for a given (terms, k1, b, top_k) — the
+    oracle is generated from the same numbers the Spark plan runs, so any
+    BM25 configuration is parity-gated identically
+    (tests/test_param_fuzz.py sweeps the parameter space)."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
 WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
 doclen AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM toks),
 stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM doclen),
 postings AS (
     SELECT doc_id, word, count(*)::DOUBLE AS tf FROM (
         SELECT doc_id, unnest(ws) AS word FROM toks
-    ) WHERE word IN ('{BM25_QUERY[0]}', '{BM25_QUERY[1]}')
+    ) WHERE word IN ({term_list})
     GROUP BY doc_id, word
 ),
 dfreq AS (SELECT word, count(*)::DOUBLE AS df FROM postings GROUP BY word),
@@ -1554,8 +1565,8 @@ scored AS (
     SELECT p.doc_id,
            round(sum(
                ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-               * (p.tf * ({BM25_K1} + 1))
-               / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
+               * (p.tf * ({k1!r} + 1))
+               / (p.tf + {k1!r} * (1.0 - {b!r} + {b!r} * d.dl / s.avgdl))
            ), 9) AS score
     FROM postings p
     JOIN dfreq f USING (word)
@@ -1564,9 +1575,11 @@ scored AS (
     GROUP BY p.doc_id
 )
 SELECT doc_id, score FROM scored
-ORDER BY score DESC, doc_id LIMIT 10
-""",
-)
+ORDER BY score DESC, doc_id LIMIT {top_k}
+"""
+
+
+@register("documents_bm25_search", oracle=bm25_oracle_sql())
 def q_documents_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 [Q]: Okapi BM25 top-10 for the two-term query ('scan',
     'merge') — scored retrieval over posting lists, the ranking layer on

@@ -1,0 +1,247 @@
+"""Parameter-space differential fuzz gate (round-9 verdict item 1).
+
+Every oracle-gated configuration in the registry is a fixed point — one
+threshold, one band count, one k. The oracle GENERATORS, however, are
+parameterized (`nd_ctes_sql`, `threshold_join_oracle_sql`,
+`mp_threshold_join_oracle_sql`, `_ivf_oracle`, `bm25_oracle_sql`): the
+SQL twin is produced from the same numbers the Spark plan runs. This
+gate sweeps ~25 SEEDED random configurations per family, Spark vs the
+generated DuckDB oracle, exact — so it gates the generator logic itself
+(band slicing, seeded digest groups, shingle boundaries, probe masks,
+routing/ranking cutoffs), which is exactly where a latent off-by-one
+would hide that no fixed registered instance can expose.
+
+Determinism: configurations are drawn once at import from
+random.Random(<fixed seed>), so every run (and every pytest -k
+selection) sees the identical config list; a failure names its config
+in the test id and reproduces.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from bioclip_vector_db_spark.operators import dedup, knn, text
+from bioclip_vector_db_spark.plans.registry import release_transient
+from bioclip_vector_db_spark.sources.catalog import load_table
+
+from .conftest import assert_matches_oracle
+
+N_CFGS = 25
+
+# ---------------------------------------------------------------------------
+# Seeded config draws (module scope: identical under any pytest selection)
+# ---------------------------------------------------------------------------
+
+
+def _draw(rng, make, n=N_CFGS):
+    """n distinct configs from a fixed-seed RNG."""
+    out: list[tuple] = []
+    while len(out) < n:
+        cfg = make(rng)
+        if cfg not in out:
+            out.append(cfg)
+    return out
+
+
+_r1 = random.Random(0x5EED1)
+#: (shingle_width, n_hashes, n_bands, threshold). n_hashes up to 12
+#: crosses the one-md5 boundary (SLICES_PER_DIGEST=6), exercising the
+#: seeded digest-group path on BOTH sides.
+MINHASH_CFGS = _draw(
+    _r1,
+    lambda r: (
+        r.randint(2, 5),
+        (k := r.choice([2, 3, 4, 6, 8, 10, 12])),
+        r.choice([b for b in range(1, k + 1) if k % b == 0]),
+        round(r.uniform(0.3, 0.9), 2),
+    ),
+)
+
+_r2 = random.Random(0x5EED2)
+#: (bands, threshold); bands must divide SIMHASH_PLANES=16.
+BANDED_CFGS = _draw(
+    _r2, lambda r: (r.choice([1, 2, 4, 8, 16]), round(r.uniform(0.05, 0.7), 2))
+)
+
+_r3 = random.Random(0x5EED3)
+_MP_SHAPES = [
+    (b, w) for b in (2, 3, 4, 6, 8, 12) for w in (3, 4, 6, 8) if b * w <= 96
+]
+
+
+def _mp_cfg(r) -> tuple:
+    """(bands, width, probe_hamming, threshold); bands*width <= MP_PLANES=96."""
+    bands, width = r.choice(_MP_SHAPES)
+    return (bands, width, r.randint(0, min(3, width)), round(r.uniform(0.05, 0.7), 2))
+
+
+MP_CFGS = _draw(_r3, _mp_cfg)
+
+_r4 = random.Random(0x5EED4)
+
+
+def _ivf_cfg(r) -> tuple:
+    """(nprobe, top_n, global_limit, loaded_spec|None, label_in|None)."""
+    loaded = None
+    if r.random() < 0.5:
+        toks = []
+        for _ in range(r.randint(1, 3)):
+            a = r.randint(0, 9)
+            b = r.randint(a, 9)
+            toks.append(f"{a}-{b}" if b > a else str(a))
+        loaded = ",".join(toks)
+    labels = None
+    if r.random() < 0.4:
+        labels = tuple(sorted(r.sample(range(10), r.randint(1, 4))))
+    return (
+        r.randint(1, 10),
+        r.randint(1, 15),
+        r.choice([5, 10, 25, 50, 100]),
+        loaded,
+        labels,
+    )
+
+
+IVF_CFGS = _draw(_r4, _ivf_cfg)
+
+_r5 = random.Random(0x5EED5)
+#: Vocabulary drawn from the fixture generator's actual word pool, plus
+#: two absent terms (df=0 edge: the term contributes no postings row on
+#: either side).
+_BM25_VOCAB = [
+    "scan", "column", "window", "order", "sort", "part", "agg", "value",
+    "line", "key", "join", "merge", "group", "query", "vector", "hash",
+    "slow", "stream", "filter", "fast", "batch", "spark", "table",
+    "zzz_absent", "qqq_absent",
+]
+BM25_CFGS = _draw(
+    _r5,
+    lambda r: (
+        tuple(r.sample(_BM25_VOCAB, r.randint(1, 3))),
+        round(r.uniform(0.5, 2.5), 2),
+        round(r.uniform(0.0, 1.0), 2),
+        r.choice([3, 5, 10, 20]),
+    ),
+)
+
+
+def _release():
+    # Drop per-config persisted intermediates (shingle/signature tables):
+    # 125 configs would otherwise pile dead blocks into the block manager.
+    release_transient()
+
+
+# ---------------------------------------------------------------------------
+# Family 1: MinHash LSH near-dup pairs vs nd_ctes_sql
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("width,n_hashes,n_bands,thr", MINHASH_CFGS)
+def test_fuzz_minhash_near_dup(width, n_hashes, n_bands, thr, spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = dedup.near_dup_pairs(
+        docs, thr, shingle_width=width, n_hashes=n_hashes, n_bands=n_bands
+    )
+    oracle = (
+        "WITH "
+        + dedup.nd_ctes_sql(
+            shingle_width=width, n_hashes=n_hashes, n_bands=n_bands, threshold=thr
+        )
+        + "\nSELECT a_id, b_id, jaccard FROM nd"
+    )
+    try:
+        assert_matches_oracle(got, duck, oracle)
+    finally:
+        _release()
+
+
+# ---------------------------------------------------------------------------
+# Family 2: banded simhash threshold join vs threshold_join_oracle_sql
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bands,thr", BANDED_CFGS)
+def test_fuzz_banded_threshold_join(bands, thr, spark, sf_dir, duck):
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    got = dedup.embedding_threshold_join(vecs, thr, bands=bands)
+    try:
+        assert_matches_oracle(
+            got, duck, dedup.threshold_join_oracle_sql(bands=bands, threshold=thr)
+        )
+    finally:
+        _release()
+
+
+# ---------------------------------------------------------------------------
+# Family 3: multi-probe threshold join vs mp_threshold_join_oracle_sql
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bands,width,h,thr", MP_CFGS)
+def test_fuzz_multiprobe_threshold_join(bands, width, h, thr, spark, sf_dir, duck):
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    got = dedup.embedding_threshold_join_multiprobe(
+        vecs, thr, bands=bands, width=width, probe_hamming=h
+    )
+    try:
+        assert_matches_oracle(
+            got,
+            duck,
+            dedup.mp_threshold_join_oracle_sql(
+                bands=bands, width=width, probe_hamming=h, threshold=thr
+            ),
+        )
+    finally:
+        _release()
+
+
+# ---------------------------------------------------------------------------
+# Family 4: IVF scatter-gather search vs _ivf_oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nprobe,top_n,glim,loaded,labels", IVF_CFGS)
+def test_fuzz_ivf_search(nprobe, top_n, glim, loaded, labels, spark, sf_dir, duck):
+    queries = knn._fixture_queries(spark, sf_dir)
+    cent = knn.fixture_centroids(spark, sf_dir)
+    corpus = knn.assigned_corpus(spark, sf_dir)
+    if labels is not None:
+        from pyspark.sql import functions as F
+
+        corpus = corpus.filter(F.col("label").isin(*labels))
+    got = knn.ivf_search(
+        queries,
+        corpus,
+        cent,
+        nprobe=nprobe,
+        top_n=top_n,
+        global_limit=glim,
+        loaded_partitions=loaded,
+    )
+    oracle = knn._ivf_oracle(
+        loaded, labels, nprobe=nprobe, top_n=top_n, global_limit=glim
+    )
+    try:
+        assert_matches_oracle(got, duck, oracle)
+    finally:
+        _release()
+
+
+# ---------------------------------------------------------------------------
+# Family 5: BM25 scored retrieval vs bm25_oracle_sql
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("terms,k1,b,top_k", BM25_CFGS)
+def test_fuzz_bm25(terms, k1, b, top_k, spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    got = text.bm25_search(docs, terms, top_k=top_k, k1=k1, b=b)
+    try:
+        assert_matches_oracle(
+            got, duck, text.bm25_oracle_sql(terms, k1=k1, b=b, top_k=top_k)
+        )
+    finally:
+        _release()
