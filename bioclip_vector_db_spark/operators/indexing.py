@@ -458,6 +458,105 @@ def compact_index(
     return counts
 
 
+def delete_ids(
+    spark: SparkSession,
+    index_dir: str,
+    ids: DataFrame,
+    *,
+    id_col: str | None = None,
+) -> dict[str, int]:
+    """Row deletes for the durable index — the maintenance op the
+    reference lacks entirely (its only lifecycle op is whole-index
+    reset, vector_db.py `reset()` / O7); a production lakehouse index
+    needs per-row deletes (takedowns, TTL, corrections).
+
+    Strategy: PARTITION-PRUNED anti-join rewrite, never a full-corpus
+    job.
+
+    1. The delete set (small by contract — broadcast) is resolved to
+       its TOUCHED partitions via the id_mapping sidecar, column-pruned
+       to (original_id, partition_id).
+    2. Only those partitions of ``corpus`` are read back — the
+       ``partition_id IN (...)`` filter lands on the directory layout as
+       a partition filter, so untouched partitions are never opened —
+       deleted vec_ids are anti-joined out, faiss_ids renumbered densely
+       by vec_id within each rewritten partition, and the touched
+       partition directories are replaced via dynamic partition
+       overwrite. A partition whose rows are ALL deleted produces no
+       output rows, which dynamic overwrite would silently leave stale,
+       so emptied partition dirs are dropped explicitly.
+    3. ``id_mapping`` is rebuilt for the same partitions from the
+       rewritten rows, keeping the two tables consistent; the in-process
+       next-id cache is invalidated so a later append re-seeds from disk.
+
+    Renumbering preserves the contract every consumer relies on
+    (with_faiss_ids: dense 0-based ids per partition in vec_id order),
+    so the post-delete index EQUALS one rebuilt from scratch without the
+    deleted rows — exactly the ``index_delete_rebuild`` gate's oracle.
+    (At very high delete rates a tombstone sidecar + filter-at-read is
+    the lazy alternative; the eager rewrite keeps the serving path free
+    of tombstone filters.) ``compact_index`` picks up the shrunken files
+    unchanged.
+
+    Returns ``{"n_deleted": ..., "partitions_rewritten": ...}``.
+    """
+    import os
+    import shutil
+
+    key = id_col or ids.columns[0]
+    del_ids = ids.select(F.col(key).cast("long").alias("vec_id")).distinct()
+    mapping = spark.read.parquet(f"{index_dir}/id_mapping")
+    touched = sorted(
+        r["partition_id"]
+        for r in mapping.select(
+            F.col("original_id").cast("long").alias("vec_id"), "partition_id"
+        )
+        .join(F.broadcast(del_ids), "vec_id", "left_semi")
+        .select("partition_id")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return {"n_deleted": 0, "partitions_rewritten": 0}
+    corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
+        F.col("partition_id").isin([int(p) for p in touched])
+    )
+    n_before = corpus.count()
+    kept = corpus.drop("faiss_id").join(F.broadcast(del_ids), "vec_id", "left_anti")
+    # Materialize BEFORE overwriting the directories the plan reads from
+    # (same self-read-write hazard as append_to_index/compact_index).
+    rewritten = with_faiss_ids(kept).localCheckpoint(eager=True)
+    n_after = rewritten.count()
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rewritten.write.mode("overwrite").partitionBy("partition_id").parquet(
+            f"{index_dir}/corpus"
+        )
+        rewritten.select(
+            "partition_id",
+            "faiss_id",
+            F.col("vec_id").cast("string").alias("original_id"),
+            F.to_json(F.struct("label")).alias("metadata"),
+            F.current_timestamp().alias("created_at"),
+        ).write.mode("overwrite").partitionBy("partition_id").parquet(
+            f"{index_dir}/id_mapping"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    kept_parts = {
+        r["partition_id"] for r in rewritten.select("partition_id").distinct().collect()
+    }
+    for p in set(touched) - kept_parts:
+        for table in ("corpus", "id_mapping"):
+            shutil.rmtree(
+                os.path.join(index_dir, table, f"partition_id={int(p)}"),
+                ignore_errors=True,
+            )
+    _invalidate_next_ids(index_dir)
+    return {"n_deleted": int(n_before - n_after), "partitions_rewritten": len(touched)}
+
+
 def write_bucketed_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -540,6 +639,55 @@ SELECT partition_id, faiss_id, original_id, metadata FROM id_mapping
 def q_id_mapping_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6+O19+O20: build the id/metadata sidecar for the whole corpus."""
     return build_id_mapping(assigned_corpus(spark, sf_dir))
+
+
+@register(
+    "index_delete_rebuild",
+    oracle=f"""
+WITH {ASSIGNED_CTE.strip()},
+kept AS (SELECT * FROM corpus WHERE vec_id % 17 != 0),
+mapping AS (
+    SELECT partition_id,
+           (row_number() OVER (PARTITION BY partition_id ORDER BY vec_id) - 1)::BIGINT AS faiss_id,
+           vec_id::VARCHAR AS original_id,
+           to_json(struct_pack(label := label)) AS metadata
+    FROM kept
+)
+SELECT partition_id, faiss_id, original_id, metadata FROM mapping
+""",
+)
+def q_index_delete_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 extension [Q]: delete/tombstone maintenance. Build the durable
+    index, delete a planted id set (vec_id % 17 == 0) via delete_ids'
+    partition-pruned anti-join rewrite, return the surviving id_mapping.
+
+    Oracle = the index REBUILT FROM SCRATCH without the deleted rows:
+    delete-then-renumber must be indistinguishable from never having
+    ingested the rows (dense per-partition faiss_ids in vec_id order).
+    The partition-pruned-rewrite claim (untouched partition files are
+    never rewritten) is gated byte-level in tests/test_indexing.py."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cent = fixture_centroids(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bvds_delete_gate_")
+    try:
+        idx = os.path.join(tmp, "index")
+        append_to_index(spark, idx, emb, cent)
+        delete_ids(
+            spark, idx, emb.filter(F.col("vec_id") % 17 == 0).select("vec_id")
+        )
+        return (
+            spark.read.parquet(f"{idx}/id_mapping")
+            .select("partition_id", "faiss_id", "original_id", "metadata")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(

@@ -65,3 +65,157 @@ def test_kmeans_refresh_drift_accounting(spark, sf_dir):
         assert 0 <= r.n_moved_out <= r.n_before, r
         if r.n_before == 0:
             assert r.centroid_shift == 0.0, r  # kept old centroid
+
+
+# ---------------------------------------------------------------------------
+# delete_ids (O7 extension): partition-pruned rewrite + rebuild equality
+# ---------------------------------------------------------------------------
+
+
+def _snapshot(root):
+    """(relpath -> (size, mtime_ns)) for every file under root."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_delete_ids_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    """The plan guard made byte-level: deleting ids confined to ONE
+    partition must leave every other partition's files untouched (same
+    names, sizes, mtimes) in BOTH tables, while the touched partition is
+    rewritten, renumbered dense, and equal to a from-scratch rebuild."""
+    import os
+
+    from bioclip_vector_db_spark.operators.knn import fixture_centroids
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cent = fixture_centroids(spark, sf_dir)
+    idx = str(tmp_path / "index")
+    indexing.append_to_index(spark, idx, emb, cent)
+
+    corpus = spark.read.parquet(f"{idx}/corpus")
+    p0 = corpus.select("partition_id").orderBy("partition_id").first()[0]
+    victims = [
+        r["vec_id"]
+        for r in corpus.filter(F.col("partition_id") == p0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(3)
+        .collect()
+    ]
+    assert victims
+
+    before = {t: _snapshot(f"{idx}/{t}") for t in ("corpus", "id_mapping")}
+    stats = indexing.delete_ids(
+        spark, idx, spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    )
+    assert stats == {"n_deleted": 3, "partitions_rewritten": 1}
+    after = {t: _snapshot(f"{idx}/{t}") for t in ("corpus", "id_mapping")}
+
+    for t in ("corpus", "id_mapping"):
+        untouched_b = {
+            k: v for k, v in before[t].items()
+            if f"partition_id={p0}{os.sep}" not in k and not k.startswith("_")
+        }
+        untouched_a = {
+            k: v for k, v in after[t].items()
+            if f"partition_id={p0}{os.sep}" not in k and not k.startswith("_")
+        }
+        assert untouched_b == untouched_a, f"{t}: untouched partition files changed"
+        assert {k for k in before[t] if f"partition_id={p0}{os.sep}" in k} != {
+            k for k in after[t] if f"partition_id={p0}{os.sep}" in k
+        } or before[t] != after[t], f"{t}: touched partition not rewritten"
+
+    # Post-delete index == rebuilt-from-scratch without the victims.
+    rebuilt_dir = str(tmp_path / "rebuilt")
+    indexing.append_to_index(
+        spark, rebuilt_dir, emb.filter(~F.col("vec_id").isin(victims)), cent
+    )
+
+    def rows(d):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{d}/id_mapping")
+            .select("partition_id", "faiss_id", "original_id", "metadata")
+            .collect()
+        )
+
+    assert rows(idx) == rows(rebuilt_dir)
+
+    # The compaction planner picks up the shrunken layout unchanged.
+    n_rows = spark.read.parquet(f"{idx}/corpus").count()
+    indexing.compact_index(spark, idx)
+    assert spark.read.parquet(f"{idx}/corpus").count() == n_rows
+
+
+def test_delete_ids_drops_fully_emptied_partition(spark, sf_dir, tmp_path):
+    """Deleting EVERY row of a partition must remove its directory from
+    both tables (dynamic overwrite alone would leave it stale), and a
+    later append re-seeds the partition's faiss_ids from zero."""
+    import os
+
+    from bioclip_vector_db_spark.operators.knn import fixture_centroids
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cent = fixture_centroids(spark, sf_dir)
+    idx = str(tmp_path / "index")
+    indexing.append_to_index(spark, idx, emb, cent)
+
+    corpus = spark.read.parquet(f"{idx}/corpus")
+    p0 = corpus.select("partition_id").orderBy("partition_id").first()[0]
+    victims_df = corpus.filter(F.col("partition_id") == p0).select("vec_id")
+    n_victims = victims_df.count()
+    victims = [r["vec_id"] for r in victims_df.collect()]
+
+    stats = indexing.delete_ids(spark, idx, victims_df)
+    assert stats["n_deleted"] == n_victims and stats["partitions_rewritten"] == 1
+    for t in ("corpus", "id_mapping"):
+        assert not os.path.exists(f"{idx}/{t}/partition_id={p0}")
+    assert (
+        spark.read.parquet(f"{idx}/corpus")
+        .filter(F.col("partition_id") == p0)
+        .count()
+        == 0
+    )
+
+    # Re-append the deleted rows: the emptied partition restarts at 0 and
+    # the result again equals a from-scratch build of the full corpus.
+    indexing.append_to_index(
+        spark, idx, emb.filter(F.col("vec_id").isin(victims)), cent
+    )
+    full_dir = str(tmp_path / "full")
+    indexing.append_to_index(spark, full_dir, emb, cent)
+
+    def rows(d):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{d}/id_mapping")
+            .select("partition_id", "faiss_id", "original_id", "metadata")
+            .collect()
+        )
+
+    assert rows(idx) == rows(full_dir)
+
+
+def test_delete_ids_noop_on_unknown_ids(spark, sf_dir, tmp_path):
+    from bioclip_vector_db_spark.operators.knn import fixture_centroids
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cent = fixture_centroids(spark, sf_dir)
+    idx = str(tmp_path / "index")
+    indexing.append_to_index(spark, idx, emb, cent)
+    before = spark.read.parquet(f"{idx}/id_mapping").count()
+    stats = indexing.delete_ids(
+        spark, idx, spark.createDataFrame([(10**12,)], "vec_id long")
+    )
+    assert stats == {"n_deleted": 0, "partitions_rewritten": 0}
+    assert spark.read.parquet(f"{idx}/id_mapping").count() == before

@@ -42,10 +42,30 @@ What to expect (and what a regression looks like):
   nlist grown alongside n (the index contract), so scored-per-query
   stays ~flat.
 
+Adversarial skew instruments (round-9 verdict item 3) — uniform
+replication can't exercise the hot-key defenses, so these PLANT one:
+- skew_shingle: a fixed 3-token phrase appended to 50% of documents —
+  one shingle owns half the corpus. Measures the MAX_SHINGLE_DF cap:
+  worst kept bucket must stay <= the cap while the avoided quadratic
+  pair bound (sum over hot buckets of C(df,2)) explodes with M; the
+  drop accounting (hot shingles + dropped instances) is in the record,
+  not silent.
+- skew_winnow: a fixed 24-token sentence appended to 50% of documents —
+  its interior winnowing fingerprints each own half the corpus.
+  Measures WINNOW_MAX_DF the same way on the overlap join.
+- skew_join: a synthetic probe table where ONE key owns 50% of all rows
+  joined against a 1,000-key build side. Measures salted_equi_join
+  (worst per-(key, salt) bucket ~ hot/salts; row parity with the plain
+  join asserted) and AQE's skew-join split on the unsalted sort-merge
+  join (thresholds lowered to fixture scale; the executed plan must
+  show skew=true).
+
 Usage:
     python tools/scale_stress.py                 # M = 1 2 4
     python tools/scale_stress.py --m 1 2 4 8 --ops mp_join,triangles
-Writes SCALE_STRESS.json and prints one JSON line per (op, M).
+Prints one JSON line per (op, M) and MERGES results into
+SCALE_STRESS.json by (op, m) — extended decades and skew legs from
+separate invocations accumulate instead of clobbering the matrix.
 """
 
 from __future__ import annotations
@@ -127,7 +147,10 @@ def main() -> None:
     ap.add_argument("--m", nargs="+", type=int, default=[1, 2, 4])
     ap.add_argument(
         "--ops",
-        default="mp_join,triangles,semantic_dedup,minhash_pairs,ivf_search,knn_brute",
+        default=(
+            "mp_join,triangles,semantic_dedup,minhash_pairs,ivf_search,knn_brute,"
+            "skew_shingle,skew_winnow,skew_join"
+        ),
     )
     ap.add_argument("--keep-workdir", action="store_true")
     args = ap.parse_args()
@@ -315,13 +338,210 @@ def main() -> None:
                     out_rows=n_out,
                 )
 
+            if "skew_shingle" in ops:
+                from bioclip_vector_db_spark.operators.dedup import jaccard_pairs
+
+                hot_docs = docs.withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") % 2 == 0,
+                        F.concat(F.col("text"), F.lit(" zzhot aaahot bbbhot")),
+                    ).otherwise(F.col("text")),
+                )
+                t0 = time.perf_counter()
+                sh = transient_persist(doc_shingles(hot_docs))
+                dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+                cap = D.MAX_SHINGLE_DF
+                pair = lambda c: (c * (c - 1) / 2)  # noqa: E731
+                agg = dfc.agg(
+                    F.max("df").alias("max_df"),
+                    F.max(F.when(F.col("df") <= cap, F.col("df"))).alias(
+                        "worst_kept_bucket"
+                    ),
+                    F.count(F.when(F.col("df") > cap, 1)).alias("hot_shingles"),
+                    F.sum(F.when(F.col("df") > cap, F.col("df"))).alias(
+                        "dropped_instances"
+                    ),
+                    F.sum(F.when(F.col("df") > cap, pair(F.col("df")))).alias(
+                        "avoided_pair_bound"
+                    ),
+                    F.sum(F.when(F.col("df") <= cap, pair(F.col("df")))).alias(
+                        "kept_pair_bound"
+                    ),
+                ).first()
+                n_pairs = jaccard_pairs(hot_docs, 0.8).count()
+                emit(
+                    "skew_shingle",
+                    m,
+                    n_doc,
+                    time.perf_counter() - t0,
+                    max_df=int(agg["max_df"]),
+                    worst_kept_bucket=int(agg["worst_kept_bucket"]),
+                    hot_shingles=int(agg["hot_shingles"]),
+                    dropped_instances=int(agg["dropped_instances"] or 0),
+                    avoided_pair_bound=int(agg["avoided_pair_bound"] or 0),
+                    kept_pair_bound=int(agg["kept_pair_bound"] or 0),
+                    pairs=n_pairs,
+                )
+
+            if "skew_winnow" in ops:
+                from bioclip_vector_db_spark.operators import text as T
+                from bioclip_vector_db_spark.operators.text import (
+                    winnowing_fingerprints,
+                )
+
+                hot_sentence = " ".join(f"hotw{i}" for i in range(24))
+                hot_docs = docs.withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") % 2 == 0,
+                        F.concat(F.col("text"), F.lit(" " + hot_sentence)),
+                    ).otherwise(F.col("text")),
+                )
+                t0 = time.perf_counter()
+                wn = transient_persist(
+                    winnowing_fingerprints(hot_docs)
+                    .select("doc_id", "fingerprint")
+                    .distinct()
+                )
+                cap = T.WINNOW_MAX_DF
+                dfc = wn.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("df"))
+                pair = lambda c: (c * (c - 1) / 2)  # noqa: E731
+                agg = dfc.agg(
+                    F.max("df").alias("max_df"),
+                    F.max(F.when(F.col("df") <= cap, F.col("df"))).alias(
+                        "worst_kept_bucket"
+                    ),
+                    F.count(F.when(F.col("df") > cap, 1)).alias("hot_fps"),
+                    F.sum(F.when(F.col("df") > cap, F.col("df"))).alias(
+                        "dropped_instances"
+                    ),
+                    F.sum(F.when(F.col("df") > cap, pair(F.col("df")))).alias(
+                        "avoided_pair_bound"
+                    ),
+                ).first()
+                kept = (
+                    dfc.filter(F.col("df") <= cap).select("fingerprint")
+                )
+                pruned = wn.join(kept, "fingerprint", "left_semi")
+                a = pruned.select(F.col("doc_id").alias("a_id"), "fingerprint")
+                b = pruned.select(F.col("doc_id").alias("b_id"), "fingerprint")
+                n_overlap = (
+                    a.join(b, "fingerprint")
+                    .filter(F.col("a_id") < F.col("b_id"))
+                    .groupBy("a_id", "b_id")
+                    .agg(F.count(F.lit(1)).alias("n_shared"))
+                    .filter(F.col("n_shared") >= T.WINNOW_MIN_SHARED)
+                    .count()
+                )
+                emit(
+                    "skew_winnow",
+                    m,
+                    n_doc,
+                    time.perf_counter() - t0,
+                    max_df=int(agg["max_df"]),
+                    worst_kept_bucket=int(agg["worst_kept_bucket"]),
+                    hot_fingerprints=int(agg["hot_fps"]),
+                    dropped_instances=int(agg["dropped_instances"] or 0),
+                    avoided_pair_bound=int(agg["avoided_pair_bound"] or 0),
+                    overlap_pairs=n_overlap,
+                )
+
+            if "skew_join" in ops:
+                from bioclip_vector_db_spark.functions.skew import (
+                    SALT_COL,
+                    default_salt,
+                    salted_equi_join,
+                )
+
+                n_rows = 200_000 * m
+                n_keys = 1_000
+                salts = 8
+                probe = spark.range(n_rows).select(
+                    F.when(F.col("id") % 2 == 0, F.lit(0))
+                    .otherwise(F.pmod(F.hash(F.col("id")), F.lit(n_keys)))
+                    .cast("long")
+                    .alias("k"),
+                    F.col("id").alias("v"),
+                )
+                build = spark.range(n_keys).select(
+                    F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+                )
+                expected = probe.join(build, "k").count()
+                t0 = time.perf_counter()
+                got = salted_equi_join(probe, build, "k", salts=salts).count()
+                t_salted = time.perf_counter() - t0
+                worst_pre = (
+                    probe.groupBy("k").count().agg(F.max("count")).first()[0]
+                )
+                worst_post = (
+                    probe.withColumn(SALT_COL, default_salt("k", salts))
+                    .groupBy("k", SALT_COL)
+                    .count()
+                    .agg(F.max("count"))
+                    .first()[0]
+                )
+                # AQE skew-split on the UNSALTED sort-merge join, thresholds
+                # lowered to fixture scale (the defaults are sized for real
+                # 256MB partitions; the hot partition here lz4-compresses to
+                # tens of KB — 64KiB was measured NOT to trigger at M=1);
+                # broadcast disabled so the join is SMJ. The probed action
+                # must execute THIS DataFrame's queryExecution — a bare
+                # .count() plans its own query and leaves isFinalPlan=false —
+                # so the join is wrapped in a 1-row aggregate and collected.
+                aqe_confs = {
+                    "spark.sql.autoBroadcastJoinThreshold": "-1",
+                    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+                    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+                }
+                prev = {k: spark.conf.get(k, None) for k in aqe_confs}
+                try:
+                    for k, v in aqe_confs.items():
+                        spark.conf.set(k, v)
+                    plain = probe.join(build, "k").groupBy().count()
+                    plain.collect()
+                    plan = plain._jdf.queryExecution().executedPlan().toString()
+                    aqe_split = "skew=true" in plan
+                finally:
+                    for k, v in prev.items():
+                        if v is None:
+                            spark.conf.unset(k)
+                        else:
+                            spark.conf.set(k, v)
+                emit(
+                    "skew_join",
+                    m,
+                    n_rows,
+                    t_salted,
+                    hot_key_rows=int(worst_pre),
+                    worst_salted_bucket=int(worst_post),
+                    salts=salts,
+                    rows_match=bool(got == expected),
+                    joined_rows=int(got),
+                    aqe_skew_split=bool(aqe_split),
+                )
+
             release_transient()
     finally:
         if not args.keep_workdir:
             shutil.rmtree(workdir, ignore_errors=True)
 
-    with open(os.path.join(REPO, "SCALE_STRESS.json"), "w") as fh:
-        json.dump(results, fh, indent=1)
+    out_path = os.path.join(REPO, "SCALE_STRESS.json")
+    merged: dict[tuple, dict] = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                for rec in json.load(fh):
+                    merged[(rec["op"], rec["m"])] = rec
+        except (json.JSONDecodeError, KeyError):
+            pass  # unreadable prior file: start fresh
+    for rec in results:
+        merged[(rec["op"], rec["m"])] = rec
+    with open(out_path, "w") as fh:
+        json.dump(
+            sorted(merged.values(), key=lambda r: (r["m"], r["op"])), fh, indent=1
+        )
 
 
 if __name__ == "__main__":
