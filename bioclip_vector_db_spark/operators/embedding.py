@@ -102,6 +102,142 @@ def q_embedding_udf_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "dim_idx", F.round("c", 9).alias("component"))
 
 
+# ---------------------------------------------------------------------------
+# Real-model swap-in wiring (O9): predict_batch_udf behind an env flag
+# ---------------------------------------------------------------------------
+
+#: Env flag selecting the encoder. Unset/"stub" = the deterministic md5
+#: kernel (CI, this container — no model weights by the public-knowledge
+#: constraint); "hf:<model-name>" = a HuggingFace sentence-transformers
+#: encoder, loadable only where that library and its weights exist.
+EMBED_MODEL_ENV = "SPARK_GRAFT_EMBED_MODEL"
+
+
+def _stub_loader(dim: int):
+    """Deterministic encoder with the exact per-executor-singleton shape a
+    real model loader has: called ONCE per python worker; the returned
+    closure encodes text batches to UNnormalized (n, dim) float arrays
+    (normalization is the wiring's job — part of the output contract)."""
+
+    def load():
+        import numpy as np
+
+        def encode(texts: "list[str]") -> "np.ndarray":
+            rows = []
+            for t in texts:
+                h = hashlib.md5(str(t).encode("utf-8")).hexdigest()
+                rows.append([int(c, 16) - 7.5 for c in h[:dim]])
+            return np.asarray(rows, dtype=np.float64)
+
+        return encode
+
+    return load
+
+
+def _hf_loader(model_name: str, dim: int):
+    """HF-style encoder loader (sentence-transformers). Import happens
+    INSIDE the loader — on the executor, once per worker — and is gated:
+    this container carries no model libraries, so selecting a real model
+    here raises a clear error instead of an import traceback mid-task."""
+
+    def load():
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:  # pragma: no cover - lib absent here
+            raise RuntimeError(
+                f"{EMBED_MODEL_ENV}=hf:{model_name} needs sentence-transformers "
+                "installed on every executor (not present in this environment)"
+            ) from e
+        model = SentenceTransformer(model_name)
+
+        def encode(texts: "list[str]"):
+            return model.encode(list(texts), normalize_embeddings=False)
+
+        return encode
+
+    return load
+
+
+def resolve_model_loader(dim: int = EMBED_DIM):
+    """Pick the encoder loader from $SPARK_GRAFT_EMBED_MODEL."""
+    import os
+
+    spec = os.environ.get(EMBED_MODEL_ENV, "stub")
+    if spec in ("", "stub"):
+        return _stub_loader(dim)
+    if spec.startswith("hf:"):
+        return _hf_loader(spec[3:], dim)
+    raise ValueError(f"unrecognized {EMBED_MODEL_ENV}={spec!r} (want 'stub' or 'hf:<name>')")
+
+
+def make_encoder_udf(model_loader=None, *, dim: int = EMBED_DIM, batch_size: int = 64):
+    """The REAL model-serving wiring for O9: a ``predict_batch_udf``
+    around any HF-style encoder. This is the documented swap-in path —
+    the deterministic stub and a real model run through the IDENTICAL
+    plumbing; only the loader differs (env-selected via
+    resolve_model_loader, off in CI).
+
+    predict_batch_udf is Spark's model-inference surface: the loader runs
+    once per python worker (per-executor model singleton — weights are
+    NOT per-batch or per-row), inputs arrive as numpy batches of
+    ``batch_size`` regardless of Arrow batch sizing, and the output is a
+    columnar array column. The wiring enforces the output contract the
+    reference's embed stage guarantees (vector_db.py:112-114): shape
+    (n, dim) and L2-normalized rows — asserted here, gated again
+    relationally by assert_embedding_contract."""
+    import numpy as np
+
+    from pyspark.ml.functions import predict_batch_udf
+
+    loader = model_loader or resolve_model_loader(dim)
+
+    def make_predict_fn():
+        encode = loader()
+
+        def predict(inputs: "np.ndarray") -> "np.ndarray":
+            vecs = np.asarray(encode(list(inputs)), dtype=np.float64)
+            if vecs.shape != (len(inputs), dim):
+                raise ValueError(
+                    f"encoder returned shape {vecs.shape}, want ({len(inputs)}, {dim})"
+                )
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            if not (norms > 0).all():
+                raise ValueError("encoder returned a zero vector")
+            return vecs / norms
+
+        return predict
+
+    return predict_batch_udf(
+        make_predict_fn,
+        return_type=T.ArrayType(T.DoubleType()),
+        batch_size=batch_size,
+    )
+
+
+def assert_embedding_contract(
+    df: DataFrame, col: str = "embedding", *, dim: int = EMBED_DIM
+) -> DataFrame:
+    """Attach the O9 output-contract checks as assert_true columns: any
+    row violating size==dim or |L2 norm - 1| <= 1e-9 fails the JOB loudly
+    (the same fail-loud discipline as the winnowing overflow guard)
+    instead of silently corrupting every downstream distance."""
+    vec = F.col(col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    guard = F.assert_true(
+        (F.size(vec) == dim) & (F.abs(norm - 1.0) <= 1e-9),
+        F.concat(
+            F.lit(f"embedding contract violated (dim={dim}): size="),
+            F.size(vec).cast("string"),
+            F.lit(", norm="),
+            norm.cast("string"),
+        ),
+    )
+    # The guard rides the output column itself (same coalesce-through
+    # discipline as the winnowing overflow assert) — a dropped side
+    # column would be pruned away and never evaluate.
+    return df.withColumn(col, F.when(guard.isNull(), F.col(col)))
+
+
 #: Per-dimension mean-shift threshold for the drift gate.
 DRIFT_DELTA = 0.01
 
