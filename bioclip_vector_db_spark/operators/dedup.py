@@ -2156,9 +2156,13 @@ def semantic_dedup(
 
     Returns one row per input vector: (vec_id, cluster_id, rank, kept).
 
-    Scale shape for 100 TB: the centroid table is broadcast (k rows), so
-    assignment is map-side; the ONLY shuffle keys are vec_id-free
-    (cluster_id for the rank window and the pair join). The within-cluster
+    Scale shape for 100 TB: the centroid table collapses to one broadcast
+    row of (cid, cvec) structs and each vector folds over it with
+    array_max INSIDE the scan — no n x k row expansion exists anywhere
+    (the round-9 fix; SCALING.md section 2.1: the old crossJoin +
+    vec_id-window form shuffled n x k rows with their embedding payload).
+    The only shuffle keys are cluster_id (rank window, pair join) — both
+    O(n) rows. The within-cluster
     pair join is quadratic in CLUSTER size, not corpus size — SemDeDup's
     contract is k grows with the corpus, and the default ENFORCES it:
     k = max(8, ceil(n / SEMDEDUP_TARGET_CLUSTER)), so expected cluster
@@ -2178,17 +2182,40 @@ def semantic_dedup(
         centroids = v.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
         )
-    sims = v.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        F.round(dot_product(F.col("embedding"), F.col("cvec")), 9).alias("csim"),
+    # Assignment argmax INSIDE the scan, zero row expansion — the same
+    # collapsed-struct fold knn.assign_partitions uses (knn.py O19): the
+    # centroid table becomes ONE row holding an array of (cid, cvec)
+    # structs, broadcast, and array_max picks the best centroid per
+    # vector in a single projection. The original form materialized the
+    # n x k crossJoin rows and argmaxed them through a row_number window
+    # partitioned by vec_id — shuffling all n x k rows WITH the embedding
+    # payload, the superlinearity the M=8/16 stress decades caught
+    # (SCALING.md section 2.1). Lexicographic struct max over
+    # (csim, -cid) = highest csim, ties to lowest cid — exactly the old
+    # window's (csim DESC, cid ASC) with cid unique so no full ties; csim
+    # is rounded to 9 dp BEFORE the comparison, same as the oracle.
+    cents1 = centroids.groupBy().agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cvec"))).alias("_cents")
     )
-    aw = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda x: F.struct(
+                F.round(dot_product(F.col("embedding"), x["cvec"]), 9).alias("csim"),
+                (-x["cid"]).alias("nc"),
+                x["cid"].alias("cid"),
+            ),
+        )
+    )
     assigned = (
-        sims.withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid", "csim")
+        v.join(F.broadcast(cents1))
+        .withColumn("_best", best)
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.csim").alias("csim"),
+        )
     )
     rw = Window.partitionBy("cid").orderBy(F.col("csim").desc(), F.col("vec_id").asc())
     ranked = transient_persist(

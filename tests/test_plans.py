@@ -274,15 +274,31 @@ def test_semantic_dedup_pairs_are_cluster_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # toString re-renders the shared assignment lineage once per branch
     # that references it, so count BUILDS, not occurrences: every
-    # nested-loop join must broadcast the k-row seed table (the filter
-    # `vec_id < 8` right under its IdentityBroadcastMode exchange) — any
-    # OTHER nested-loop build would be a corpus-sized cross join.
+    # nested-loop join must broadcast the ONE-ROW collapsed centroid
+    # array (collect_list aggregate right under its IdentityBroadcastMode
+    # exchange) — any OTHER nested-loop build would be a corpus-sized
+    # cross join.
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
     seed_builds = re.findall(
-        r"BroadcastExchange IdentityBroadcastMode[\s\S]{0,500}?Filter \([^\n]*< 8\)",
+        r"BroadcastExchange IdentityBroadcastMode[\s\S]{0,500}?"
+        r"ObjectHashAggregate\(keys=\[\], functions=\[collect_list",
         plan,
     )
     assert n_bnlj > 0 and n_bnlj == len(seed_builds), plan
+
+
+def test_semantic_dedup_assignment_argmax_is_in_scan(spark, sf_dir):
+    """Centroid assignment must fold the broadcast (cid, cvec) struct
+    array with array_max inside the projection — no n x k row expansion.
+    The original crossJoin + row_number-window-by-vec_id form shuffled
+    all n x k rows with their embedding payload (caught by the M=8/16
+    stress decades, SCALING.md section 2.1). The only windows allowed
+    are the cluster-keyed exemplar rank."""
+    plan = _plan(QUERIES["semantic_dedup"](spark, sf_dir))
+    assert "array_max" in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(cid" in line, line
 
 
 def test_chunking_is_shuffle_free(spark, sf_dir):
