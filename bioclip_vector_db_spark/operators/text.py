@@ -650,18 +650,24 @@ def pack_batches(
     )
 
 
-@register(
-    "documents_pack_batches",
-    oracle=f"""
+def pack_oracle_sql(budget: int = PACK_BUDGET) -> str:
+    """SQL twin of pack_batches (naive single-window prefix sum; DuckDB's
+    scale is not at issue) — parameterized on the token budget only:
+    block_width is an internal parallelism knob that must NOT change the
+    result, which is exactly what the param-fuzz gate checks by sweeping
+    it independently against this oracle."""
+    return f"""
 SELECT doc_id, lang,
        len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tokens,
        floor((sum(len(regexp_extract_all(text, '{TOKEN_REGEX}')))
                   OVER (PARTITION BY lang ORDER BY doc_id)
               - len(regexp_extract_all(text, '{TOKEN_REGEX}'))) * 1.0
-             / {PACK_BUDGET})::BIGINT AS batch_id
+             / {budget})::BIGINT AS batch_id
 FROM documents
-""",
-)
+"""
+
+
+@register("documents_pack_batches", oracle=pack_oracle_sql())
 def q_documents_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 [Q]: per-language token-budget batch packing (prefix-sum batch
     assignment) — deterministic sequence-packing approximation."""
@@ -1370,30 +1376,36 @@ def chunk_documents(
     )
 
 
-_CHUNK_ORACLE = f"""
+def chunk_oracle_sql(
+    width: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> str:
+    """SQL twin of chunk_documents for any (width, stride) — the
+    generator the param-fuzz gate sweeps; the registered query pins the
+    default configuration."""
+    return f"""
 WITH toks AS (
     SELECT doc_id, {_WORDS_SQL} AS t FROM documents
 ),
 starts AS (
     SELECT doc_id, t, gs.s AS start_token
     FROM toks, LATERAL (
-        SELECT unnest(range(0, len(t), {CHUNK_STRIDE})) AS s
+        SELECT unnest(range(0, len(t), {stride})) AS s
     ) gs
     WHERE len(t) > 0
 )
 SELECT doc_id,
-       (start_token // {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+       (start_token // {stride})::BIGINT AS chunk_idx,
        start_token::BIGINT AS start_token,
-       len(list_slice(t, start_token + 1, start_token + {CHUNK_TOKENS}))::BIGINT
+       len(list_slice(t, start_token + 1, start_token + {width}))::BIGINT
            AS chunk_tokens,
        array_to_string(
-           list_slice(t, start_token + 1, start_token + {CHUNK_TOKENS}), ' '
+           list_slice(t, start_token + 1, start_token + {width}), ' '
        ) AS chunk_text
 FROM starts
 """
 
 
-@register("documents_chunk_overlap", oracle=_CHUNK_ORACLE)
+@register("documents_chunk_overlap", oracle=chunk_oracle_sql())
 def q_documents_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 [Q]: overlapping 32-token chunks at stride 24 over the documents
     corpus — every chunk's text byte-exact against the SQL twin."""
@@ -1928,18 +1940,22 @@ WINNOW_W = 4
 WINNOW_POS_BASE = 4096
 
 
-@register(
-    "documents_winnowing",
-    oracle=f"""
+def winnow_oracle_sql(
+    k: int = WINNOW_K, w: int = WINNOW_W, pos_base: int = WINNOW_POS_BASE
+) -> str:
+    """SQL twin of winnowing_fingerprints for any (k-gram width, window
+    size, position packing base) — the generator the param-fuzz gate
+    sweeps; the registered query pins the default configuration."""
+    return f"""
 WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
 grams AS (
     SELECT doc_id, i AS pos,
-           ('0x' || substr(md5(array_to_string(ws[i:i+{WINNOW_K - 1}], ' ')), 1, 5))::BIGINT AS h
-    FROM toks, unnest(generate_series(1, greatest(len(ws) - {WINNOW_K - 1}, 0))) AS u(i)
+           ('0x' || substr(md5(array_to_string(ws[i:i+{k - 1}], ' ')), 1, 5))::BIGINT AS h
+    FROM toks, unnest(generate_series(1, greatest(len(ws) - {k - 1}, 0))) AS u(i)
 ),
 keyed AS (
     SELECT doc_id, pos,
-           h * {WINNOW_POS_BASE} + ({WINNOW_POS_BASE - 1} - pos) AS key,
+           h * {pos_base} + ({pos_base - 1} - pos) AS key,
            max(pos) OVER (PARTITION BY doc_id) AS max_pos
     FROM grams
 ),
@@ -1947,16 +1963,18 @@ sel AS (
     SELECT DISTINCT doc_id,
            min(key) OVER (
                PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS k
+               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS k
     FROM keyed
-    WHERE pos <= max_pos - {WINNOW_W - 1}
+    WHERE pos <= max_pos - {w - 1}
 )
 SELECT doc_id,
-       ({WINNOW_POS_BASE - 1} - k % {WINNOW_POS_BASE})::BIGINT AS sel_pos,
-       (k // {WINNOW_POS_BASE})::BIGINT AS fingerprint
+       ({pos_base - 1} - k % {pos_base})::BIGINT AS sel_pos,
+       (k // {pos_base})::BIGINT AS fingerprint
 FROM sel
-""",
-)
+"""
+
+
+@register("documents_winnowing", oracle=winnow_oracle_sql())
 def q_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 [Q]: winnowing fingerprints (Schleimer et al., the MOSS scheme)
     — per document, the guaranteed-coverage fingerprint subset: every
@@ -1976,22 +1994,27 @@ def q_documents_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
-def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+def winnowing_fingerprints(
+    docs: DataFrame,
+    *,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    pos_base: int = WINNOW_POS_BASE,
+) -> DataFrame:
     """Winnowing fingerprint core over a ``(doc_id, text)`` table — see
     q_documents_winnowing for the scheme. Overflow guard: the packed key
-    reserves log2(WINNOW_POS_BASE) low bits for the position, so a
-    document with >= WINNOW_POS_BASE k-gram positions would make the
-    position term collide across hashes and silently corrupt key
-    ordering IN BOTH ENGINES — the parity gate cannot catch it (ADVICE
-    r7). The key expression embeds an assert_true so such a document
-    fails the job loudly instead."""
+    reserves log2(pos_base) low bits for the position, so a document
+    with >= pos_base k-gram positions would make the position term
+    collide across hashes and silently corrupt key ordering IN BOTH
+    ENGINES — the parity gate cannot catch it (ADVICE r7). The key
+    expression embeds an assert_true so such a document fails the job
+    loudly instead."""
     toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
-    w = WINNOW_K
     gram_arr = F.when(
-        F.size("ws") >= w,
+        F.size("ws") >= k,
         F.transform(
-            F.sequence(F.lit(1), F.size("ws") - (w - 1)),
-            lambda i: F.concat_ws(" ", F.slice("ws", i, w)),
+            F.sequence(F.lit(1), F.size("ws") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice("ws", i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = toks.select("doc_id", F.posexplode(gram_arr).alias("pos0", "gram")).select(
@@ -2002,12 +2025,12 @@ def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
     win = Window.partitionBy("doc_id")
     overflow_guard = F.coalesce(
         F.assert_true(
-            F.col("pos") < WINNOW_POS_BASE,
+            F.col("pos") < pos_base,
             F.concat(
                 F.lit("winnowing position overflow: doc_id "),
                 F.col("doc_id").cast("string"),
-                F.lit(f" has >= {WINNOW_POS_BASE} k-gram positions; "),
-                F.lit("raise WINNOW_POS_BASE"),
+                F.lit(f" has >= {pos_base} k-gram positions; "),
+                F.lit("raise the pos_base"),
             ),
         ).cast("bigint"),
         F.lit(0),
@@ -2016,8 +2039,8 @@ def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id",
         "pos",
         (
-            F.col("h") * WINNOW_POS_BASE
-            + (WINNOW_POS_BASE - 1 - F.col("pos"))
+            F.col("h") * pos_base
+            + (pos_base - 1 - F.col("pos"))
             + overflow_guard
         ).alias("key"),
         F.max("pos").over(win).alias("max_pos"),
@@ -2025,19 +2048,17 @@ def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
     frame = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+        .rowsBetween(Window.currentRow, w - 1)
     )
     sel = (
-        keyed.filter(F.col("pos") <= F.col("max_pos") - (WINNOW_W - 1))
+        keyed.filter(F.col("pos") <= F.col("max_pos") - (w - 1))
         .select("doc_id", F.min("key").over(frame).alias("k"))
         .distinct()
     )
     return sel.select(
         "doc_id",
-        (WINNOW_POS_BASE - 1 - F.col("k") % WINNOW_POS_BASE)
-        .cast("bigint")
-        .alias("sel_pos"),
-        (F.col("k") / WINNOW_POS_BASE).cast("bigint").alias("fingerprint"),
+        (pos_base - 1 - F.col("k") % pos_base).cast("bigint").alias("sel_pos"),
+        (F.col("k") / pos_base).cast("bigint").alias("fingerprint"),
     )
 
 

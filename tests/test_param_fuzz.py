@@ -245,3 +245,155 @@ def test_fuzz_bm25(terms, k1, b, top_k, spark, sf_dir, duck):
         )
     finally:
         _release()
+
+
+# ---------------------------------------------------------------------------
+# Family 6: overlapping token chunking vs chunk_oracle_sql
+# ---------------------------------------------------------------------------
+
+_r6 = random.Random(0x5EED6)
+#: (width, stride). stride may EXCEED width (gap chunking) — both engines
+#: must agree on the uncovered-token case, not just the overlap case.
+CHUNK_CFGS = _draw(
+    _r6, lambda r: (r.randint(1, 48), r.randint(1, 48))
+)
+
+
+@pytest.mark.parametrize("width,stride", CHUNK_CFGS)
+def test_fuzz_chunking(width, stride, spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    got = text.chunk_documents(docs, width=width, stride=stride)
+    try:
+        assert_matches_oracle(
+            got, duck, text.chunk_oracle_sql(width=width, stride=stride)
+        )
+    finally:
+        _release()
+
+
+# ---------------------------------------------------------------------------
+# Family 7: token-budget batch packing vs pack_oracle_sql
+# ---------------------------------------------------------------------------
+
+_r7 = random.Random(0x5EED7)
+#: (budget, block_width). The oracle depends ONLY on budget — block_width
+#: is the two-pass prefix-sum's parallelism knob, swept independently so
+#: every config simultaneously fuzzes the batch-boundary arithmetic AND
+#: proves block tiling is result-invariant (block_width=1 degenerates to
+#: one window partition per doc; 100000 to one block per language).
+PACK_CFGS = _draw(
+    _r7,
+    lambda r: (
+        r.choice([1, 8, 33, 100, 512, 4096]),
+        r.choice([1, 7, 64, 256, 1000, 100000]),
+    ),
+    n=20,
+)
+
+
+@pytest.mark.parametrize("budget,block_width", PACK_CFGS)
+def test_fuzz_pack_batches(budget, block_width, spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    got = text.pack_batches(docs, budget=budget, block_width=block_width)
+    try:
+        assert_matches_oracle(got, duck, text.pack_oracle_sql(budget=budget))
+    finally:
+        _release()
+
+
+# ---------------------------------------------------------------------------
+# Family 8: winnowing fingerprints vs winnow_oracle_sql
+# ---------------------------------------------------------------------------
+
+_r8 = random.Random(0x5EED8)
+#: (k, w, pos_base). k=1 hits the single-word-gram boundary; w=1 makes
+#: every k-gram a fingerprint (the frame degenerates to the row itself);
+#: pos_base=128 is tight against the fixture's 99-token max doc, so the
+#: packed-key arithmetic is exercised near its overflow guard.
+WINNOW_CFGS = _draw(
+    _r8,
+    lambda r: (
+        r.randint(1, 5),
+        r.randint(1, 8),
+        r.choice([128, 1024, 4096, 65536]),
+    ),
+    n=15,
+)
+
+
+@pytest.mark.parametrize("k,w,pos_base", WINNOW_CFGS)
+def test_fuzz_winnowing(k, w, pos_base, spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    got = text.winnowing_fingerprints(docs, k=k, w=w, pos_base=pos_base)
+    try:
+        assert_matches_oracle(
+            got, duck, text.winnow_oracle_sql(k=k, w=w, pos_base=pos_base)
+        )
+    finally:
+        _release()
+
+
+# ---------------------------------------------------------------------------
+# Family 9: MMR diversified rerank vs _mmr_oracle_sql
+# ---------------------------------------------------------------------------
+
+_r9 = random.Random(0x5EED9)
+#: (k, pool, rel_weight, div_weight). div=0 degenerates to plain
+#: relevance rank; div > rel pushes the greedy argmax into the penalty
+#:-dominated regime where the unset-vs-zero running-max distinction
+#: (psim can be negative) actually decides rows.
+MMR_CFGS = _draw(
+    _r9,
+    lambda r: (
+        r.randint(2, 5),
+        r.randint(5, 25),
+        r.randint(1, 3),
+        r.randint(0, 4),
+    ),
+    n=12,
+)
+
+
+@pytest.mark.parametrize("k,pool,rel,div", MMR_CFGS)
+def test_fuzz_mmr_rerank(k, pool, rel, div, spark, sf_dir, duck):
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = knn._fixture_queries(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    got = knn.mmr_rerank(
+        queries, corpus, k=k, pool=pool, rel_weight=rel, div_weight=div
+    )
+    try:
+        assert_matches_oracle(
+            got, duck, knn._mmr_oracle_sql(k=k, pool=pool, rel=rel, div=div)
+        )
+    finally:
+        _release()
+
+
+# ---------------------------------------------------------------------------
+# Family 10: damped PageRank iteration count vs _pagerank_oracle_sql
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("iters", [1, 2, 4, 5, 6])
+def test_fuzz_pagerank_iters(iters, spark, sf_dir, duck):
+    """The fixpoint loop's per-iteration round-to-9 is what keeps the
+    float recursion hash-exact cross-engine; sweeping the unroll depth
+    gates that convention at every depth, not just the registered 3."""
+    from pyspark.sql import functions as F
+
+    from bioclip_vector_db_spark.operators.knn import _cached
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _cached(
+        spark, sf_dir, "near_dup_pairs_08", lambda: dedup.near_dup_pairs(docs, 0.8)
+    )
+    got = dedup.pagerank_fixed(pairs, iters=iters).select(
+        F.col("id").alias("doc_id"), "rank"
+    )
+    try:
+        assert_matches_oracle(got, duck, dedup._pagerank_oracle_sql(iters=iters))
+    finally:
+        _release()
