@@ -2138,6 +2138,7 @@ def semantic_dedup(
     k: "int | None" = None,
     threshold: float = SEMDEDUP_TAU,
     centroids: "DataFrame | None" = None,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Cluster-partitioned semantic dedup over an embedding corpus — the
     public SemDeDup method (Abbas et al. 2023, arXiv:2303.09540): assign
@@ -2169,7 +2170,20 @@ def semantic_dedup(
     cardinality stays ~64 and total pair work stays linear in n at every
     scale (the registered gate carries the same rule, not a fixture-sized
     constant). No stage is all-pairs over the corpus (plan-guarded in
-    tests/test_plans.py)."""
+    tests/test_plans.py).
+
+    ``kernel``: the fold above is ``'expr'`` — but because k GROWS with n,
+    assignment COMPUTE is n x k x dim = O(n^2 d / TARGET) interpreted
+    multiply-adds (HOFs never enter codegen), and the M=8/16 stress
+    decades showed it dominating the whole pipeline once k reaches the
+    hundreds. ``'numpy'`` scores each Arrow batch as blocked BLAS GEMMs
+    (knn_numpy.argmax_centroid_numpy) — same round-9-then-argmax winners,
+    ties to the smallest cid; ``'auto'`` switches at
+    LARGE_NLIST_THRESHOLD like assign_partitions. The registered gate
+    stays on the expr fold at every tested SF (k < 1024 everywhere the
+    oracle runs); BLAS summation order can differ from the fold in the
+    last ulp, so like every numpy kernel here it backs the library scale
+    path, not the hash-exact oracle row."""
     v = vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -2182,6 +2196,24 @@ def semantic_dedup(
         centroids = v.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
         )
+        n_cents = k
+    else:
+        n_cents = None
+    if kernel == "auto":
+        from .knn import _pick_kernel
+        from .knn_numpy import LARGE_NLIST_THRESHOLD
+
+        if n_cents is not None:
+            # k is known numerically — no count job needed to resolve;
+            # same boundary as _pick_kernel's probe (> threshold).
+            kernel = "numpy" if n_cents > LARGE_NLIST_THRESHOLD else "expr"
+        else:
+            kernel = _pick_kernel("auto", centroids)
+    if kernel == "numpy":
+        from .knn_numpy import argmax_centroid_numpy
+
+        assigned = argmax_centroid_numpy(v, centroids)
+        return _semantic_dedup_decide(assigned, threshold)
     # Assignment argmax INSIDE the scan, zero row expansion — the same
     # collapsed-struct fold knn.assign_partitions uses (knn.py O19): the
     # centroid table becomes ONE row holding an array of (cid, cvec)
@@ -2217,6 +2249,13 @@ def semantic_dedup(
             F.col("_best.csim").alias("csim"),
         )
     )
+    return _semantic_dedup_decide(assigned, threshold)
+
+
+def _semantic_dedup_decide(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Shared SemDeDup tail over an assigned ``(vec_id, embedding, cid,
+    csim)`` table: cluster-keyed exemplar rank, within-cluster pair join,
+    keep/drop decision — identical for both assignment kernels."""
     rw = Window.partitionBy("cid").orderBy(F.col("csim").desc(), F.col("vec_id").asc())
     ranked = transient_persist(
         assigned.withColumn("rank", F.row_number().over(rw).cast("bigint"))

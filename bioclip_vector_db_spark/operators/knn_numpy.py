@@ -121,6 +121,61 @@ def assign_partitions_numpy(
     return vectors.mapInPandas(score, out_schema)
 
 
+def argmax_centroid_numpy(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """Best-centroid argmax (similarity form of assign_partitions_numpy):
+    blocked ``E @ C.T`` GEMMs with a running (best_csim, best_cid) argmax —
+    the large-k kernel behind ``dedup.semantic_dedup(kernel='numpy')``,
+    where assignment cost is n x k x dim and the interpreted expression
+    fold dominates the whole pipeline once k grows with the corpus.
+
+    Similarities are rounded to 9 decimals BEFORE comparison and ties
+    break toward the smallest cid (blocks ascend by cid; within a block
+    argmax takes the first maximum; cross-block updates require a
+    strictly larger similarity) — identical winners to the expression
+    fold's lexicographic (csim, -cid) struct max. Emits ``csim`` as well
+    as ``cid`` because SemDeDup ranks exemplars by it downstream.
+    Map-side only: no join, no shuffle, no row expansion."""
+    cids, cmat = _collect_centroids(centroids, cid_col, cvec_col)
+    bc = vectors.sparkSession.sparkContext.broadcast((cids, cmat))
+    out_schema = T.StructType(
+        list(vectors.schema.fields)
+        + [T.StructField(cid_col, T.LongType()), T.StructField("csim", T.DoubleType())]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bcids, bC = bc.value
+        k = len(bcids)
+        for pdf in batches:
+            b = len(pdf)
+            if not b:
+                continue
+            emb = np.array(list(pdf[vec_col]), dtype=np.float64)  # b x d
+            cblock = max(1, min(k, _TILE_ELEMS // b))
+            best_s = np.full(b, -np.inf)
+            best_cid = np.zeros(b, dtype=np.int64)
+            for s in range(0, k, cblock):
+                sblk = emb @ bC[s : s + cblock].T  # b x cblock
+                np.round(sblk, 9, out=sblk)
+                j = sblk.argmax(axis=1)  # first max = smallest cid in block
+                sim = sblk[np.arange(b), j]
+                upd = sim > best_s
+                best_s[upd] = sim[upd]
+                best_cid[upd] = bcids[s + j[upd]]
+            out = pdf.copy()
+            out[cid_col] = best_cid
+            out["csim"] = best_s
+            yield out
+
+    return vectors.mapInPandas(score, out_schema)
+
+
 def route_queries_numpy(
     queries: DataFrame,
     centroids: DataFrame,

@@ -254,3 +254,46 @@ def test_numpy_kernel_emits_bounded_candidates(spark, sf_dir):
     # Final output is exactly queries x k on a corpus larger than k.
     assert out.count() == 3 * 5
     assert n_parts >= 1  # sanity: plan executed over real partitions
+
+
+def test_semantic_dedup_numpy_kernel_matches_expr(spark, sf_dir):
+    """The blocked-GEMM assignment (dedup.semantic_dedup(kernel='numpy'))
+    must reproduce the expression fold's full decision table — same
+    clusters, same exemplar ranks, same keep/drop — on the fixture, where
+    round-9 similarities make both kernels' winners identical. The numpy
+    path is the large-k scale route (assignment compute is n x k x dim
+    and k grows with the corpus), so its tail must be the SAME shared
+    _semantic_dedup_decide, not a reimplementation."""
+    from bioclip_vector_db_spark.operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    expr = {
+        (r.vec_id, r.cluster_id, r.rank, r.kept)
+        for r in dedup.semantic_dedup(emb, kernel="expr").collect()
+    }
+    via_numpy = {
+        (r.vec_id, r.cluster_id, r.rank, r.kept)
+        for r in dedup.semantic_dedup(emb, kernel="numpy").collect()
+    }
+    assert expr == via_numpy
+    # And the numpy plan really is the map-side kernel: no broadcast
+    # centroid fold, one MapInPandas, no n x k expansion anywhere.
+    plan = dedup.semantic_dedup(emb, kernel="numpy")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "array_max" not in plan
+
+
+def test_semantic_dedup_auto_kernel_resolves_by_k(spark, sf_dir):
+    """auto = expr below the threshold (the oracle-gated regime at every
+    tested SF) and numpy above — resolved numerically from k with NO
+    count job when the seed-centroid rule is in effect."""
+    from bioclip_vector_db_spark.operators import dedup
+    from bioclip_vector_db_spark.operators.knn_numpy import LARGE_NLIST_THRESHOLD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    small = dedup.semantic_dedup(emb, k=8, kernel="auto")
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "array_max" in plan_small and "MapInPandas" not in plan_small
+    big = dedup.semantic_dedup(emb, k=LARGE_NLIST_THRESHOLD + 1, kernel="auto")
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_big and "array_max" not in plan_big

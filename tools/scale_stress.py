@@ -259,6 +259,25 @@ def main() -> None:
                     removed=n_removed,
                 )
 
+            if "semantic_dedup_numpy" in ops:
+                # The blocked-GEMM assignment kernel at the same scale:
+                # k grows with n, so the expr fold's n x k x dim
+                # interpreted compute is the superlinear term this kernel
+                # removes — identical decision table (pytest-gated), wall
+                # measured here as the scale evidence.
+                t0 = time.perf_counter()
+                sd = transient_persist(semantic_dedup(emb, kernel="numpy"))
+                n_out = sd.count()
+                n_removed = sd.filter(~F.col("kept")).count()
+                emit(
+                    "semantic_dedup_numpy",
+                    m,
+                    n_emb,
+                    time.perf_counter() - t0,
+                    out_rows=n_out,
+                    removed=n_removed,
+                )
+
             if "minhash_pairs" in ops:
                 t0 = time.perf_counter()
                 sh = transient_persist(doc_shingles(docs))
