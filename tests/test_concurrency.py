@@ -1,0 +1,86 @@
+"""Serving-tier concurrency gate: many queries in flight on ONE session.
+
+A Spark-backed serving tier (api.py's facade, or any notebook user) runs
+registered queries from multiple driver threads against the same
+SparkSession. The engine's module-level state makes three claims that
+have never been exercised under real contention:
+
+- ``plans/registry._TRANSIENT``: release_transient() may unpersist an
+  intermediate another thread's in-flight query is still consuming — the
+  docstring says that is SAFE (the later action recomputes, losing only
+  the cache), and each thread here calls release after its query exactly
+  like tools/check_correctness.py does per query;
+- ``knn._DERIVED_CACHE`` / ``knn._CENTS_CACHE`` / ``knn._KERNEL_CACHE``:
+  two threads may race to build the same derived table / collapsed
+  centroid row / kernel probe — last write wins, both values equivalent;
+- Spark itself: concurrent job submission on one session is supported.
+
+The gate runs a diverse query set serially (ground truth), then twice
+concurrently (4 worker threads, shuffled submission order, per-thread
+release_transient), and requires every concurrent result to be
+row-identical to the serial one. Streaming queries and queries that
+write filesystem artifacts are excluded — they own temp dirs and
+checkpoints with their own isolation story (tests/test_streaming.py,
+test_ingest_e2e.py cover those lifecycles).
+"""
+
+from __future__ import annotations
+
+import random
+from concurrent.futures import ThreadPoolExecutor
+
+from bioclip_vector_db_spark.plans.registry import (
+    QUERIES,
+    load_all_plans,
+    release_transient,
+)
+
+load_all_plans()
+
+#: Read-only analytic queries spanning the operator families that share
+#: module-level caches: IVF serving (derived centroid/assignment caches),
+#: MinHash dedup (shingle/signature transients), SemDeDup (kernel
+#: dispatch + collapsed-centroid broadcast), text IR, and a TPC-H agg.
+CONCURRENT_QUERIES = [
+    "ivf_search",
+    "knn_bruteforce",
+    "dedup_near_jaccard_exact",
+    "semantic_dedup",
+    "documents_bm25_search",
+    "text_quality_score",
+    "documents_winnowing",
+    "tpch_shipping_priority",
+]
+
+
+def _canon(rows):
+    return sorted(tuple(str(x) for x in r) for r in rows)
+
+
+def _run_one(spark, sf_dir, name):
+    try:
+        return name, _canon(QUERIES[name](spark, sf_dir).collect())
+    finally:
+        # The contention under test: this may unpersist transients some
+        # OTHER thread's in-flight query still references.
+        release_transient()
+
+
+def test_concurrent_queries_match_serial(spark, sf_dir):
+    serial = {}
+    for name in CONCURRENT_QUERIES:
+        serial[name] = _run_one(spark, sf_dir, name)[1]
+        assert serial[name], f"{name} returned no rows serially"
+
+    rng = random.Random(0xC0CC)
+    for round_no in range(2):
+        order = CONCURRENT_QUERIES[:]
+        rng.shuffle(order)
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            results = dict(
+                pool.map(lambda n: _run_one(spark, sf_dir, n), order)
+            )
+        for name in CONCURRENT_QUERIES:
+            assert results[name] == serial[name], (
+                f"round {round_no}: {name} diverged under concurrency"
+            )
