@@ -237,7 +237,12 @@ def pq_train(
 
 
 def pq_encode(
-    corpus: DataFrame, codebooks: DataFrame, *, kernel: str = "auto"
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    *,
+    kernel: str = "auto",
+    m: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
 ) -> DataFrame:
     """Add ``pq_code_0..m-1`` columns: per subspace, the argmin-L2 code.
 
@@ -256,7 +261,7 @@ def pq_encode(
     if _pick_kernel(kernel, codebooks) == "numpy":
         from .knn_numpy import pq_encode_numpy
 
-        return pq_encode_numpy(corpus, codebooks, m=PQ_M, sub_dim=PQ_SUB_DIM)
+        return pq_encode_numpy(corpus, codebooks, m=m, sub_dim=sub_dim)
     cb = F.broadcast(
         codebooks.agg(
             F.array_sort(F.collect_list(F.struct("code", "mean_vec"))).alias("cb")
@@ -267,12 +272,12 @@ def pq_encode(
     # lambda's arity from its parameter count, so extra defaulted params
     # read as element/index slots.
     def scored_for(s: int):
-        lo = s * PQ_SUB_DIM + 1
-        sub_v = F.slice(F.col("embedding").cast("array<double>"), lo, PQ_SUB_DIM)
+        lo = s * sub_dim + 1
+        sub_v = F.slice(F.col("embedding").cast("array<double>"), lo, sub_dim)
 
         def score(c):
             return F.struct(
-                F.round(_l2sq(sub_v, F.slice(c["mean_vec"], lo, PQ_SUB_DIM)), 9).alias(
+                F.round(_l2sq(sub_v, F.slice(c["mean_vec"], lo, sub_dim)), 9).alias(
                     "d"
                 ),
                 c["code"].alias("code"),
@@ -281,13 +286,19 @@ def pq_encode(
         return F.transform(F.col("cb"), score)
 
     out = corpus.crossJoin(cb)
-    for s in range(PQ_M):
+    for s in range(m):
         out = out.withColumn(f"pq_code_{s}", F.array_min(scored_for(s))["code"])
     return out.drop("cb")
 
 
 def pq_adc_search(
-    queries: DataFrame, encoded: DataFrame, codebooks: DataFrame, *, k: int = 10
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    *,
+    k: int = 10,
+    m: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
 ) -> DataFrame:
     """Top-``k`` per query by asymmetric distance: the query stays fp32,
     corpus rows are just their ``m`` codes, and the distance is the sum of
@@ -297,7 +308,9 @@ def pq_adc_search(
     instead of dim floats (64x here); the scan never touches raw vectors.
     """
     rows = encoded.crossJoin(F.broadcast(queries.select("query_id")))
-    scored = adc_score(rows, adc_lut(queries, codebooks)).select(
+    scored = adc_score(
+        rows, adc_lut(queries, codebooks, m=m, sub_dim=sub_dim), m=m
+    ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         "adc_distance",
@@ -310,7 +323,13 @@ def pq_adc_search(
     )
 
 
-def adc_lut(queries: DataFrame, codebooks: DataFrame) -> DataFrame:
+def adc_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    *,
+    m: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
+) -> DataFrame:
     """The ADC lookup table — the textbook PQ trick: per (query, subspace,
     code) the squared-L2 between the query slice and that code's centroid
     slice. queries x m x n_codes rows (tiny by construction), computed
@@ -322,19 +341,19 @@ def adc_lut(queries: DataFrame, codebooks: DataFrame) -> DataFrame:
     )
 
     def entries_for(s: int):
-        lo = s * PQ_SUB_DIM + 1
-        sub_q = F.slice(F.col("qv").cast("array<double>"), lo, PQ_SUB_DIM)
+        lo = s * sub_dim + 1
+        sub_q = F.slice(F.col("qv").cast("array<double>"), lo, sub_dim)
 
         def entry(c):
             return F.struct(
                 F.lit(s).alias("s"),
                 c["code"].alias("code"),
-                _l2sq(sub_q, F.slice(c["mean_vec"], lo, PQ_SUB_DIM)).alias("d"),
+                _l2sq(sub_q, F.slice(c["mean_vec"], lo, sub_dim)).alias("d"),
             )
 
         return F.transform(F.col("cb"), entry)
 
-    all_entries = F.flatten(F.array(*[entries_for(s) for s in range(PQ_M)]))
+    all_entries = F.flatten(F.array(*[entries_for(s) for s in range(m)]))
     return (
         queries.crossJoin(cb)
         .select("query_id", F.explode(all_entries).alias("e"))
@@ -342,23 +361,26 @@ def adc_lut(queries: DataFrame, codebooks: DataFrame) -> DataFrame:
     )
 
 
-def adc_score(rows: DataFrame, lut: DataFrame) -> DataFrame:
+def adc_score(rows: DataFrame, lut: DataFrame, *, m: int = PQ_M) -> DataFrame:
     """Attach ``adc_distance`` to rows carrying ``query_id`` +
     ``pq_code_0..m-1``: m broadcast hash joins against the LUT (codegen'd
-    lookups, no per-row vector math), summed in fixed subspace order and
-    rounded to 9 — float-identical to scoring against the codebook
-    directly, so flat-PQ and IVF-PQ share one metric."""
-    for s in range(PQ_M):
+    lookups, no per-row vector math), summed in fixed subspace order
+    (LEFT-associated, mirrored exactly by the oracle generator — float
+    addition is not associative) and rounded to 9 — float-identical to
+    scoring against the codebook directly, so flat-PQ and IVF-PQ share
+    one metric."""
+    for s in range(m):
         lut_s = lut.filter(F.col("s") == s).select(
             "query_id",
             F.col("code").alias(f"pq_code_{s}"),
             F.col("d").alias(f"_d{s}"),
         )
         rows = rows.join(F.broadcast(lut_s), ["query_id", f"pq_code_{s}"])
-    adc = F.round(
-        ((F.col("_d0") + F.col("_d1")) + F.col("_d2")) + F.col("_d3"), 9
-    )
-    return rows.withColumn("adc_distance", adc).drop(*[f"_d{s}" for s in range(PQ_M)])
+    total = F.col("_d0")
+    for s in range(1, m):
+        total = total + F.col(f"_d{s}")
+    adc = F.round(total, 9)
+    return rows.withColumn("adc_distance", adc).drop(*[f"_d{s}" for s in range(m)])
 
 
 _PQ_MEANV_SQL = """
@@ -384,12 +406,30 @@ def _pq_l2sq_sql(a: str, b: str) -> str:
     )
 
 
-def _pq_term_sql(s: int) -> str:
-    lo, hi = s * PQ_SUB_DIM + 1, (s + 1) * PQ_SUB_DIM
+def _pq_term_sql(s: int, sub_dim: int = PQ_SUB_DIM) -> str:
+    lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
     return _pq_l2sq_sql(f"q.qv[{lo}:{hi}]", f"m{s}.mean_vec[{lo}:{hi}]")
 
 
-_PQ_ADC_ORACLE = f"""
+def pq_adc_oracle_sql(
+    m: int = PQ_M, sub_dim: int = PQ_SUB_DIM, k: int = 10
+) -> str:
+    """SQL twin of (pq_encode -> pq_adc_search) for any subspace layout —
+    the generator the param-fuzz gate sweeps over divisor pairs of the
+    embedding dim; the registered query pins the default 4x16. The ADC
+    term sum is LEFT-associated to mirror adc_score exactly (float
+    addition is not associative)."""
+    enc_cols = ",\n           ".join(
+        f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(m)
+    )
+    joins = "\n    ".join(
+        f"JOIN meanv m{s} ON m{s}.code = e.c{s}" for s in range(m)
+    )
+    total = _pq_term_sql(0, sub_dim)
+    for s in range(1, m):
+        total = f"({total}\n                 + {_pq_term_sql(s, sub_dim)})"
+    sub = f"s.s*{sub_dim}+1 : s.s*{sub_dim}+{sub_dim}"
+    return f"""
 WITH {_PQ_MEANV_SQL.strip()},
 corpus AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5
@@ -402,40 +442,31 @@ enc_scored AS (
     SELECT c.vec_id, s.s, m.code,
            row_number() OVER (
                PARTITION BY c.vec_id, s.s
-               ORDER BY round({_pq_l2sq_sql(
-                   "c.v[s.s*16+1 : s.s*16+16]", "m.mean_vec[s.s*16+1 : s.s*16+16]"
-               )}, 9), m.code) AS r
+               ORDER BY round({_pq_l2sq_sql(f"c.v[{sub}]", f"m.mean_vec[{sub}]")}, 9), m.code) AS r
     FROM corpus c
-    CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) s
+    CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS s) s
     CROSS JOIN meanv m
 ),
 enc AS (
     SELECT vec_id,
-           max(CASE WHEN s = 0 THEN code END) AS c0,
-           max(CASE WHEN s = 1 THEN code END) AS c1,
-           max(CASE WHEN s = 2 THEN code END) AS c2,
-           max(CASE WHEN s = 3 THEN code END) AS c3
+           {enc_cols}
     FROM enc_scored WHERE r = 1 GROUP BY vec_id
 ),
 adc AS (
     SELECT q.query_id, e.vec_id AS neighbor_id,
-           round((({_pq_term_sql(0)} + {_pq_term_sql(1)}) + {_pq_term_sql(2)})
-                 + {_pq_term_sql(3)}, 9) AS adc_distance
+           round({total}, 9) AS adc_distance
     FROM q CROSS JOIN enc e
-    JOIN meanv m0 ON m0.code = e.c0
-    JOIN meanv m1 ON m1.code = e.c1
-    JOIN meanv m2 ON m2.code = e.c2
-    JOIN meanv m3 ON m3.code = e.c3
+    {joins}
 )
 SELECT query_id, neighbor_id, adc_distance, rank FROM (
     SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY adc_distance, neighbor_id) AS rank
     FROM adc
-) WHERE rank <= 10
+) WHERE rank <= {k}
 """
 
 
-@register("knn_pq_adc", oracle=_PQ_ADC_ORACLE)
+@register("knn_pq_adc", oracle=pq_adc_oracle_sql())
 def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O21 extension [Q]: product quantization — 4x16-dim subspaces, 10
     codes each (per-label subvector means as the deterministic codebook) —

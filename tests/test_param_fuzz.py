@@ -397,3 +397,47 @@ def test_fuzz_pagerank_iters(iters, spark, sf_dir, duck):
         assert_matches_oracle(got, duck, dedup._pagerank_oracle_sql(iters=iters))
     finally:
         _release()
+
+
+# ---------------------------------------------------------------------------
+# Family 11: PQ encode + ADC search subspace layout vs pq_adc_oracle_sql
+# ---------------------------------------------------------------------------
+
+_r11 = random.Random(0x5EED11)
+#: (m, sub_dim, k) with m * sub_dim <= dim(=64). Includes the degenerate
+#: m=1 (one subspace = exact-quantized L2) and partial-coverage layouts
+#: (m * sub_dim < 64) where both engines must ignore the identical tail.
+#: The subspace slicing and the left-associated ADC term sum are exactly
+#: where an off-by-one or an association mismatch would hide. m is capped
+#: at 16: adc_score builds one join per subspace, and Catalyst analysis
+#: over a 64-join chain takes minutes (the m=64 byte-per-dim layout is a
+#: real config but not a per-commit-test one).
+_PQ_SHAPES = [(1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (2, 16), (3, 8), (5, 12)]
+PQ_CFGS = _draw(
+    _r11,
+    lambda r: (*r.choice(_PQ_SHAPES), r.choice([1, 3, 5, 10, 25])),
+    n=10,
+)
+
+
+@pytest.mark.parametrize("m,sub_dim,top_k", PQ_CFGS)
+def test_fuzz_pq_adc(m, sub_dim, top_k, spark, sf_dir, duck):
+    from pyspark.sql import functions as F
+
+    from bioclip_vector_db_spark.operators import quantization as pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq.pq_codebooks(emb)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    encoded = pq.pq_encode(
+        emb.filter(F.col("vec_id") >= 5), cb, m=m, sub_dim=sub_dim
+    ).select("vec_id", *[f"pq_code_{s}" for s in range(m)])
+    got = pq.pq_adc_search(queries, encoded, cb, k=top_k, m=m, sub_dim=sub_dim)
+    try:
+        assert_matches_oracle(
+            got, duck, pq.pq_adc_oracle_sql(m=m, sub_dim=sub_dim, k=top_k)
+        )
+    finally:
+        _release()
