@@ -299,6 +299,7 @@ def pq_adc_search(
     k: int = 10,
     m: int = PQ_M,
     sub_dim: int = PQ_SUB_DIM,
+    adc_kernel: str = "auto",
 ) -> DataFrame:
     """Top-``k`` per query by asymmetric distance: the query stays fp32,
     corpus rows are just their ``m`` codes, and the distance is the sum of
@@ -309,7 +310,7 @@ def pq_adc_search(
     """
     rows = encoded.crossJoin(F.broadcast(queries.select("query_id")))
     scored = adc_score(
-        rows, adc_lut(queries, codebooks, m=m, sub_dim=sub_dim), m=m
+        rows, adc_lut(queries, codebooks, m=m, sub_dim=sub_dim), m=m, kernel=adc_kernel
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -361,14 +362,37 @@ def adc_lut(
     )
 
 
-def adc_score(rows: DataFrame, lut: DataFrame, *, m: int = PQ_M) -> DataFrame:
+#: Above this many subspaces the wide ADC form (one broadcast join per
+#: subspace) hits Catalyst's superlinear analysis wall — a 64-join chain
+#: takes MINUTES to plan (measured; DuckDB's 64-way join twin dies the
+#: same way), while m=16 plans in seconds. Past it, adc_score switches
+#: to the gather kernel: the LUT (queries x m x codes — tiny by
+#: construction) collects to a broadcast ndarray and each Arrow batch
+#: gathers + left-folds its m terms vectorized — zero joins at ANY m,
+#: the layout FAISS's standard PQ64x8 actually uses at 512-dim.
+ADC_WIDE_MAX_M = 16
+
+
+def adc_score(
+    rows: DataFrame, lut: DataFrame, *, m: int = PQ_M, kernel: str = "auto"
+) -> DataFrame:
     """Attach ``adc_distance`` to rows carrying ``query_id`` +
     ``pq_code_0..m-1``: m broadcast hash joins against the LUT (codegen'd
     lookups, no per-row vector math), summed in fixed subspace order
     (LEFT-associated, mirrored exactly by the oracle generator — float
     addition is not associative) and rounded to 9 — float-identical to
     scoring against the codebook directly, so flat-PQ and IVF-PQ share
-    one metric."""
+    one metric.
+
+    ``kernel='auto'`` resolves by m: the wide join form up to
+    ADC_WIDE_MAX_M (codegen'd, zero Python), the gather kernel above it
+    (see _adc_score_gather — same collected-LUT doubles, same left fold,
+    so the two kernels agree bit-for-bit on the terms; pinned by
+    tests/test_quantization.py)."""
+    if kernel == "auto":
+        kernel = "gather" if m > ADC_WIDE_MAX_M else "wide"
+    if kernel == "gather":
+        return _adc_score_gather(rows, lut, m)
     for s in range(m):
         lut_s = lut.filter(F.col("s") == s).select(
             "query_id",
@@ -381,6 +405,51 @@ def adc_score(rows: DataFrame, lut: DataFrame, *, m: int = PQ_M) -> DataFrame:
         total = total + F.col(f"_d{s}")
     adc = F.round(total, 9)
     return rows.withColumn("adc_distance", adc).drop(*[f"_d{s}" for s in range(m)])
+
+
+def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
+    """Large-m ADC scoring: collect the LUT (queries x m x codes doubles —
+    the textbook-tiny table adc_lut builds), broadcast it as one ndarray,
+    and per Arrow batch gather each row's m terms and LEFT-fold them in
+    subspace order — the identical association (and the identical
+    JVM-computed term doubles, since the LUT is collected, not
+    recomputed) as the wide join form, so the kernels agree on every
+    distance. Map-side only: no joins, no shuffle, plan size constant in
+    m."""
+    import numpy as np
+
+    lrows = lut.collect()
+    qids = sorted({r["query_id"] for r in lrows})
+    codes = sorted({r["code"] for r in lrows})
+    qpos = {q: i for i, q in enumerate(qids)}
+    cpos = {c: i for i, c in enumerate(codes)}
+    L = np.full((len(qids), m, len(codes)), np.nan)
+    for r in lrows:
+        L[qpos[r["query_id"]], r["s"], cpos[r["code"]]] = r["d"]
+    bc = rows.sparkSession.sparkContext.broadcast((qpos, np.array(codes), L))
+    out_schema = T.StructType(
+        list(rows.schema.fields) + [T.StructField("adc_distance", T.DoubleType())]
+    )
+
+    def gather(batches):
+        import numpy as np
+
+        bqpos, bcodes, bL = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(bqpos).to_numpy(dtype=np.int64)
+            total = bL[
+                qi, 0, np.searchsorted(bcodes, pdf["pq_code_0"].to_numpy())
+            ]
+            for s in range(1, m):
+                ci = np.searchsorted(bcodes, pdf[f"pq_code_{s}"].to_numpy())
+                total = total + bL[qi, s, ci]
+            out = pdf.copy()
+            out["adc_distance"] = np.round(total, 9)
+            yield out
+
+    return rows.mapInPandas(gather, out_schema)
 
 
 _PQ_MEANV_SQL = """

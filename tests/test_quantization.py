@@ -163,3 +163,85 @@ def test_pq_recall_floor_with_trained_codebooks(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.12, f"PQ recall@10 collapsed: {recall:.2f}"
+
+
+def test_adc_gather_kernel_matches_wide(spark, sf_dir):
+    """The gather kernel folds the SAME collected LUT doubles in the SAME
+    left-to-right subspace order as the wide join form, so the two must
+    agree on every (query, neighbor, adc_distance, rank) row — pinned
+    here at m=8 where the wide form is still cheap to plan."""
+    from bioclip_vector_db_spark.operators import quantization as pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq.pq_codebooks(emb)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    enc = pq.pq_encode(emb.filter(F.col("vec_id") >= 5), cb, m=8, sub_dim=8).select(
+        "vec_id", *[f"pq_code_{s}" for s in range(8)]
+    )
+    wide = {
+        tuple(r)
+        for r in pq.pq_adc_search(
+            queries, enc, cb, k=7, m=8, sub_dim=8, adc_kernel="wide"
+        ).collect()
+    }
+    gathered = {
+        tuple(r)
+        for r in pq.pq_adc_search(
+            queries, enc, cb, k=7, m=8, sub_dim=8, adc_kernel="gather"
+        ).collect()
+    }
+    assert wide == gathered
+
+
+def test_adc_gather_kernel_scales_to_pq64(spark, sf_dir):
+    """m=64 (FAISS's standard PQ64 layout at byte-per-dim) is where both
+    the wide join chain AND the SQL twin take minutes just to PLAN — the
+    gather kernel's plan is constant-size in m, so the layout becomes a
+    normal query. No oracle can run at this m, so the differential
+    reference is a driver-side numpy recomputation of the exact ADC
+    definition (gather + left fold over the same LUT rows) on the
+    collected fixture."""
+    import numpy as np
+
+    from bioclip_vector_db_spark.operators import quantization as pq
+
+    m, sub_dim, k = 64, 1, 5
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq.pq_codebooks(emb)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # Encode via the numpy kernel: the expr encoder is ALSO a 64-fold
+    # plan (one argmin projection per subspace) — same Catalyst wall.
+    enc = pq.pq_encode(
+        emb.filter(F.col("vec_id") >= 5), cb, kernel="numpy", m=m, sub_dim=sub_dim
+    ).select("vec_id", *[f"pq_code_{s}" for s in range(m)])
+    got = sorted(
+        tuple(r)
+        for r in pq.pq_adc_search(
+            queries, enc, cb, k=k, m=m, sub_dim=sub_dim
+        ).collect()
+    )
+
+    # Driver-side reference: same LUT rows, same gather, same left fold.
+    lut = {
+        (r["query_id"], r["s"], r["code"]): r["d"]
+        for r in pq.adc_lut(queries, cb, m=m, sub_dim=sub_dim).collect()
+    }
+    codes = {r["vec_id"]: [r[f"pq_code_{s}"] for s in range(m)] for r in enc.collect()}
+    qids = [r["query_id"] for r in queries.select("query_id").collect()]
+    expect = []
+    for q in qids:
+        scored = []
+        for vid, cs in codes.items():
+            total = lut[(q, 0, cs[0])]
+            for s in range(1, m):
+                total = total + lut[(q, s, cs[s])]
+            scored.append((float(np.round(total, 9)), vid))
+        scored.sort()
+        expect.extend(
+            (q, vid, d, rank + 1) for rank, (d, vid) in enumerate(scored[:k])
+        )
+    assert got == sorted(expect)
