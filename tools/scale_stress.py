@@ -278,6 +278,46 @@ def main() -> None:
                     removed=n_removed,
                 )
 
+            if "pq64_adc" in ops:
+                # FAISS's standard PQ64 byte-per-dim layout end-to-end at
+                # the replicated scale: numpy-kernel encode (the expr
+                # encoder is a 64-fold plan — the Catalyst wall the
+                # gather kernel exists to avoid) + gather-kernel ADC
+                # top-10 for 5 queries. Both stages are map-side linear
+                # scans whose plan size is constant in m; wall must grow
+                # ~linearly in n.
+                from bioclip_vector_db_spark.operators.quantization import (
+                    pq_adc_search,
+                    pq_codebooks,
+                    pq_encode,
+                )
+
+                t0 = time.perf_counter()
+                # pq_codebooks keys on label (the deterministic per-label
+                # codebook the [Q] gates use) — re-read it alongside.
+                emb_l = spark.read.parquet(emb_path).select(
+                    "vec_id", "embedding", "label"
+                )
+                cb = transient_persist(pq_codebooks(emb_l))
+                queries = emb.filter(F.col("vec_id") < 5).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"),
+                )
+                enc = pq_encode(
+                    emb.filter(F.col("vec_id") >= 5), cb,
+                    kernel="numpy", m=64, sub_dim=1,
+                ).select("vec_id", *[f"pq_code_{s}" for s in range(64)])
+                out = pq_adc_search(queries, enc, cb, k=10, m=64, sub_dim=1)
+                n_out = out.count()
+                emit(
+                    "pq64_adc",
+                    m,
+                    n_emb,
+                    time.perf_counter() - t0,
+                    out_rows=n_out,
+                    scored=5 * (n_emb - 5),
+                )
+
             if "minhash_pairs" in ops:
                 t0 = time.perf_counter()
                 sh = transient_persist(doc_shingles(docs))
