@@ -995,6 +995,35 @@ def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_SHINGLE_DF = 32
 
 
+def capped_shingles(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_width: int = SHINGLE_WIDTH,
+    max_shingle_df: "int | None" = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """The exact-Jaccard candidate universe: per-doc shingles with hot
+    shingles (document frequency above ``max_shingle_df``) removed by a
+    shingle-keyed aggregate + left-semi join. Factored out of
+    jaccard_pairs so the adversarial-skew stress instrument
+    (tools/scale_stress.py) measures the OPERATOR'S real post-cap
+    intermediate — if the cap ever stopped being applied here, the
+    measured worst bucket would exceed the cap in the record — instead
+    of recomputing the cap itself (a tautology that could not detect
+    such a regression)."""
+    sh = doc_shingles(df, text_col=text_col, id_col=id_col, width=shingle_width)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    return sh
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -1016,16 +1045,15 @@ def jaccard_pairs(
     (near_dup_pairs) remains the scale path; this is the recall-1
     reference the LSH recall gate measures against.
     """
-    sh = doc_shingles(df, text_col=text_col, id_col=id_col, width=shingle_width)
-    if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_shingle_df)
-            .select("shingle")
+    sh = transient_persist(
+        capped_shingles(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_width=shingle_width,
+            max_shingle_df=max_shingle_df,
         )
-        sh = sh.join(keep, "shingle", "left_semi")
-    sh = transient_persist(sh)
+    )
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b"))
     inter = (
@@ -2226,9 +2254,15 @@ def semantic_dedup(
     # (csim, -cid) = highest csim, ties to lowest cid — exactly the old
     # window's (csim DESC, cid ASC) with cid unique so no full ties; csim
     # is rounded to 9 dp BEFORE the comparison, same as the oracle.
+    # Empty-in/empty-out guard: an EMPTY centroid table (an empty corpus,
+    # or seed derivation against non-0-based vec_ids) must yield an empty
+    # result like the pre-fold crossJoin form did — without this filter
+    # the single collect_list row holds an empty array, every vector
+    # joins it, array_max(empty) = NULL, and the function would silently
+    # return the whole corpus kept=true under a NULL cluster.
     cents1 = centroids.groupBy().agg(
         F.collect_list(F.struct(F.col("cid"), F.col("cvec"))).alias("_cents")
-    )
+    ).filter(F.size("_cents") > 0)
     best = F.array_max(
         F.transform(
             F.col("_cents"),

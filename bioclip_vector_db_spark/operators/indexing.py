@@ -485,9 +485,12 @@ def delete_ids(
        overwrite. A partition whose rows are ALL deleted produces no
        output rows, which dynamic overwrite would silently leave stale,
        so emptied partition dirs are dropped explicitly.
-    3. ``id_mapping`` is rebuilt for the same partitions from the
-       rewritten rows, keeping the two tables consistent; the in-process
-       next-id cache is invalidated so a later append re-seeds from disk.
+    3. ``id_mapping`` for the same partitions keeps its surviving rows
+       (metadata and created_at — ingestion provenance — unchanged) with
+       only ``faiss_id`` replaced from the renumbered corpus; the
+       in-process next-id cache is invalidated BEFORE any write so a
+       mid-flight failure can never leave pre-delete next-ids cached
+       over a renumbered corpus.
 
     Renumbering preserves the contract every consumer relies on
     (with_faiss_ids: dense 0-based ids per partition in vec_id order),
@@ -527,19 +530,35 @@ def delete_ids(
     # (same self-read-write hazard as append_to_index/compact_index).
     rewritten = with_faiss_ids(kept).localCheckpoint(eager=True)
     n_after = rewritten.count()
+    # The surviving mapping rows keep their EXISTING metadata and
+    # created_at (ingestion provenance — TTL/audit queries key on it);
+    # only faiss_id changes, joined in from the renumbered corpus.
+    # Re-deriving the rows with current_timestamp() would silently stamp
+    # every survivor of a touched partition as freshly ingested.
+    new_mapping = (
+        mapping.filter(F.col("partition_id").isin([int(p) for p in touched]))
+        .withColumn("vec_id", F.col("original_id").cast("long"))
+        .join(F.broadcast(del_ids), "vec_id", "left_anti")
+        .drop("faiss_id")
+        .join(
+            rewritten.select("partition_id", "vec_id", "faiss_id"),
+            ["partition_id", "vec_id"],
+        )
+        .select("partition_id", "faiss_id", "original_id", "metadata", "created_at")
+        .localCheckpoint(eager=True)
+    )
+    # Invalidate the next-id cache BEFORE any write (the append_to_index
+    # convention): if either overwrite below dies mid-flight, the cache
+    # must not serve pre-delete next-ids over a renumbered corpus — the
+    # next append re-seeds from whatever is on disk instead.
+    _invalidate_next_ids(index_dir)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         rewritten.write.mode("overwrite").partitionBy("partition_id").parquet(
             f"{index_dir}/corpus"
         )
-        rewritten.select(
-            "partition_id",
-            "faiss_id",
-            F.col("vec_id").cast("string").alias("original_id"),
-            F.to_json(F.struct("label")).alias("metadata"),
-            F.current_timestamp().alias("created_at"),
-        ).write.mode("overwrite").partitionBy("partition_id").parquet(
+        new_mapping.write.mode("overwrite").partitionBy("partition_id").parquet(
             f"{index_dir}/id_mapping"
         )
     finally:
@@ -553,7 +572,6 @@ def delete_ids(
                 os.path.join(index_dir, table, f"partition_id={int(p)}"),
                 ignore_errors=True,
             )
-    _invalidate_next_ids(index_dir)
     return {"n_deleted": int(n_before - n_after), "partitions_rewritten": len(touched)}
 
 

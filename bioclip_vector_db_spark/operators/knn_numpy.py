@@ -70,6 +70,70 @@ def _collect_centroids(centroids: DataFrame, pid_col: str, vec_col: str):
     return pids, cmat
 
 
+def _blocked_best_centroid(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    cvec_col: str,
+    vec_col: str,
+    similarity: bool,
+    out_field: "T.StructField",
+    score_field: "str | None" = None,
+) -> DataFrame:
+    """Shared blocked-GEMM argbest core behind assign_partitions_numpy
+    (argmin cosine distance) and argmax_centroid_numpy (argmax dot
+    similarity): collect + broadcast the id-sorted centroid matrix, score
+    each Arrow batch as ``E @ C_block.T`` BLAS calls with a running
+    (best_score, best_id) update across centroid blocks. Scores are
+    rounded to 9 decimals BEFORE comparison — exactly like the expression
+    kernels — and ties break toward the smallest id: blocks ascend by id,
+    within a block arg{min,max} takes the FIRST extremum, and cross-block
+    updates require a strict improvement. Map-side only: no join, no
+    shuffle, no row expansion. Empty centroid table -> empty output
+    (empty-in/empty-out; without it every row would get id 0 and an
+    infinite score — silently wrong)."""
+    ids, cmat = _collect_centroids(centroids, id_col, cvec_col)
+    fields = list(vectors.schema.fields) + [out_field]
+    if score_field is not None:
+        fields.append(T.StructField(score_field, T.DoubleType()))
+    out_schema = T.StructType(fields)
+    if len(ids) == 0:
+        return vectors.sparkSession.createDataFrame([], out_schema)
+    bc = vectors.sparkSession.sparkContext.broadcast((ids, cmat))
+    out_np_type = np.int32 if isinstance(out_field.dataType, T.IntegerType) else np.int64
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bids, bC = bc.value
+        k = len(bids)
+        for pdf in batches:
+            b = len(pdf)
+            if not b:
+                continue
+            emb = np.array(list(pdf[vec_col]), dtype=np.float64)  # b x d
+            cblock = max(1, min(k, _TILE_ELEMS // b))
+            best_v = np.full(b, -np.inf if similarity else np.inf)
+            best_id = np.zeros(b, dtype=np.int64)
+            for s in range(0, k, cblock):
+                blk = emb @ bC[s : s + cblock].T  # b x cblock
+                if not similarity:
+                    blk = 1.0 - blk
+                np.round(blk, 9, out=blk)
+                # first extremum = smallest id within the block
+                j = blk.argmax(axis=1) if similarity else blk.argmin(axis=1)
+                v = blk[np.arange(b), j]
+                upd = (v > best_v) if similarity else (v < best_v)
+                best_v[upd] = v[upd]
+                best_id[upd] = bids[s + j[upd]]
+            out = pdf.copy()
+            out[out_field.name] = best_id.astype(out_np_type)
+            if score_field is not None:
+                out[score_field] = best_v
+            yield out
+
+    return vectors.mapInPandas(score, out_schema)
+
+
 def assign_partitions_numpy(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -81,44 +145,19 @@ def assign_partitions_numpy(
     """O19 nearest-centroid assignment as a blocked GEMM — the large-nlist
     kernel behind ``knn.assign_partitions(kernel='numpy'|'auto')``.
 
-    Each Arrow batch scores as ``E @ C_block.T`` BLAS calls with a running
-    (best_distance, best_pid) argmin across centroid blocks; distances are
-    rounded to 9 decimals BEFORE comparison, exactly like the expression
-    kernel, so both kernels pick identical winners (ties -> smallest pid:
-    blocks ascend by pid and updates require strictly smaller distance).
-    Map-side only: no join, no shuffle, no row expansion — output is the
-    input plus ``partition_id``.
+    Round-9-then-argmin distances, ties to the smallest pid — identical
+    winners to the expression fold; see _blocked_best_centroid for the
+    shared core. Output is the input plus ``partition_id``.
     """
-    pids, cmat = _collect_centroids(centroids, pid_col, centroid_vec_col)
-    bc = vectors.sparkSession.sparkContext.broadcast((pids, cmat))
-    out_schema = T.StructType(
-        list(vectors.schema.fields) + [T.StructField(pid_col, T.IntegerType())]
+    return _blocked_best_centroid(
+        vectors,
+        centroids,
+        id_col=pid_col,
+        cvec_col=centroid_vec_col,
+        vec_col=vec_col,
+        similarity=False,
+        out_field=T.StructField(pid_col, T.IntegerType()),
     )
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bpids, bC = bc.value
-        k = len(bpids)
-        for pdf in batches:
-            b = len(pdf)
-            if not b:
-                continue
-            emb = np.array(list(pdf[vec_col]), dtype=np.float64)  # b x d
-            cblock = max(1, min(k, _TILE_ELEMS // b))
-            best_d = np.full(b, np.inf)
-            best_pid = np.zeros(b, dtype=np.int64)
-            for s in range(0, k, cblock):
-                dblk = 1.0 - emb @ bC[s : s + cblock].T  # b x cblock
-                np.round(dblk, 9, out=dblk)
-                j = dblk.argmin(axis=1)  # first win = smallest pid in block
-                d = dblk[np.arange(b), j]
-                upd = d < best_d
-                best_d[upd] = d[upd]
-                best_pid[upd] = bpids[s + j[upd]]
-            out = pdf.copy()
-            out[pid_col] = best_pid.astype(np.int32)
-            yield out
-
-    return vectors.mapInPandas(score, out_schema)
 
 
 def argmax_centroid_numpy(
@@ -135,45 +174,22 @@ def argmax_centroid_numpy(
     where assignment cost is n x k x dim and the interpreted expression
     fold dominates the whole pipeline once k grows with the corpus.
 
-    Similarities are rounded to 9 decimals BEFORE comparison and ties
-    break toward the smallest cid (blocks ascend by cid; within a block
-    argmax takes the first maximum; cross-block updates require a
-    strictly larger similarity) — identical winners to the expression
-    fold's lexicographic (csim, -cid) struct max. Emits ``csim`` as well
-    as ``cid`` because SemDeDup ranks exemplars by it downstream.
-    Map-side only: no join, no shuffle, no row expansion."""
-    cids, cmat = _collect_centroids(centroids, cid_col, cvec_col)
-    bc = vectors.sparkSession.sparkContext.broadcast((cids, cmat))
-    out_schema = T.StructType(
-        list(vectors.schema.fields)
-        + [T.StructField(cid_col, T.LongType()), T.StructField("csim", T.DoubleType())]
+    Round-9-then-argmax similarities, ties to the smallest cid —
+    identical winners to the expression fold's lexicographic (csim, -cid)
+    struct max; see _blocked_best_centroid for the shared core. Emits
+    ``csim`` as well as ``cid`` because SemDeDup ranks exemplars by it
+    downstream. Empty centroid table -> empty output, matching the
+    expression fold's guard."""
+    return _blocked_best_centroid(
+        vectors,
+        centroids,
+        id_col=cid_col,
+        cvec_col=cvec_col,
+        vec_col=vec_col,
+        similarity=True,
+        out_field=T.StructField(cid_col, T.LongType()),
+        score_field="csim",
     )
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bcids, bC = bc.value
-        k = len(bcids)
-        for pdf in batches:
-            b = len(pdf)
-            if not b:
-                continue
-            emb = np.array(list(pdf[vec_col]), dtype=np.float64)  # b x d
-            cblock = max(1, min(k, _TILE_ELEMS // b))
-            best_s = np.full(b, -np.inf)
-            best_cid = np.zeros(b, dtype=np.int64)
-            for s in range(0, k, cblock):
-                sblk = emb @ bC[s : s + cblock].T  # b x cblock
-                np.round(sblk, 9, out=sblk)
-                j = sblk.argmax(axis=1)  # first max = smallest cid in block
-                sim = sblk[np.arange(b), j]
-                upd = sim > best_s
-                best_s[upd] = sim[upd]
-                best_cid[upd] = bcids[s + j[upd]]
-            out = pdf.copy()
-            out[cid_col] = best_cid
-            out["csim"] = best_s
-            yield out
-
-    return vectors.mapInPandas(score, out_schema)
 
 
 def route_queries_numpy(

@@ -446,10 +446,19 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
                 ci = np.searchsorted(bcodes, pdf[f"pq_code_{s}"].to_numpy())
                 total = total + bL[qi, s, ci]
             out = pdf.copy()
-            out["adc_distance"] = np.round(total, 9)
+            out["adc_distance"] = total
             yield out
 
-    return rows.mapInPandas(gather, out_schema)
+    # Final round-to-9 happens JVM-side with the SAME F.round the wide
+    # kernel uses (BigDecimal HALF_UP on the decimal rendering) — np
+    # .round is scale-multiply half-even and can disagree in the 9th
+    # decimal on totals whose rendering ends in 5 at the 10th, which
+    # would flip ranks across the ADC_WIDE_MAX_M auto boundary. The
+    # kernel therefore emits the RAW left-fold total (bit-identical to
+    # the wide form's pre-round sum) and the projection rounds it.
+    return rows.mapInPandas(gather, out_schema).withColumn(
+        "adc_distance", F.round(F.col("adc_distance"), 9)
+    )
 
 
 _PQ_MEANV_SQL = """

@@ -2068,6 +2068,22 @@ WINNOW_MAX_DF = 32
 WINNOW_MIN_SHARED = 5
 
 
+def capped_fingerprints(wn: DataFrame) -> DataFrame:
+    """The winnowing-overlap candidate universe: distinct ``(doc_id,
+    fingerprint)`` rows with hot fingerprints (document frequency above
+    ``WINNOW_MAX_DF``) removed. Factored out of the overlap join so the
+    adversarial-skew stress instrument measures the OPERATOR'S real
+    post-cap intermediate instead of recomputing the cap itself — see
+    dedup.capped_shingles for the tautology this avoids."""
+    kept = (
+        wn.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= WINNOW_MAX_DF)
+        .select("fingerprint")
+    )
+    return wn.join(kept, "fingerprint", "left_semi")
+
+
 @register(
     "documents_winnowing_overlap",
     oracle=f"""
@@ -2123,13 +2139,7 @@ def q_documents_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..plans.registry import transient_persist
 
     wn = transient_persist(wn)
-    kept = (
-        wn.groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= WINNOW_MAX_DF)
-        .select("fingerprint")
-    )
-    pruned = wn.join(kept, "fingerprint", "left_semi")
+    pruned = capped_fingerprints(wn)
     a = pruned.select(F.col("doc_id").alias("a_id"), "fingerprint")
     b = pruned.select(F.col("doc_id").alias("b_id"), "fingerprint")
     return (

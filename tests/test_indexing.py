@@ -219,3 +219,42 @@ def test_delete_ids_noop_on_unknown_ids(spark, sf_dir, tmp_path):
     )
     assert stats == {"n_deleted": 0, "partitions_rewritten": 0}
     assert spark.read.parquet(f"{idx}/id_mapping").count() == before
+
+
+def test_delete_ids_preserves_survivor_provenance(spark, sf_dir, tmp_path):
+    """Deleting one row must not disturb the surviving mapping rows'
+    created_at or metadata — they are ingestion provenance (TTL and
+    audit queries key on created_at), not derived values. Only faiss_id
+    may change (the dense renumbering)."""
+    from bioclip_vector_db_spark.operators.knn import fixture_centroids
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cent = fixture_centroids(spark, sf_dir)
+    idx = str(tmp_path / "index")
+    indexing.append_to_index(spark, idx, emb, cent)
+
+    mapping = spark.read.parquet(f"{idx}/id_mapping")
+    p0 = mapping.select("partition_id").orderBy("partition_id").first()[0]
+    victim = int(
+        mapping.filter(F.col("partition_id") == p0)
+        .select(F.col("original_id").cast("long").alias("v"))
+        .orderBy("v")
+        .first()[0]
+    )
+    before = {
+        r["original_id"]: (r["metadata"], r["created_at"])
+        for r in mapping.filter(F.col("partition_id") == p0).collect()
+    }
+    indexing.delete_ids(
+        spark, idx, spark.createDataFrame([(victim,)], "vec_id long")
+    )
+    after = {
+        r["original_id"]: (r["metadata"], r["created_at"])
+        for r in spark.read.parquet(f"{idx}/id_mapping")
+        .filter(F.col("partition_id") == p0)
+        .collect()
+    }
+    assert str(victim) not in after
+    expected = {k: v for k, v in before.items() if k != str(victim)}
+    assert after == expected

@@ -297,3 +297,18 @@ def test_semantic_dedup_auto_kernel_resolves_by_k(spark, sf_dir):
     big = dedup.semantic_dedup(emb, k=LARGE_NLIST_THRESHOLD + 1, kernel="auto")
     plan_big = big._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan_big and "array_max" not in plan_big
+
+
+def test_semantic_dedup_empty_centroids_is_empty_out(spark, sf_dir):
+    """A corpus whose vec_ids never satisfy the 0-based seed rule (e.g.
+    externally assigned ids starting at 10^6) derives ZERO centroids —
+    both kernels must return an EMPTY decision table (the pre-fold
+    crossJoin behavior), never the whole corpus kept=true under a NULL
+    cluster (the silent no-op the round-9 review caught)."""
+    from bioclip_vector_db_spark.operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    assert dedup.semantic_dedup(emb, k=8, kernel="expr").count() == 0
+    assert dedup.semantic_dedup(emb, k=8, kernel="numpy").count() == 0

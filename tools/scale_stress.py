@@ -398,7 +398,10 @@ def main() -> None:
                 )
 
             if "skew_shingle" in ops:
-                from bioclip_vector_db_spark.operators.dedup import jaccard_pairs
+                from bioclip_vector_db_spark.operators.dedup import (
+                    capped_shingles,
+                    jaccard_pairs,
+                )
 
                 hot_docs = docs.withColumn(
                     "text",
@@ -414,9 +417,6 @@ def main() -> None:
                 pair = lambda c: (c * (c - 1) / 2)  # noqa: E731
                 agg = dfc.agg(
                     F.max("df").alias("max_df"),
-                    F.max(F.when(F.col("df") <= cap, F.col("df"))).alias(
-                        "worst_kept_bucket"
-                    ),
                     F.count(F.when(F.col("df") > cap, 1)).alias("hot_shingles"),
                     F.sum(F.when(F.col("df") > cap, F.col("df"))).alias(
                         "dropped_instances"
@@ -428,6 +428,19 @@ def main() -> None:
                         "kept_pair_bound"
                     ),
                 ).first()
+                # worst_kept_bucket is measured from the OPERATOR'S own
+                # post-cap stage (capped_shingles, the exact table
+                # jaccard_pairs joins) — if the cap silently stopped
+                # being applied in the operator, this number would
+                # exceed the cap in the record; a df<=cap filter over
+                # the raw table could not detect that.
+                worst_kept = (
+                    capped_shingles(hot_docs)
+                    .groupBy("shingle")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                    .agg(F.max("df"))
+                    .first()[0]
+                )
                 n_pairs = jaccard_pairs(hot_docs, 0.8).count()
                 emit(
                     "skew_shingle",
@@ -435,7 +448,9 @@ def main() -> None:
                     n_doc,
                     time.perf_counter() - t0,
                     max_df=int(agg["max_df"]),
-                    worst_kept_bucket=int(agg["worst_kept_bucket"]),
+                    worst_kept_bucket=int(worst_kept),
+                    cap=int(cap),
+                    cap_respected=bool(worst_kept <= cap),
                     hot_shingles=int(agg["hot_shingles"]),
                     dropped_instances=int(agg["dropped_instances"] or 0),
                     avoided_pair_bound=int(agg["avoided_pair_bound"] or 0),
@@ -468,9 +483,6 @@ def main() -> None:
                 pair = lambda c: (c * (c - 1) / 2)  # noqa: E731
                 agg = dfc.agg(
                     F.max("df").alias("max_df"),
-                    F.max(F.when(F.col("df") <= cap, F.col("df"))).alias(
-                        "worst_kept_bucket"
-                    ),
                     F.count(F.when(F.col("df") > cap, 1)).alias("hot_fps"),
                     F.sum(F.when(F.col("df") > cap, F.col("df"))).alias(
                         "dropped_instances"
@@ -479,10 +491,18 @@ def main() -> None:
                         "avoided_pair_bound"
                     ),
                 ).first()
-                kept = (
-                    dfc.filter(F.col("df") <= cap).select("fingerprint")
+                # The candidate universe comes from the OPERATOR'S own
+                # post-cap stage (text.capped_fingerprints, the table the
+                # overlap join consumes) — so worst_kept_bucket is
+                # evidence the cap was applied, not a df<=cap filter
+                # restating it (see skew_shingle).
+                pruned = T.capped_fingerprints(wn)
+                worst_kept = (
+                    pruned.groupBy("fingerprint")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                    .agg(F.max("df"))
+                    .first()[0]
                 )
-                pruned = wn.join(kept, "fingerprint", "left_semi")
                 a = pruned.select(F.col("doc_id").alias("a_id"), "fingerprint")
                 b = pruned.select(F.col("doc_id").alias("b_id"), "fingerprint")
                 n_overlap = (
@@ -499,7 +519,9 @@ def main() -> None:
                     n_doc,
                     time.perf_counter() - t0,
                     max_df=int(agg["max_df"]),
-                    worst_kept_bucket=int(agg["worst_kept_bucket"]),
+                    worst_kept_bucket=int(worst_kept),
+                    cap=int(cap),
+                    cap_respected=bool(worst_kept <= cap),
                     hot_fingerprints=int(agg["hot_fps"]),
                     dropped_instances=int(agg["dropped_instances"] or 0),
                     avoided_pair_bound=int(agg["avoided_pair_bound"] or 0),
