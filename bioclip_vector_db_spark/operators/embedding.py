@@ -119,6 +119,15 @@ def _stub_loader(dim: int):
     closure encodes text batches to UNnormalized (n, dim) float arrays
     (normalization is the wiring's job — part of the output contract)."""
 
+    if dim > 32:
+        # One md5 hexdigest holds 32 nibbles; slicing past it would
+        # silently yield short rows and surface as the generic shape
+        # error downstream. Fail here, at loader construction.
+        raise ValueError(
+            f"_stub_loader supports dim <= 32 (one md5 hexdigest), got {dim}; "
+            "use a real model (hf:<name>) for wider embeddings"
+        )
+
     def load():
         import numpy as np
 
@@ -134,11 +143,13 @@ def _stub_loader(dim: int):
     return load
 
 
-def _hf_loader(model_name: str, dim: int):
+def _hf_loader(model_name: str):
     """HF-style encoder loader (sentence-transformers). Import happens
     INSIDE the loader — on the executor, once per worker — and is gated:
     this container carries no model libraries, so selecting a real model
-    here raises a clear error instead of an import traceback mid-task."""
+    here raises a clear error instead of an import traceback mid-task.
+    The output width is not the loader's concern: make_encoder_udf
+    enforces the (n, dim) shape contract on whatever the model returns."""
 
     def load():
         try:
@@ -166,7 +177,7 @@ def resolve_model_loader(dim: int = EMBED_DIM):
     if spec in ("", "stub"):
         return _stub_loader(dim)
     if spec.startswith("hf:"):
-        return _hf_loader(spec[3:], dim)
+        return _hf_loader(spec[3:])
     raise ValueError(f"unrecognized {EMBED_MODEL_ENV}={spec!r} (want 'stub' or 'hf:<name>')")
 
 

@@ -253,6 +253,42 @@ def _invalidate_next_ids(index_dir: str) -> None:
     _NEXT_IDS_CACHE.pop(index_dir, None)
 
 
+def _single_writer(fn):
+    """Serialize the index WRITE path (r9 verdict item 3).
+
+    append_to_index, delete_ids, and compact_index each
+    materialize-then-overwrite (or append to) the same
+    ``corpus``/``id_mapping`` directories; two racing writers could
+    silently lose one side's rewrite — e.g. a delete planned against the
+    pre-append corpus overwrites the appended files out of existence.
+    Every write op therefore takes an exclusive cross-process advisory
+    lock on ``<index_dir>/.write_lock`` (fcntl.flock via
+    streaming.staging.process_lock — the same primitive the durable
+    stream gates use) for its full read-modify-write span, BLOCKING
+    until the current writer finishes: concurrent writers are safe and
+    equivalent to some serial order, pinned by
+    tests/test_concurrency.py::test_index_writers_serialize.
+
+    Readers are not locked — Spark parquet reads against a directory
+    mid-overwrite were already the serving tier's documented
+    read-consistency model (snapshot-by-file-listing), unchanged here.
+    The lock is advisory and per-index-dir; ops on different indexes
+    never contend. Reentrancy is not provided (none of the write ops
+    call one another)."""
+    import functools
+    import os
+
+    @functools.wraps(fn)
+    def wrapper(spark, index_dir, *args, **kwargs):
+        from ..streaming.staging import process_lock
+
+        os.makedirs(index_dir, exist_ok=True)
+        with process_lock(os.path.join(index_dir, ".write_lock")):
+            return fn(spark, index_dir, *args, **kwargs)
+
+    return wrapper
+
+
 def _store_append_state(
     index_dir: str, schema: object, next_map: dict[int, int], pids: "list[int]"
 ) -> None:
@@ -261,6 +297,7 @@ def _store_append_state(
     _PIDS_CACHE[index_dir] = pids
 
 
+@_single_writer
 def append_to_index(
     spark: SparkSession,
     index_dir: str,
@@ -420,6 +457,7 @@ def append_to_index(
     _store_append_state(index_dir, rows.schema, {**next_map, **batch_next}, pids)
 
 
+@_single_writer
 def compact_index(
     spark: SparkSession,
     index_dir: str,
@@ -458,6 +496,7 @@ def compact_index(
     return counts
 
 
+@_single_writer
 def delete_ids(
     spark: SparkSession,
     index_dir: str,
@@ -500,6 +539,19 @@ def delete_ids(
     the lazy alternative; the eager rewrite keeps the serving path free
     of tombstone filters.) ``compact_index`` picks up the shrunken files
     unchanged.
+
+    Crash-recovery contract: the two overwrites (corpus, then
+    id_mapping) are not atomic together — a failure between them leaves
+    id_mapping holding deleted rows / stale faiss_ids for the touched
+    partitions. Recovery is RE-RUNNING THE SAME delete_ids CALL: the
+    touched set is re-resolved from the (stale) mapping, the corpus
+    anti-join is a no-op on already-deleted rows, and the mapping
+    rebuild inner-joins faiss_ids from the renumbered corpus, dropping
+    any mapping row whose vec_id no longer exists — the second run
+    converges both tables. To make a torn state visible rather than
+    latent, the function re-reads both tables after the writes and
+    verifies per-touched-partition row counts match, raising
+    RuntimeError on mismatch (callers then re-run the delete).
 
     Returns ``{"n_deleted": ..., "partitions_rewritten": ...}``.
     """
@@ -571,6 +623,37 @@ def delete_ids(
             shutil.rmtree(
                 os.path.join(index_dir, table, f"partition_id={int(p)}"),
                 ignore_errors=True,
+            )
+    # Post-write consistency gate (see docstring's crash-recovery
+    # contract): read BACK from disk and compare per-touched-partition
+    # row counts between corpus and id_mapping. A torn overwrite
+    # surfaces here as a loud error telling the caller to re-run, not
+    # as silently wrong serving results later.
+    if kept_parts:
+        surviving = [int(p) for p in kept_parts]
+
+        def _disk_counts(table: str) -> dict[int, int]:
+            return {
+                int(r["partition_id"]): r["n"]
+                for r in spark.read.parquet(f"{index_dir}/{table}")
+                .filter(F.col("partition_id").isin(surviving))
+                .groupBy("partition_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+        c_counts, m_counts = _disk_counts("corpus"), _disk_counts("id_mapping")
+        if c_counts != m_counts:
+            bad = {
+                p: (c_counts.get(p), m_counts.get(p))
+                for p in set(c_counts) | set(m_counts)
+                if c_counts.get(p) != m_counts.get(p)
+            }
+            raise RuntimeError(
+                "delete_ids post-write verification failed: corpus vs "
+                f"id_mapping row counts diverge for partitions {bad} "
+                "(corpus_rows, mapping_rows); the index is torn — re-run "
+                "the same delete_ids call to converge both tables"
             )
     return {"n_deleted": int(n_before - n_after), "partitions_rewritten": len(touched)}
 

@@ -268,6 +268,14 @@ def route_queries_numpy(
     return queries.select(query_id_col, query_vec_col).mapInPandas(route, out_schema)
 
 
+#: knn_join_numpy collects the query side to the driver to build the
+#: broadcast GEMM operand — correct only for BOUNDED query sets. Above
+#: this many query rows the collect would risk driver memory instead of
+#: failing fast; the distributed knn_join / q_knn_batch_join path has no
+#: such bound and should be used instead.
+KNN_JOIN_NUMPY_MAX_QUERIES = 100_000
+
+
 def knn_join_numpy(
     queries: DataFrame,
     corpus: DataFrame,
@@ -279,8 +287,24 @@ def knn_join_numpy(
     corpus_vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine join with a BLAS inner loop.
-    Returns ``(query_id, neighbor_id, distance, rank)`` like ``knn_join``."""
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    Returns ``(query_id, neighbor_id, distance, rank)`` like ``knn_join``.
+
+    The query side is collected to the driver (the GEMM operand is
+    broadcast to every Arrow batch), so it must be small by contract:
+    more than KNN_JOIN_NUMPY_MAX_QUERIES rows raises ValueError naming
+    the distributed alternative rather than OOMing the driver. The
+    bound is checked with a ``limit(cap+1)`` probe — one cheap scan
+    that stops early, never a full count of an oversized side."""
+    cap = KNN_JOIN_NUMPY_MAX_QUERIES
+    probe = queries.select(query_id_col, query_vec_col).limit(cap + 1)
+    qrows = probe.collect()
+    if len(qrows) > cap:
+        raise ValueError(
+            f"knn_join_numpy collects the query side to the driver and is "
+            f"capped at {cap} query rows (got more); use the distributed "
+            "knn_join (operators/knn.py) or the registered q_knn_batch_join "
+            "path for large query sets"
+        )
     if not qrows:
         spark = queries.sparkSession
         empty = spark.createDataFrame([], _CAND_SCHEMA)

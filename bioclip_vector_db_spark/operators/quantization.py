@@ -435,15 +435,36 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
         import numpy as np
 
         bqpos, bcodes, bL = bc.value
+
+        def code_index(arr, s):
+            # searchsorted on an unknown code silently lands on a wrong
+            # LUT slot (or one past the end) — verify the hit is exact
+            # and fail loudly naming the offender instead of scoring
+            # with a neighbor's distances.
+            ci = np.searchsorted(bcodes, arr)
+            hit = np.minimum(ci, len(bcodes) - 1)
+            bad = (ci >= len(bcodes)) | (bcodes[hit] != arr)
+            if bad.any():
+                raise ValueError(
+                    f"pq_code_{s} value(s) {sorted(set(arr[bad].tolist()))[:5]} "
+                    "not present in the ADC LUT (codebook/encoding mismatch)"
+                )
+            return ci
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            qi = pdf["query_id"].map(bqpos).to_numpy(dtype=np.int64)
-            total = bL[
-                qi, 0, np.searchsorted(bcodes, pdf["pq_code_0"].to_numpy())
-            ]
+            mapped = pdf["query_id"].map(bqpos)
+            if mapped.isna().any():
+                missing = sorted(set(pdf["query_id"][mapped.isna()].tolist()))[:5]
+                raise ValueError(
+                    f"query_id value(s) {missing} have no rows in the ADC LUT "
+                    "(rows and lut were built from different query sets)"
+                )
+            qi = mapped.to_numpy(dtype=np.int64)
+            total = bL[qi, 0, code_index(pdf["pq_code_0"].to_numpy(), 0)]
             for s in range(1, m):
-                ci = np.searchsorted(bcodes, pdf[f"pq_code_{s}"].to_numpy())
+                ci = code_index(pdf[f"pq_code_{s}"].to_numpy(), s)
                 total = total + bL[qi, s, ci]
             out = pdf.copy()
             out["adc_distance"] = total

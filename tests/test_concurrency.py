@@ -84,3 +84,65 @@ def test_concurrent_queries_match_serial(spark, sf_dir):
             assert results[name] == serial[name], (
                 f"round {round_no}: {name} diverged under concurrency"
             )
+
+
+def test_index_writers_serialize(spark, sf_dir, tmp_path):
+    """Write-path single-writer contract (r9 verdict item 3): append and
+    delete racing on ONE index dir must be equivalent to some serial
+    order — never a lost update. Without _single_writer's
+    <index_dir>/.write_lock, the delete's rewrite (planned against the
+    pre-append corpus snapshot) can dynamic-overwrite the appended files
+    out of existence, or the append can double-allocate faiss_ids the
+    delete just renumbered.
+
+    Both orders leave: vec_ids == initial - victims + batch, faiss_ids
+    dense per partition, corpus/id_mapping row-identical in keys — so
+    those invariants pin the serialized outcome without fixing which
+    writer won the lock first."""
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    from pyspark.sql import functions as F
+
+    from bioclip_vector_db_spark.operators import indexing
+    from bioclip_vector_db_spark.operators.knn import fixture_centroids
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cent = fixture_centroids(spark, sf_dir)
+    initial = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    victims = [r["vec_id"] for r in initial.limit(6).collect()]
+    victims_df = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+
+    idx = str(tmp_path / "index")
+    indexing.append_to_index(spark, idx, initial, cent)
+
+    with _TPE(2) as pool:
+        f_append = pool.submit(indexing.append_to_index, spark, idx, batch, cent)
+        f_delete = pool.submit(indexing.delete_ids, spark, idx, victims_df)
+        f_append.result()
+        f_delete.result()
+
+    corpus = spark.read.parquet(f"{idx}/corpus")
+    mapping = spark.read.parquet(f"{idx}/id_mapping")
+
+    want_ids = (
+        {r["vec_id"] for r in initial.select("vec_id").collect()}
+        | {r["vec_id"] for r in batch.select("vec_id").collect()}
+    ) - set(victims)
+    got_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    assert got_ids == want_ids, "a writer's rewrite was lost"
+
+    # Dense 0-based faiss_ids per partition in both tables, keys identical.
+    per_part = {}
+    for r in corpus.select("partition_id", "faiss_id").collect():
+        per_part.setdefault(r["partition_id"], []).append(r["faiss_id"])
+    for p, ids in per_part.items():
+        assert sorted(ids) == list(range(len(ids))), f"partition {p} ids not dense"
+    c_keys = sorted(
+        tuple(r) for r in corpus.select("partition_id", "faiss_id").collect()
+    )
+    m_keys = sorted(
+        tuple(r) for r in mapping.select("partition_id", "faiss_id").collect()
+    )
+    assert c_keys == m_keys

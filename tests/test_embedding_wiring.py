@@ -78,3 +78,12 @@ def test_resolve_model_loader_env(monkeypatch):
     monkeypatch.setenv(E.EMBED_MODEL_ENV, "bogus")
     with pytest.raises(ValueError, match="unrecognized"):
         E.resolve_model_loader()
+
+
+def test_stub_loader_rejects_dim_over_digest_width():
+    """One md5 hexdigest holds 32 nibbles; dim > 32 used to silently
+    yield short rows that only failed later with the generic shape
+    error (ADVICE r9). The loader now fails at construction, loudly."""
+    with pytest.raises(ValueError, match="dim <= 32"):
+        E._stub_loader(33)
+    assert E._stub_loader(32)()(["x"]).shape == (1, 32)

@@ -258,3 +258,52 @@ def test_delete_ids_preserves_survivor_provenance(spark, sf_dir, tmp_path):
     assert str(victim) not in after
     expected = {k: v for k, v in before.items() if k != str(victim)}
     assert after == expected
+
+
+def test_delete_ids_torn_state_recovers_by_rerun(spark, sf_dir, tmp_path):
+    """The crash-recovery contract (docstring): a failure BETWEEN the
+    corpus overwrite and the id_mapping overwrite leaves the mapping
+    holding deleted rows / stale faiss_ids. Recovery = re-running the
+    SAME delete_ids call. Simulated here by restoring the pre-delete
+    id_mapping over the post-delete corpus (exactly the torn state),
+    then asserting the re-run converges both tables to the
+    rebuilt-from-scratch oracle."""
+    import shutil
+
+    from bioclip_vector_db_spark.operators.knn import fixture_centroids
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cent = fixture_centroids(spark, sf_dir)
+    idx = str(tmp_path / "index")
+    indexing.append_to_index(spark, idx, emb, cent)
+
+    victims = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(4).collect()]
+    victims_df = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+
+    stale_mapping = str(tmp_path / "stale_mapping")
+    shutil.copytree(f"{idx}/id_mapping", stale_mapping)
+    indexing.delete_ids(spark, idx, victims_df)
+    # Tear the index: corpus reflects the delete, id_mapping does not.
+    shutil.rmtree(f"{idx}/id_mapping")
+    shutil.copytree(stale_mapping, f"{idx}/id_mapping")
+
+    # The torn mapping still resolves the victims' partitions, so the
+    # re-run touches the same partitions and converges both tables
+    # (the post-write count gate passes on the converged state).
+    indexing.delete_ids(spark, idx, victims_df)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    indexing.append_to_index(
+        spark, rebuilt, emb.filter(~F.col("vec_id").isin(victims)), cent
+    )
+
+    def rows(d, table, cols):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(f"{d}/{table}").select(*cols).collect()
+        )
+
+    m_cols = ["partition_id", "faiss_id", "original_id", "metadata"]
+    assert rows(idx, "id_mapping", m_cols) == rows(rebuilt, "id_mapping", m_cols)
+    c_cols = ["partition_id", "faiss_id", "vec_id"]
+    assert rows(idx, "corpus", c_cols) == rows(rebuilt, "corpus", c_cols)

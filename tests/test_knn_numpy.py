@@ -312,3 +312,23 @@ def test_semantic_dedup_empty_centroids_is_empty_out(spark, sf_dir):
     )
     assert dedup.semantic_dedup(emb, k=8, kernel="expr").count() == 0
     assert dedup.semantic_dedup(emb, k=8, kernel="numpy").count() == 0
+
+
+def test_knn_join_numpy_query_cap_fails_loud(spark, sf_dir, monkeypatch):
+    """knn_join_numpy collects the query side to the driver (the GEMM
+    operand); beyond KNN_JOIN_NUMPY_MAX_QUERIES that collect must raise
+    a ValueError naming the distributed alternative, not OOM the driver
+    (r9 verdict item 4). The probe is limit(cap+1), so the oversized
+    side is never fully materialized."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    n = queries.count()
+    monkeypatch.setattr(knn_numpy, "KNN_JOIN_NUMPY_MAX_QUERIES", n - 1)
+    with pytest.raises(ValueError, match="knn_join"):
+        knn_join_numpy(queries, emb, k=3)
+    # At exactly the cap the join still runs (the contract is a bound,
+    # not an off-by-one).
+    monkeypatch.setattr(knn_numpy, "KNN_JOIN_NUMPY_MAX_QUERIES", n)
+    assert knn_join_numpy(queries.limit(5), emb, k=3).count() == 15

@@ -239,9 +239,66 @@ def test_adc_gather_kernel_scales_to_pq64(spark, sf_dir):
             total = lut[(q, 0, cs[0])]
             for s in range(1, m):
                 total = total + lut[(q, s, cs[s])]
-            scored.append((float(np.round(total, 9)), vid))
+            # Round HALF_UP on the shortest decimal rendering — the same
+            # convention as the operator's JVM-side F.round (BigDecimal
+            # HALF_UP over Double.toString). np.round is half-even and
+            # can flip the 9th decimal on totals ending in 5 at the
+            # 10th, making this reference rarely disagree with the
+            # kernel (ADVICE r9).
+            from decimal import ROUND_HALF_UP, Decimal
+
+            rounded = float(
+                Decimal(repr(total)).quantize(
+                    Decimal("1e-9"), rounding=ROUND_HALF_UP
+                )
+            )
+            scored.append((rounded, vid))
         scored.sort()
         expect.extend(
             (q, vid, d, rank + 1) for rank, (d, vid) in enumerate(scored[:k])
         )
     assert got == sorted(expect)
+
+
+def _tiny_lut_and_rows(spark, m=4):
+    """Hand-built LUT (one query, codes {0,1}) + matching code rows for
+    gather-kernel misuse tests."""
+    lut = spark.createDataFrame(
+        [(1, s, c, float(s) + c / 10.0) for s in range(m) for c in (0, 1)],
+        "query_id long, s int, code int, d double",
+    )
+    rows = spark.createDataFrame(
+        [(1, 7, 0, 1, 0, 1)],
+        "query_id long, vec_id long, pq_code_0 int, pq_code_1 int, "
+        "pq_code_2 int, pq_code_3 int",
+    )
+    return lut, rows
+
+
+def test_adc_gather_unknown_query_id_fails_loud(spark):
+    """A query_id absent from the LUT used to surface as an opaque NaN ->
+    int64 cast error (ADVICE r9); the kernel now names the offending
+    ids and the cause."""
+    import pytest
+
+    lut, rows = _tiny_lut_and_rows(spark)
+    bad = rows.withColumn("query_id", F.lit(99).cast("long"))
+    with pytest.raises(Exception, match="no rows in the ADC LUT"):
+        qz.adc_score(bad, lut, m=4, kernel="gather").collect()
+
+
+def test_adc_gather_unknown_code_fails_loud(spark):
+    """An unknown pq_code used to make searchsorted silently score with
+    a NEIGHBOR's LUT slot (ADVICE r9) — wrong distances, no error. Both
+    the out-of-range and the in-range-but-absent case must now raise,
+    naming the subspace and values."""
+    import pytest
+
+    lut, rows = _tiny_lut_and_rows(spark)
+    with pytest.raises(Exception, match="not present in the ADC LUT"):
+        qz.adc_score(
+            rows.withColumn("pq_code_2", F.lit(7)), lut, m=4, kernel="gather"
+        ).collect()
+    # Sanity: the untampered rows still score (guards reject misuse, not use).
+    got = qz.adc_score(rows, lut, m=4, kernel="gather").collect()
+    assert len(got) == 1 and got[0]["adc_distance"] is not None
