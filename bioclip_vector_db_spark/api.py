@@ -156,9 +156,32 @@ class VectorSearchEngine:
 
     def reset(self, force: bool = False) -> None:
         """StorageInterface.reset analog (storage_impl.py:56-64): drop the
-        index tables; refuses without ``force`` like the reference."""
+        index tables; refuses without ``force`` like the reference.
+
+        Takes the same ``.write_lock`` as the write ops (see
+        operators.indexing._single_writer), so a reset cannot rip the
+        directories out from under an in-flight append/delete rewrite.
+        The lock FILE itself is preserved (only the tables are removed):
+        deleting it would orphan the inode a blocked writer is waiting
+        on, letting a later writer lock a different inode at the same
+        path — two \"exclusive\" holders."""
         if not force:
             raise ValueError("reset requires force=True")
+        import os
         import shutil
 
-        shutil.rmtree(self.index_dir, ignore_errors=True)
+        from .operators.indexing import invalidate_append_state
+        from .streaming.staging import process_lock
+
+        if not os.path.isdir(self.index_dir):
+            return
+        with process_lock(os.path.join(self.index_dir, ".write_lock")):
+            invalidate_append_state(self.index_dir)
+            for child in os.listdir(self.index_dir):
+                if child == ".write_lock":
+                    continue
+                path = os.path.join(self.index_dir, child)
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    os.unlink(path)

@@ -253,6 +253,18 @@ def _invalidate_next_ids(index_dir: str) -> None:
     _NEXT_IDS_CACHE.pop(index_dir, None)
 
 
+def invalidate_append_state(index_dir: str) -> None:
+    """Drop ALL cached append state for ``index_dir`` — next-id map,
+    corpus schema, partition-id list. Required after out-of-band surgery
+    on the index directory (api.reset, manual partition repair per
+    tests/test_corruption.py): a rebuilt index may carry a different
+    schema or leader table, and stale pids would mis-key the observe
+    counters of the next append."""
+    _NEXT_IDS_CACHE.pop(index_dir, None)
+    _CORPUS_SCHEMA_CACHE.pop(index_dir, None)
+    _PIDS_CACHE.pop(index_dir, None)
+
+
 def _single_writer(fn):
     """Serialize the index WRITE path (r9 verdict item 3).
 

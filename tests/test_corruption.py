@@ -110,7 +110,7 @@ def test_corrupt_partition_recovers_by_rebuild(spark, sf_dir, tmp_path):
     # state (next-id offsets now overshoot the emptied partition) — the
     # recovery contract: invalidate, or recover from a fresh process,
     # which re-seeds from what is actually on disk.
-    indexing._invalidate_next_ids(idx)
+    indexing.invalidate_append_state(idx)
     from bioclip_vector_db_spark.operators.knn import assign_partitions
 
     damaged_rows = (
