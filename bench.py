@@ -324,7 +324,14 @@ def main() -> None:
                 "contended": contended,
                 "loadavg_before": load_before,
                 "loadavg_after": read_loadavg(),
-                "passes_per_query": 2,
+                # Queries listed in "reruns" got a third timed pass (the
+                # 1.5x auto-rerun); everything else exactly two (r10
+                # ADVICE: the flat stamp understated passes for exactly
+                # the queries a judge scrutinizes).
+                "passes_per_query": {
+                    "default": 2,
+                    **{n: 3 for n in reruns},
+                },
             }
         )
     )

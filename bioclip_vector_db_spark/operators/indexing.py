@@ -253,6 +253,40 @@ def _invalidate_next_ids(index_dir: str) -> None:
     _NEXT_IDS_CACHE.pop(index_dir, None)
 
 
+#: Generation the cached append state was read/written at, per index dir.
+#: Compared against the on-disk ``.write_gen`` stamp under the write lock
+#: (see _single_writer) so a DIFFERENT process's writes invalidate this
+#: process's caches before they can double-allocate faiss_ids. The stamp
+#: is a fresh random token per write, not a counter: a counter could
+#: collide after api.reset recreates the directory (this process cached
+#: gen=2, the rebuilt index reaches gen=2 again) and silently validate a
+#: stale cache.
+_GEN_CACHE: dict[str, str] = {}
+
+
+def _read_write_gen(index_dir: str) -> str:
+    """On-disk write-generation stamp ("" if never written). Read and
+    written only under the exclusive ``.write_lock``, so a plain text
+    file is race-free."""
+    import os
+
+    try:
+        with open(os.path.join(index_dir, ".write_gen")) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return ""
+
+
+def _bump_write_gen(index_dir: str) -> str:
+    import os
+    import uuid
+
+    gen = uuid.uuid4().hex
+    with open(os.path.join(index_dir, ".write_gen"), "w") as f:
+        f.write(gen)
+    return gen
+
+
 def invalidate_append_state(index_dir: str) -> None:
     """Drop ALL cached append state for ``index_dir`` — next-id map,
     corpus schema, partition-id list. Required after out-of-band surgery
@@ -263,6 +297,7 @@ def invalidate_append_state(index_dir: str) -> None:
     _NEXT_IDS_CACHE.pop(index_dir, None)
     _CORPUS_SCHEMA_CACHE.pop(index_dir, None)
     _PIDS_CACHE.pop(index_dir, None)
+    _GEN_CACHE.pop(index_dir, None)
 
 
 def _single_writer(fn):
@@ -281,6 +316,20 @@ def _single_writer(fn):
     equivalent to some serial order, pinned by
     tests/test_concurrency.py::test_index_writers_serialize.
 
+    Cross-process cache freshness (r10 ADVICE): the lock alone does not
+    protect the per-process append caches (_NEXT_IDS_CACHE etc.) — if
+    process A appends (caching next-ids), process B appends or deletes
+    (renumbering faiss_ids on disk), then A appends again, A's stale
+    cached next-id map would double-allocate faiss_ids DESPITE holding
+    the lock. Every write op therefore bumps an on-disk generation stamp
+    (``<index_dir>/.write_gen``) at entry, and the wrapper drops this
+    process's cached append state whenever the on-disk generation
+    differs from the one the cache was stored at — a foreign write is
+    detected before the cache is consulted. A write that raises also
+    drops the caches (disk state uncertain); the next attempt re-seeds
+    from the stored corpus. Pinned by tests/test_concurrency.py::
+    test_cross_process_write_invalidates_append_cache.
+
     Readers are not locked — Spark parquet reads against a directory
     mid-overwrite were already the serving tier's documented
     read-consistency model (snapshot-by-file-listing), unchanged here.
@@ -296,7 +345,19 @@ def _single_writer(fn):
 
         os.makedirs(index_dir, exist_ok=True)
         with process_lock(os.path.join(index_dir, ".write_lock")):
-            return fn(spark, index_dir, *args, **kwargs)
+            disk_gen = _read_write_gen(index_dir)
+            if _GEN_CACHE.get(index_dir) != disk_gen:
+                # Another process (or an out-of-band actor) wrote since
+                # this process last held the lock: every cached piece of
+                # append state may be stale — drop it all before fn can
+                # consult it.
+                invalidate_append_state(index_dir)
+            _GEN_CACHE[index_dir] = _bump_write_gen(index_dir)
+            try:
+                return fn(spark, index_dir, *args, **kwargs)
+            except BaseException:
+                invalidate_append_state(index_dir)
+                raise
 
     return wrapper
 

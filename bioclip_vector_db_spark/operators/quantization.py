@@ -466,6 +466,34 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
             for s in range(1, m):
                 ci = code_index(pdf[f"pq_code_{s}"].to_numpy(), s)
                 total = total + bL[qi, s, ci]
+            if np.isnan(total).any():
+                # code_index proved the code exists SOMEWHERE in the LUT,
+                # but the (query_id, s, code) CELL can still be the
+                # np.full NaN filler when that code never appeared for
+                # that particular query/subspace slot — a silent NaN
+                # adc_distance instead of the loud error these guards
+                # exist for (r10 ADVICE). Name the first offending
+                # (query_id, s, code) triples.
+                offenders = []
+                for i in np.nonzero(np.isnan(total))[0][:5]:
+                    for s in range(m):
+                        ci = np.searchsorted(
+                            bcodes, pdf[f"pq_code_{s}"].to_numpy()[i : i + 1]
+                        )[0]
+                        if np.isnan(bL[qi[i], s, ci]):
+                            offenders.append(
+                                (
+                                    pdf["query_id"].iloc[i],
+                                    s,
+                                    int(pdf[f"pq_code_{s}"].iloc[i]),
+                                )
+                            )
+                            break
+                raise ValueError(
+                    "ADC LUT has no entry for (query_id, subspace, code) "
+                    f"triple(s) {offenders} — the LUT and the encoded rows "
+                    "were built from different codebooks"
+                )
             out = pdf.copy()
             out["adc_distance"] = total
             yield out

@@ -146,3 +146,79 @@ def test_index_writers_serialize(spark, sf_dir, tmp_path):
         tuple(r) for r in mapping.select("partition_id", "faiss_id").collect()
     )
     assert c_keys == m_keys
+
+
+def test_cross_process_write_invalidates_append_cache(spark, sf_dir, tmp_path):
+    """Cross-process cache freshness (r10 ADVICE medium): the write lock
+    serializes writers but the per-process _NEXT_IDS_CACHE survives
+    between ops — if ANOTHER process appends or deletes (renumbering
+    faiss_ids on disk) between this process's appends, the stale cached
+    next-id map would double-allocate faiss_ids despite the lock.
+    _single_writer now bumps an on-disk ``.write_gen`` token per write
+    and drops the process's cached append state when the on-disk token
+    differs from the cached one.
+
+    Two branches: (control) a poisoned next-id cache with NO foreign
+    write IS consulted — proving the cache is load-bearing and the
+    generation stamp is the only defense; (fix) the same poisoned cache
+    plus a foreign generation token is discarded and the append re-seeds
+    from the stored corpus, keeping faiss_ids dense."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bioclip_vector_db_spark.operators import indexing
+    from bioclip_vector_db_spark.operators.knn import fixture_centroids
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cent = fixture_centroids(spark, sf_dir)
+    first = emb.filter(F.col("vec_id") % 3 == 0)
+    second = emb.filter(F.col("vec_id") % 3 == 1)
+    idx = str(tmp_path / "index")
+
+    def dense_per_partition():
+        per_part = {}
+        corpus = spark.read.parquet(f"{idx}/corpus")
+        for r in corpus.select("partition_id", "faiss_id").collect():
+            per_part.setdefault(r["partition_id"], []).append(r["faiss_id"])
+        return {
+            p: sorted(ids) == list(range(len(ids))) for p, ids in per_part.items()
+        }
+
+    # --- control: poisoned cache, no foreign write -> cache consulted ---
+    indexing.append_to_index(spark, idx, first, cent)
+    assert idx in indexing._NEXT_IDS_CACHE, "append must cache next-ids"
+    indexing._NEXT_IDS_CACHE[idx] = {
+        p: n + 1000 for p, n in indexing._NEXT_IDS_CACHE[idx].items()
+    }
+    indexing.append_to_index(spark, idx, second, cent)
+    assert not all(dense_per_partition().values()), (
+        "poisoned next-id cache was NOT consulted — the control no longer "
+        "demonstrates the hazard the generation stamp exists for"
+    )
+
+    # --- fix: poisoned cache + foreign generation token -> re-seeded ---
+    shutil.rmtree(idx)
+    indexing.invalidate_append_state(idx)
+    indexing.append_to_index(spark, idx, first, cent)
+    indexing._NEXT_IDS_CACHE[idx] = {
+        p: n + 1000 for p, n in indexing._NEXT_IDS_CACHE[idx].items()
+    }
+    # Every write op bumps .write_gen under the lock via _single_writer,
+    # so a foreign token on disk IS what a concurrent process's append or
+    # delete leaves behind.
+    with open(os.path.join(idx, ".write_gen"), "w") as f:
+        f.write("foreign-process-write")
+    indexing.append_to_index(spark, idx, second, cent)
+    density = dense_per_partition()
+    assert all(density.values()), f"stale cache double-allocated ids: {density}"
+    got = {r["vec_id"] for r in spark.read.parquet(f"{idx}/corpus").collect()}
+    want = {r["vec_id"] for r in first.collect()} | {
+        r["vec_id"] for r in second.collect()
+    }
+    assert got == want
+    indexing.invalidate_append_state(idx)

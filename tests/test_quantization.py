@@ -302,3 +302,24 @@ def test_adc_gather_unknown_code_fails_loud(spark):
     # Sanity: the untampered rows still score (guards reject misuse, not use).
     got = qz.adc_score(rows, lut, m=4, kernel="gather").collect()
     assert len(got) == 1 and got[0]["adc_distance"] is not None
+
+
+def test_adc_gather_missing_lut_cell_fails_loud(spark):
+    """A code present SOMEWHERE in the LUT but absent for a specific
+    (query_id, s) slot passes code_index's global-membership check yet
+    gathers the np.full NaN filler — silently yielding NaN adc_distance
+    (r10 ADVICE). The kernel must detect the NaN fold and name the
+    offending (query_id, subspace, code) triple."""
+    import pytest
+
+    lut, rows = _tiny_lut_and_rows(spark)
+    # Drop exactly the (query 1, s=2, code=1) cell: code 1 stays globally
+    # known (other subspaces still list it), rows reference it at s=2.
+    holey = lut.filter(~((F.col("s") == 2) & (F.col("code") == 1)))
+    bad = rows.withColumn("pq_code_2", F.lit(1))
+    with pytest.raises(Exception, match="no entry for .query_id, subspace, code"):
+        qz.adc_score(bad, holey, m=4, kernel="gather").collect()
+    # Sanity: the untampered rows still score against the holey LUT when
+    # they never touch the missing cell.
+    got = qz.adc_score(rows, holey, m=4, kernel="gather").collect()
+    assert len(got) == 1 and got[0]["adc_distance"] is not None

@@ -66,12 +66,24 @@ def compare(name, spark_df, duck_rows, duck_cols):
         print(f"    {p}")
     # The driver's gate is an exact order-insensitive value hash; any float
     # inequality that survives the parity rounding is a failure here too.
-    return not problems and exact
+    record = {
+        "status": status,
+        "rows": len(sr),
+        "max_float_diff": max_float_diff,
+        "problems": problems[:3],
+    }
+    return not problems and exact, record
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
@@ -80,6 +92,7 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     ok = True
+    records = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -88,12 +101,16 @@ def main():
             if name not in oracles:
                 n = sdf.count()
                 print(f"{name:32s} {'ROWS-ONLY':12s} rows={n}")
+                records[name] = {"status": "ROWS-ONLY", "rows": n}
                 continue
             rel = con.sql(oracles[name])
-            ok &= compare(name, sdf, rel.fetchall(), rel.columns)
+            q_ok, rec = compare(name, sdf, rel.fetchall(), rel.columns)
+            ok &= q_ok
+            records[name] = rec
         except Exception as e:
             ok = False
             print(f"{name:32s} ERROR        {type(e).__name__}: {e}")
+            records[name] = {"status": "ERROR", "error": f"{type(e).__name__}: {e}"}
         finally:
             # 92 queries share one session: drop each invocation's
             # persisted intermediates so the sweep doesn't accumulate
@@ -101,6 +118,21 @@ def main():
             from bioclip_vector_db_spark.plans.registry import release_transient
 
             release_transient()
+    if json_out:
+        import json
+
+        n_ok = sum(1 for r in records.values() if r["status"] == "OK")
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(records),
+            "n_exact": n_ok,
+            "all_exact": n_ok == len(records),
+            "queries": records,
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {json_out}: {n_ok}/{len(records)} exact")
     sys.exit(0 if ok else 1)
 
 
