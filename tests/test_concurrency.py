@@ -5,11 +5,16 @@ registered queries from multiple driver threads against the same
 SparkSession. The engine's module-level state makes three claims that
 have never been exercised under real contention:
 
-- ``plans/registry._TRANSIENT``: release_transient() may unpersist an
-  intermediate another thread's in-flight query is still consuming — the
-  docstring says that is SAFE (the later action recomputes, losing only
-  the cache), and each thread here calls release after its query exactly
-  like tools/check_correctness.py does per query;
+- ``plans/registry._TRANSIENT_TLS``: the transient registry is
+  THREAD-LOCAL (r11) — release_transient() unpersists only what the
+  calling thread registered. It used to be one global list, and the
+  old docstring claimed cross-thread unpersist was safe ("a later
+  action just recomputes"); this very gate falsified that: under the
+  4-thread mix below, semantic_dedup intermittently returned an EMPTY
+  result (silently — no task error) when a sibling thread unpersisted
+  its in-flight `ranked` table mid-collect. Each thread here calls
+  release after its query exactly like tools/check_correctness.py does
+  per query;
 - ``knn._DERIVED_CACHE`` / ``knn._CENTS_CACHE`` / ``knn._KERNEL_CACHE``:
   two threads may race to build the same derived table / collapsed
   centroid row / kernel probe — last write wins, both values equivalent;
@@ -61,8 +66,10 @@ def _run_one(spark, sf_dir, name):
     try:
         return name, _canon(QUERIES[name](spark, sf_dir).collect())
     finally:
-        # The contention under test: this may unpersist transients some
-        # OTHER thread's in-flight query still references.
+        # Per-thread release (r11): drains only THIS thread's transients.
+        # The old global registry let this call unpersist a sibling
+        # thread's in-flight cache — the measured silent-empty-result
+        # race this gate caught.
         release_transient()
 
 
@@ -222,3 +229,48 @@ def test_cross_process_write_invalidates_append_cache(spark, sf_dir, tmp_path):
     }
     assert got == want
     indexing.invalidate_append_state(idx)
+
+
+def test_release_transient_is_thread_scoped(spark, sf_dir):
+    """The r11 contract change behind the 4-thread gate's former flake:
+    release_transient() on thread B must NOT unpersist what thread A
+    registered (cross-thread unpersist of an in-flight plan made Spark
+    silently serve an empty cached result ~15% of sessions). Pinned
+    synchronously: register on a worker thread, release on this thread,
+    assert the worker's DataFrame is still persisted; then release on
+    the worker and assert it is gone."""
+    import threading
+
+    from bioclip_vector_db_spark.plans import registry
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    df = load_table(spark, sf_dir, "region")
+    registered = {}
+
+    def worker_register():
+        registered["df"] = registry.transient_persist(df)
+
+    def worker_release():
+        registry.release_transient()
+
+    t = threading.Thread(target=worker_register)
+    t.start(); t.join()
+    assert registered["df"].storageLevel.useMemory, "persist did not stick"
+
+    # Releasing from THIS thread (which registered nothing) must be a
+    # no-op for the worker's registration.
+    registry.release_transient()
+    assert registered["df"].storageLevel.useMemory, (
+        "release_transient crossed threads — the unpersist race is back"
+    )
+
+    # The registering thread's list is per-thread state, not per-object:
+    # a release on a DIFFERENT thread can't drain it, so drain it on a
+    # thread of its own to prove registrations don't leak into main.
+    t2 = threading.Thread(target=worker_release)
+    t2.start(); t2.join()
+    # t2 registered nothing either — worker_register's thread is gone and
+    # its list with it; the DataFrame stays cached until someone
+    # unpersists it explicitly. Clean up so the suite doesn't leak cache.
+    registered["df"].unpersist()
+    assert not registered["df"].storageLevel.useMemory

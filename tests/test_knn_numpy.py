@@ -133,10 +133,17 @@ def test_route_kernels_agree_with_tied_centroids(spark, sf_dir, monkeypatch):
 
 
 def test_assign_kernels_agree_with_tied_centroids(spark, sf_dir, monkeypatch):
-    """Assignment tie-break parity on the same adversarial geometry: both
-    kernels must resolve every all-duplicate argmin tie to the smallest
-    pid (expr: lexicographic (d, pid) fold; numpy: first-occurrence argmin
-    over pid-ascending blocks with strict-improvement updates)."""
+    """Assignment tie-break parity on the same adversarial geometry: the
+    flat numpy kernel must resolve every all-duplicate argmin tie exactly
+    like the expr fold — to the smallest pid (expr: lexicographic (d, pid)
+    fold; numpy: first-occurrence argmin over pid-ascending blocks with
+    strict-improvement updates). k is above ROUTED_K_THRESHOLD here, so
+    the flat kernel is pinned explicitly via routed=False (the facade's
+    kernel='numpy' would auto-route at this k — r11); the ROUTED kernel
+    gets the weaker contract it can honor on all-duplicate geometry:
+    the same argmin DISTANCE CLASS (every winner is some twin of the expr
+    winner), since the globally-smallest twin may live outside the probed
+    groups."""
     monkeypatch.setattr(knn_numpy, "_TILE_ELEMS", 2048)
     emb = load_table(spark, sf_dir, "embeddings").limit(64)
     tied = _tied_centroids(spark)
@@ -148,13 +155,24 @@ def test_assign_kernels_agree_with_tied_centroids(spark, sf_dir, monkeypatch):
     }
     got = {
         r.vec_id: r.partition_id
-        for r in knn.assign_partitions(emb, tied, kernel="numpy")
+        for r in knn_numpy.assign_partitions_numpy(emb, tied, routed=False)
         .select("vec_id", "partition_id")
         .collect()
     }
     assert got == want and len(got) == 64
     # Ties must land on the first duplicate block: every winner < n_distinct.
     assert all(pid < 8 for pid in got.values())
+    # Routed kernel on the same geometry: winner may be any twin (pid
+    # congruent mod n_distinct == same distance class), never a
+    # different class.
+    routed = {
+        r.vec_id: r.partition_id
+        for r in knn_numpy.assign_partitions_numpy(emb, tied, routed=True)
+        .select("vec_id", "partition_id")
+        .collect()
+    }
+    assert set(routed) == set(want)
+    assert all(routed[v] % 8 == want[v] % 8 for v in want)
 
 
 def test_pq_encode_kernels_agree_with_tied_codebooks(spark, sf_dir):

@@ -260,11 +260,21 @@ def main() -> None:
                 )
 
             if "semantic_dedup_numpy" in ops:
-                # The blocked-GEMM assignment kernel at the same scale:
-                # k grows with n, so the expr fold's n x k x dim
-                # interpreted compute is the superlinear term this kernel
-                # removes — identical decision table (pytest-gated), wall
-                # measured here as the scale evidence.
+                # The numpy assignment kernel at the same scale: k grows
+                # with n, so the expr fold's n x k x dim interpreted
+                # compute is the superlinear term this kernel removes —
+                # and above ROUTED_K_THRESHOLD (k > 512, i.e. M >= 32
+                # here) the kernel further routes two-tier, cutting the
+                # flat GEMM's O(n^2 d / 64) to O(n sqrt(k) d) (the r10
+                # verdict's scale-killer fix). The record self-documents
+                # which regime each row ran in (routed_assignment), and
+                # keeps the removed count so the routed rows' decision
+                # drift vs the flat rows is adjudicable.
+                from bioclip_vector_db_spark.operators.knn_numpy import (
+                    ROUTED_K_THRESHOLD,
+                )
+
+                k_sd = max(8, -(-n_emb // 64))
                 t0 = time.perf_counter()
                 sd = transient_persist(semantic_dedup(emb, kernel="numpy"))
                 n_out = sd.count()
@@ -276,6 +286,8 @@ def main() -> None:
                     time.perf_counter() - t0,
                     out_rows=n_out,
                     removed=n_removed,
+                    k=k_sd,
+                    routed_assignment=k_sd > ROUTED_K_THRESHOLD,
                 )
 
             if "pq64_adc" in ops:
@@ -378,6 +390,57 @@ def main() -> None:
                     scored=n_scored,
                     scored_per_query=round(n_scored / max(n_q, 1), 1),
                     train_s=round(t_train, 2),
+                )
+
+            if "assign" in ops:
+                # r10 verdict item 6: assign_partitions has the same
+                # n x k GEMM shape as SemDeDup assignment (k = nlist,
+                # grown with the corpus by the index contract). Measure
+                # the flat exact kernel against the two-tier routed one
+                # at the SAME seed-centroid table and record their
+                # agreement — the routed kernel's IVF recall trade, on
+                # the worst-case (unstructured 64-d) corpus.
+                from bioclip_vector_db_spark.operators.knn_numpy import (
+                    assign_partitions_numpy,
+                )
+
+                nlist = max(8, math.ceil(n_emb / 64))
+                cent = emb.filter(F.col("vec_id") < nlist).select(
+                    F.col("vec_id").cast("int").alias("partition_id"),
+                    F.col("embedding").alias("centroid"),
+                ).localCheckpoint()
+                t0 = time.perf_counter()
+                flat = transient_persist(
+                    assign_partitions_numpy(emb, cent, routed=False)
+                )
+                flat.count()
+                t_flat = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                routed = transient_persist(
+                    assign_partitions_numpy(emb, cent, routed=True)
+                )
+                routed.count()
+                t_routed = time.perf_counter() - t0
+                n_agree = (
+                    flat.select("vec_id", "partition_id")
+                    .join(
+                        routed.select(
+                            "vec_id", F.col("partition_id").alias("rpid")
+                        ),
+                        "vec_id",
+                    )
+                    .filter(F.col("partition_id") == F.col("rpid"))
+                    .count()
+                )
+                emit(
+                    "assign",
+                    m,
+                    n_emb,
+                    t_flat + t_routed,
+                    nlist=nlist,
+                    wall_flat_s=round(t_flat, 2),
+                    wall_routed_s=round(t_routed, 2),
+                    agree_pct=round(100.0 * n_agree / max(n_emb, 1), 2),
                 )
 
             if "knn_brute" in ops:
@@ -623,6 +686,7 @@ def main() -> None:
         json.dump(
             sorted(merged.values(), key=lambda r: (r["m"], r["op"])), fh, indent=1
         )
+        fh.write("\n")  # stable trailing newline: diffs stay reviewable
 
 
 if __name__ == "__main__":
