@@ -2228,7 +2228,16 @@ def semantic_dedup(
     ~1.0, gated by tests/test_semantic_routing.py on planted-cluster
     data. Every oracle-gated query runs k < ROUTED_K_THRESHOLD and stays
     byte-exact; pass ``routed=False`` to force the flat exact GEMM at any
-    k."""
+    k.
+
+    Producing the centroids at scale: the seed rule here exists for the
+    exact SQL twin; production callers pass
+    ``centroids=indexing.train_kmeans_centroids(vectors, k,
+    train_fraction=...)`` — Lloyd iterations are themselves n x k, so at
+    large n the trainer fits on a seeded SAMPLE (the statistically sound
+    version of the reference's first-50*nlist prefix) and only the
+    one-pass ASSIGNMENT — this function's routed kernel — touches every
+    row."""
     v = vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
