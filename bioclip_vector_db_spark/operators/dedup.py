@@ -2223,10 +2223,19 @@ def semantic_dedup(
     deterministic mini k-means) and GEMM each vector only against its
     top-8 routed groups' members — O(n sqrt(k) d). The routed assignment
     is APPROXIMATE in general (a vector's true argmax centroid can live
-    outside its probed groups); on SemDeDup's actual inputs — centroids
-    are k-means means of the data being assigned — routing recall is
-    ~1.0, gated by tests/test_semantic_routing.py on planted-cluster
-    data. Every oracle-gated query runs k < ROUTED_K_THRESHOLD and stays
+    outside its probed groups); on SemDeDup's intended inputs — TRAINED
+    centroids, i.e. k-means means of the data being assigned — routing
+    recall is ~1.0, gated by tests/test_semantic_routing.py on
+    planted-cluster data. Be explicit about the default: with no
+    ``centroids`` argument the SEED RULE stands in (first-k raw corpus
+    rows, which exists so the oracle has an exact SQL twin), and routing
+    recall against raw-row centroids tracks the corpus's intrinsic
+    clusterability rather than the trained-centroid guarantee — on the
+    deliberately structureless 64-d stress corpus the measured effect
+    was a 0.16% keep/drop drift vs the flat kernel at M=32
+    (SCALING.md §2.1), small because a boundary vector that lands in a
+    runner-up cluster is deduped against THAT cluster's members instead.
+    Every oracle-gated query runs k < ROUTED_K_THRESHOLD and stays
     byte-exact; pass ``routed=False`` to force the flat exact GEMM at any
     k.
 

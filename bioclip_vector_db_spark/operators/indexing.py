@@ -277,6 +277,23 @@ def _read_write_gen(index_dir: str) -> str:
         return ""
 
 
+def _cached_gen(index_dir: str) -> "str | None":
+    """Accessor on purpose — same reason as _peek_append_state: the
+    _single_writer wrapper is part of staging.logic_token's fingerprint
+    of every write op (ingest.py keys its durable gate on
+    append_to_index), and logic_token folds dict-typed module globals a
+    function NAMES. Naming _GEN_CACHE from the wrapper would fold its
+    CONTENTS (per-write uuid tokens!) into the gate token and re-key the
+    durable gate on every write — full cold rebuild per micro-batch and
+    cross-process gate-dir reaping. Regression:
+    tests/test_staging.py::test_append_state_caches_do_not_thrash_gate_token."""
+    return _GEN_CACHE.get(index_dir)
+
+
+def _store_cached_gen(index_dir: str, gen: str) -> None:
+    _GEN_CACHE[index_dir] = gen
+
+
 def _bump_write_gen(index_dir: str) -> str:
     import os
     import uuid
@@ -346,13 +363,13 @@ def _single_writer(fn):
         os.makedirs(index_dir, exist_ok=True)
         with process_lock(os.path.join(index_dir, ".write_lock")):
             disk_gen = _read_write_gen(index_dir)
-            if _GEN_CACHE.get(index_dir) != disk_gen:
+            if _cached_gen(index_dir) != disk_gen:
                 # Another process (or an out-of-band actor) wrote since
                 # this process last held the lock: every cached piece of
                 # append state may be stale — drop it all before fn can
                 # consult it.
                 invalidate_append_state(index_dir)
-            _GEN_CACHE[index_dir] = _bump_write_gen(index_dir)
+            _store_cached_gen(index_dir, _bump_write_gen(index_dir))
             try:
                 return fn(spark, index_dir, *args, **kwargs)
             except BaseException:

@@ -81,6 +81,7 @@ def _blocked_best_centroid(
     similarity: bool,
     out_field: "T.StructField",
     score_field: "str | None" = None,
+    _collected: "tuple | None" = None,
 ) -> DataFrame:
     """Shared blocked-GEMM argbest core behind assign_partitions_numpy
     (argmin cosine distance) and argmax_centroid_numpy (argmax dot
@@ -94,7 +95,11 @@ def _blocked_best_centroid(
     shuffle, no row expansion. Empty centroid table -> empty output
     (empty-in/empty-out; without it every row would get id 0 and an
     infinite score — silently wrong)."""
-    ids, cmat = _collect_centroids(centroids, id_col, cvec_col)
+    ids, cmat = (
+        _collected
+        if _collected is not None
+        else _collect_centroids(centroids, id_col, cvec_col)
+    )
     fields = list(vectors.schema.fields) + [out_field]
     if score_field is not None:
         fields.append(T.StructField(score_field, T.DoubleType()))
@@ -275,6 +280,7 @@ def _routed_best_centroid(
     out_field: "T.StructField",
     score_field: "str | None" = None,
     probes: int = ROUTE_PROBES,
+    _collected: "tuple | None" = None,
 ) -> DataFrame:
     """Two-tier argbest: route each vector to its top-``probes``
     super-centroid groups (one b x g GEMM), then argbest only against the
@@ -289,7 +295,11 @@ def _routed_best_centroid(
     Distance mode (``similarity=False``) scores 1 - dot exactly like the
     flat kernel; routing itself always probes by RAW dot to the group
     means (monotone with 1 - dot, so both modes route identically)."""
-    ids, cmat = _collect_centroids(centroids, id_col, cvec_col)
+    ids, cmat = (
+        _collected
+        if _collected is not None
+        else _collect_centroids(centroids, id_col, cvec_col)
+    )
     fields = list(vectors.schema.fields) + [out_field]
     if score_field is not None:
         fields.append(T.StructField(score_field, T.DoubleType()))
@@ -375,8 +385,14 @@ def argmax_centroid_numpy(
     centroid table exceeds ROUTED_K_THRESHOLD — above it the flat
     kernel's O(n k d) is the SemDeDup scale-killer the r10 verdict named
     (k grows with n by contract, so flat assignment is O(n^2 d / 64))."""
+    collected = None
     if routed == "auto":
-        routed = centroids.limit(ROUTED_K_THRESHOLD + 1).count() > ROUTED_K_THRESHOLD
+        # Both kernels collect the centroid table anyway (it IS the GEMM
+        # operand) — resolve the routing decision from that one collect
+        # instead of an extra limit().count() job that would evaluate the
+        # caller's centroid plan a second time (r11 review finding).
+        collected = _collect_centroids(centroids, cid_col, cvec_col)
+        routed = len(collected[0]) > ROUTED_K_THRESHOLD
     core = _routed_best_centroid if routed else _blocked_best_centroid
     return core(
         vectors,
@@ -387,6 +403,7 @@ def argmax_centroid_numpy(
         similarity=True,
         out_field=T.StructField(cid_col, T.LongType()),
         score_field="csim",
+        _collected=collected,
     )
 
 

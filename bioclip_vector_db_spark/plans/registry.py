@@ -73,11 +73,20 @@ _PLAN_MODULES = (
 #: test_release_transient_is_thread_scoped).
 _TRANSIENT_TLS = threading.local()
 
+#: Every per-thread list ever created, for release_all_transients() —
+#: without it, a transient registered on a short-lived worker thread
+#: that exits before calling release_transient() would be unreleasable
+#: (the persist lives JVM-side regardless of the Python thread's fate).
+_ALL_TRANSIENT_LISTS: list[list] = []
+_TRANSIENT_LOCK = threading.Lock()
+
 
 def _transient_list() -> list:
     lst = getattr(_TRANSIENT_TLS, "dfs", None)
     if lst is None:
         lst = _TRANSIENT_TLS.dfs = []
+        with _TRANSIENT_LOCK:
+            _ALL_TRANSIENT_LISTS.append(lst)
     return lst
 
 
@@ -101,6 +110,24 @@ def release_transient() -> None:
             lst.pop().unpersist()
         except Exception:
             pass
+
+
+def release_all_transients() -> None:
+    """Quiescent-teardown drain: unpersist EVERY thread's registered
+    transients, including those of worker threads that exited without
+    calling release_transient() (their persists live JVM-side regardless
+    of the Python thread's fate). Only call when no query is in flight on
+    ANY thread — cross-thread unpersist of an in-flight plan is exactly
+    the silent-empty-result race release_transient()'s thread-scoping
+    exists to prevent (see _TRANSIENT_TLS)."""
+    with _TRANSIENT_LOCK:
+        lists = list(_ALL_TRANSIENT_LISTS)
+    for lst in lists:
+        while lst:
+            try:
+                lst.pop().unpersist()
+            except Exception:
+                pass
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

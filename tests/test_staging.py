@@ -389,10 +389,17 @@ def test_append_state_caches_do_not_thrash_gate_token():
 
     t1 = logic_token(ix.append_to_index)
     ix._store_append_state("/tmp/fake_dir_a", object(), {0: 7}, [0, 1])
+    # r11: the _single_writer wrapper's generation cache is the same
+    # hazard one frame up — per-write uuid tokens folding into the gate
+    # token would re-key the durable gate on EVERY write (caught by the
+    # round-11 review; the wrapper must reach _GEN_CACHE only through
+    # _cached_gen/_store_cached_gen).
+    ix._store_cached_gen("/tmp/fake_dir_a", "deadbeef-token")
     try:
         t2 = logic_token(ix.append_to_index)
     finally:
         ix._CORPUS_SCHEMA_CACHE.pop("/tmp/fake_dir_a", None)
         ix._NEXT_IDS_CACHE.pop("/tmp/fake_dir_a", None)
         ix._PIDS_CACHE.pop("/tmp/fake_dir_a", None)
+        ix._GEN_CACHE.pop("/tmp/fake_dir_a", None)
     assert t1 == t2

@@ -270,11 +270,19 @@ def main() -> None:
                 # which regime each row ran in (routed_assignment), and
                 # keeps the removed count so the routed rows' decision
                 # drift vs the flat rows is adjudicable.
+                from bioclip_vector_db_spark.operators.dedup import (
+                    SEMDEDUP_K_MIN,
+                    SEMDEDUP_TARGET_CLUSTER,
+                )
                 from bioclip_vector_db_spark.operators.knn_numpy import (
                     ROUTED_K_THRESHOLD,
                 )
 
-                k_sd = max(8, -(-n_emb // 64))
+                # Derive k exactly as the operator does — a hardcoded
+                # copy would let the record's routed_assignment field
+                # drift from the kernel that actually ran if the
+                # operator's constants are ever tuned.
+                k_sd = max(SEMDEDUP_K_MIN, -(-n_emb // SEMDEDUP_TARGET_CLUSTER))
                 t0 = time.perf_counter()
                 sd = transient_persist(semantic_dedup(emb, kernel="numpy"))
                 n_out = sd.count()
