@@ -242,6 +242,13 @@ def main() -> None:
         qs[name](spark, SF_DIR).count()
         durable_restart[name] = round(time.perf_counter() - t0, 3)
         release_transient()
+    # Harness shutdown drain: worker threads are not used here, but the
+    # drain also prunes the registry index and releases anything a query
+    # registered on a non-main thread (streaming listeners); part of the
+    # r11-ADVICE teardown-wiring contract.
+    from bioclip_vector_db_spark.plans.registry import release_all_transients
+
+    release_all_transients()
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)

@@ -185,3 +185,16 @@ class VectorSearchEngine:
                     shutil.rmtree(path, ignore_errors=True)
                 else:
                     os.unlink(path)
+
+    def close(self) -> None:
+        """Serving-tier shutdown: drain every thread's registered
+        transient persists (plans/registry.release_all_transients) so a
+        long-lived driver whose worker threads churned does not retain
+        their JVM-side cache entries (r11 ADVICE). Quiescent-only by the
+        drain's contract — call after the last in-flight query on ANY
+        thread has completed, exactly like a server's graceful-stop
+        hook. The engine object stays usable afterwards (the tables are
+        plain reads, not cached state)."""
+        from .plans.registry import release_all_transients
+
+        release_all_transients()

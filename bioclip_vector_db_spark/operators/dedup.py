@@ -2279,6 +2279,27 @@ def semantic_dedup(
             # k is known numerically (seed-centroid rule) — resolve the
             # routing decision without the limit().count() probe job.
             routed = n_cents > ROUTED_K_THRESHOLD
+            if routed:
+                # Auto-routing is engaging over SEED-RULE centroids
+                # (first-k raw corpus rows), where the trained-centroid
+                # ~1.0 routing-recall guarantee explicitly does not
+                # apply — results can diverge from the exact flat fold
+                # (measured 0.16% keep/drop drift on a structureless
+                # corpus). Make the exactness downgrade caller-visible
+                # instead of a docstring-only signal (r11 ADVICE).
+                import warnings
+
+                warnings.warn(
+                    "semantic_dedup: k exceeds ROUTED_K_THRESHOLD with "
+                    "default seed-rule centroids — assignment switches to "
+                    "the APPROXIMATE two-tier routed kernel, whose "
+                    "trained-centroid recall guarantee does not cover raw "
+                    "seed rows (measured keep/drop drift ~0.16% on an "
+                    "unstructured corpus). Pass routed=False for the exact "
+                    "flat GEMM, or supply trained centroids "
+                    "(indexing.train_kmeans_centroids) for gated recall.",
+                    stacklevel=2,
+                )
         assigned = argmax_centroid_numpy(v, centroids, routed=routed)
         return _semantic_dedup_decide(assigned, threshold)
     # Assignment argmax INSIDE the scan, zero row expansion — the same

@@ -45,9 +45,10 @@ _CAND_SCHEMA = T.StructType(
 #: Above this many centroids the interpreted ``transform``/``array_min``
 #: fold loses to a blocked GEMM: per row it costs nlist x dim interpreted
 #: multiply-adds (no codegen for higher-order functions), which at the
-#: reference's design point (nlist=31,622 x 512-d,
-#: /root/reference/src/bioclip_vector_db/storage/storage_impl.py:78-82) is
-#: ~16M interpreted ops per vector plus a ~130 MB single-row broadcast
+#: reference's nlist = floor(10*sqrt(N)) contract
+#: (/root/reference/src/bioclip_vector_db/storage/storage_impl.py:78-82;
+#: nlist=31,622 at N=1e7, 316,227 at N=1e9) is ~16M interpreted ops per
+#: 512-d vector already at N=1e7, plus a >100 MB single-row broadcast
 #: struct. knn.assign_partitions / knn.route_queries switch kernels here.
 LARGE_NLIST_THRESHOLD = 1024
 
@@ -166,12 +167,13 @@ def assign_partitions_numpy(
     on structureless data, and an IVF index layout (a PERSISTED artifact
     whose per-query search recall it directly determines) should not
     silently degrade with data structure. The cost asymmetry also
-    differs: under the reference's nlist ~ sqrt(N) contract
+    differs: under the reference's nlist = floor(10*sqrt(N)) contract
     (/root/reference/src/bioclip_vector_db/storage/storage_impl.py:78-82,
-    nlist=31,622 at N=1e9) flat assignment is O(N^1.5 d) but
-    embarrassingly parallel and ~60x lighter per vector than SemDeDup's
-    k = n/64 contract at the same N, so flat remains runnable where
-    SemDeDup's flat GEMM is not. Callers with structured corpora
+    nlist=316,227 at N=1e9) flat assignment is O(N^1.5 d) but
+    embarrassingly parallel and far lighter per vector than SemDeDup's
+    k = n/64 contract at the same N (10*sqrt(N) vs N/64 centroids:
+    ~50x at N=1e9), so flat remains runnable where SemDeDup's flat
+    GEMM is not. Callers with structured corpora
     (k-means-trained centroids over real embeddings — routing recall
     ~100% there, tests/test_semantic_routing.py) opt in with
     ``routed=True`` for the sqrt(nlist) speedup (measured 2.3x at

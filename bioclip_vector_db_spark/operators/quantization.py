@@ -424,9 +424,18 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
     qpos = {q: i for i, q in enumerate(qids)}
     cpos = {c: i for i, c in enumerate(codes)}
     L = np.full((len(qids), m, len(codes)), np.nan)
+    # Filled-cell mask kept ALONGSIDE the values: a NaN in L is ambiguous
+    # between "np.full filler (no LUT row for this cell)" and "a stored
+    # NaN distance (e.g. a NaN query embedding)" — the two need opposite
+    # diagnoses (codebook mismatch vs bad input), so the error branch
+    # below consults the mask instead of guessing (r11 ADVICE).
+    Lfilled = np.zeros((len(qids), m, len(codes)), dtype=bool)
     for r in lrows:
         L[qpos[r["query_id"]], r["s"], cpos[r["code"]]] = r["d"]
-    bc = rows.sparkSession.sparkContext.broadcast((qpos, np.array(codes), L))
+        Lfilled[qpos[r["query_id"]], r["s"], cpos[r["code"]]] = True
+    bc = rows.sparkSession.sparkContext.broadcast(
+        (qpos, np.array(codes), L, Lfilled)
+    )
     out_schema = T.StructType(
         list(rows.schema.fields) + [T.StructField("adc_distance", T.DoubleType())]
     )
@@ -434,7 +443,7 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
     def gather(batches):
         import numpy as np
 
-        bqpos, bcodes, bL = bc.value
+        bqpos, bcodes, bL, bLfilled = bc.value
 
         def code_index(arr, s):
             # searchsorted on an unknown code silently lands on a wrong
@@ -473,25 +482,40 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
                 # that particular query/subspace slot — a silent NaN
                 # adc_distance instead of the loud error these guards
                 # exist for (r10 ADVICE). Name the first offending
-                # (query_id, s, code) triples.
-                offenders = []
+                # (query_id, s, code) triples. The filled-cell mask
+                # distinguishes an UNFILLED cell (codebook/encoding
+                # mismatch) from a cell that holds a genuinely STORED
+                # NaN distance (a NaN query embedding poisons every dot
+                # product) — the two get different diagnoses (r11
+                # ADVICE).
+                missing, stored_nan = [], []
                 for i in np.nonzero(np.isnan(total))[0][:5]:
                     for s in range(m):
                         ci = np.searchsorted(
                             bcodes, pdf[f"pq_code_{s}"].to_numpy()[i : i + 1]
                         )[0]
                         if np.isnan(bL[qi[i], s, ci]):
-                            offenders.append(
-                                (
-                                    pdf["query_id"].iloc[i],
-                                    s,
-                                    int(pdf[f"pq_code_{s}"].iloc[i]),
-                                )
+                            triple = (
+                                pdf["query_id"].iloc[i],
+                                s,
+                                int(pdf[f"pq_code_{s}"].iloc[i]),
                             )
+                            if bLfilled[qi[i], s, ci]:
+                                stored_nan.append(triple)
+                            else:
+                                missing.append(triple)
                             break
+                if stored_nan:
+                    raise ValueError(
+                        "ADC LUT holds a stored NaN distance for "
+                        f"(query_id, subspace, code) triple(s) {stored_nan} "
+                        "— a NaN query embedding or codebook vector "
+                        "poisoned the LUT build (the cells exist; their "
+                        "values are NaN)"
+                    )
                 raise ValueError(
                     "ADC LUT has no entry for (query_id, subspace, code) "
-                    f"triple(s) {offenders} — the LUT and the encoded rows "
+                    f"triple(s) {missing} — the LUT and the encoded rows "
                     "were built from different codebooks"
                 )
             out = pdf.copy()

@@ -85,8 +85,6 @@ def _transient_list() -> list:
     lst = getattr(_TRANSIENT_TLS, "dfs", None)
     if lst is None:
         lst = _TRANSIENT_TLS.dfs = []
-        with _TRANSIENT_LOCK:
-            _ALL_TRANSIENT_LISTS.append(lst)
     return lst
 
 
@@ -95,7 +93,15 @@ def transient_persist(df):
     invocation: registers the DataFrame for release_transient() — on the
     CALLING thread's registry (see _TRANSIENT_TLS)."""
     df = df.persist()
-    _transient_list().append(df)
+    lst = _transient_list()
+    with _TRANSIENT_LOCK:
+        # Indexed at REGISTRATION time (not list creation):
+        # release_all_transients prunes emptied lists, so a thread that
+        # registers again after a drain must re-index its (identical,
+        # TLS-held) list or the next drain would miss it.
+        if not any(l is lst for l in _ALL_TRANSIENT_LISTS):
+            _ALL_TRANSIENT_LISTS.append(lst)
+    lst.append(df)
     return df
 
 
@@ -119,7 +125,16 @@ def release_all_transients() -> None:
     of the Python thread's fate). Only call when no query is in flight on
     ANY thread — cross-thread unpersist of an in-flight plan is exactly
     the silent-empty-result race release_transient()'s thread-scoping
-    exists to prevent (see _TRANSIENT_TLS)."""
+    exists to prevent (see _TRANSIENT_TLS). Wired into the long-running
+    harnesses' shutdown paths (bench.py, tools/check_correctness.py,
+    tools/scale_stress.py) and api.VectorDB.close().
+
+    Emptied lists are PRUNED from the index afterwards (r11 ADVICE:
+    one retained list per thread ever created is an unbounded leak on a
+    serving driver with churning worker threads). A list that picked up
+    a new registration between the drain and the prune — a caller
+    violating the quiescence contract — is kept, never dropped with
+    live entries."""
     with _TRANSIENT_LOCK:
         lists = list(_ALL_TRANSIENT_LISTS)
     for lst in lists:
@@ -128,6 +143,8 @@ def release_all_transients() -> None:
                 lst.pop().unpersist()
             except Exception:
                 pass
+    with _TRANSIENT_LOCK:
+        _ALL_TRANSIENT_LISTS[:] = [l for l in _ALL_TRANSIENT_LISTS if l]
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -277,3 +277,38 @@ def test_release_transient_is_thread_scoped(spark, sf_dir):
     assert not registered["df"].storageLevel.useMemory, (
         "release_all_transients failed to reclaim a dead worker's persist"
     )
+
+
+def test_release_all_transients_prunes_dead_lists(spark, sf_dir):
+    """r11 ADVICE: _ALL_TRANSIENT_LISTS retained one (empty) list per
+    thread ever created, forever — a slow leak on a serving driver with
+    churning worker threads. The drain must prune emptied lists, and a
+    thread that registers again afterwards must be re-indexed (its TLS
+    list object survives the prune)."""
+    import threading
+
+    from bioclip_vector_db_spark.plans import registry
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    df = load_table(spark, sf_dir, "region")
+    for _ in range(5):
+        t = threading.Thread(target=lambda: registry.transient_persist(df))
+        t.start(); t.join()
+    registry.release_all_transients()
+    with registry._TRANSIENT_LOCK:
+        assert not any(
+            len(l) == 0 for l in registry._ALL_TRANSIENT_LISTS
+        ), "drain retained emptied per-thread lists"
+
+    # Re-registration on THIS thread must re-index the pruned TLS list,
+    # or the next drain would silently miss it.
+    kept = registry.transient_persist(df)
+    with registry._TRANSIENT_LOCK:
+        # identity check — DataFrame.__eq__ builds a Column, never use `in`
+        assert any(
+            any(x is kept for x in l) for l in registry._ALL_TRANSIENT_LISTS
+        )
+    registry.release_all_transients()
+    assert not kept.storageLevel.useMemory, (
+        "re-registered transient invisible to the drain after pruning"
+    )

@@ -323,3 +323,29 @@ def test_adc_gather_missing_lut_cell_fails_loud(spark):
     # they never touch the missing cell.
     got = qz.adc_score(rows, holey, m=4, kernel="gather").collect()
     assert len(got) == 1 and got[0]["adc_distance"] is not None
+
+
+def test_adc_gather_stored_nan_diagnosed_distinctly(spark):
+    """A genuinely STORED NaN LUT distance (a NaN query embedding poisons
+    every dot product) is a different failure than an unfilled cell, and
+    used to be misreported as 'built from different codebooks' (r11
+    ADVICE). The filled-cell mask must route it to the stored-NaN
+    diagnosis — and leave the missing-cell message for actual holes."""
+    import pytest
+
+    lut, rows = _tiny_lut_and_rows(spark)
+    # Overwrite the (query 1, s=2, code=1) cell's VALUE with NaN — the
+    # cell exists (mask=filled), its distance is NaN.
+    poisoned = lut.withColumn(
+        "d",
+        F.when(
+            (F.col("s") == 2) & (F.col("code") == 1),
+            F.lit(float("nan")),
+        ).otherwise(F.col("d")),
+    )
+    bad = rows.withColumn("pq_code_2", F.lit(1))
+    with pytest.raises(Exception, match="stored NaN distance"):
+        qz.adc_score(bad, poisoned, m=4, kernel="gather").collect()
+    # Rows never touching the poisoned cell still score normally.
+    got = qz.adc_score(rows, poisoned, m=4, kernel="gather").collect()
+    assert len(got) == 1 and got[0]["adc_distance"] is not None

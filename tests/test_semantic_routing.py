@@ -145,6 +145,34 @@ def test_routed_auto_threshold_and_flat_default(spark):
     assert a == b
 
 
+def test_semantic_dedup_warns_on_seedrule_auto_routing(spark):
+    """r11 ADVICE: auto-routing over default seed-rule centroids is an
+    exactness downgrade the caller must SEE — semantic_dedup emits a
+    UserWarning naming the escape hatches; forcing routed=False stays
+    silent (no downgrade happened)."""
+    import warnings
+
+    import pytest
+
+    from bioclip_vector_db_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    V = rng.randn(60, 16)
+    emb = spark.createDataFrame(
+        [(int(i), V[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.warns(UserWarning, match="seed-rule centroids"):
+        semantic_dedup(
+            emb, k=ROUTED_K_THRESHOLD + 8, kernel="numpy", routed="auto"
+        ).count()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        semantic_dedup(
+            emb, k=ROUTED_K_THRESHOLD + 8, kernel="numpy", routed=False
+        ).count()
+
+
 def test_routed_empty_centroids_empty_out(spark):
     cents, vecs = _planted(spark, K=520, N=50)
     empty = cents.filter("cid < 0")

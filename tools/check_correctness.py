@@ -120,6 +120,11 @@ def main():
             from bioclip_vector_db_spark.plans.registry import release_transient
 
             release_transient()
+    # Harness shutdown drain (r11 ADVICE): releases any transient a query
+    # registered on a non-main thread and prunes the registry index.
+    from bioclip_vector_db_spark.plans.registry import release_all_transients
+
+    release_all_transients()
     if json_out:
         import json
 

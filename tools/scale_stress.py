@@ -676,6 +676,11 @@ def main() -> None:
 
             release_transient()
     finally:
+        # Shutdown drain (r11 ADVICE teardown wiring): release anything
+        # registered on non-main threads and prune the registry index.
+        from bioclip_vector_db_spark.plans.registry import release_all_transients
+
+        release_all_transients()
         if not args.keep_workdir:
             shutil.rmtree(workdir, ignore_errors=True)
 
