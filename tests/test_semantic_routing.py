@@ -145,6 +145,46 @@ def test_routed_auto_threshold_and_flat_default(spark):
     assert a == b
 
 
+def test_tiled_routing_matches_untiled_and_inversion_is_total():
+    """r11 ADVICE: the routing GEMM is now tiled over super-centroid
+    blocks and the top->rows inversion is one sorted pass. Pin (a) the
+    tiled top-p candidate SET equals the untiled one score-wise on
+    tie-free data, and (b) the inversion yields every (row, group)
+    probe exactly once with ascending rows per group."""
+    from bioclip_vector_db_spark.operators import knn_numpy as kn
+
+    rng = np.random.RandomState(5)
+    emb = rng.randn(64, 32)
+    S = rng.randn(300, 32)
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    p = 8
+    untiled_scores = np.sort(
+        np.take_along_axis(
+            emb @ S.T,
+            np.argpartition(emb @ S.T, 300 - p, axis=1)[:, 300 - p :],
+            axis=1,
+        ),
+        axis=1,
+    )
+    old_tile = kn._TILE_ELEMS
+    try:
+        kn._TILE_ELEMS = 64 * 37  # force ~9 tiles at b=64
+        top = kn._tiled_top_groups(emb, S, p)
+    finally:
+        kn._TILE_ELEMS = old_tile
+    assert top.shape == (64, p)
+    tiled_scores = np.sort(
+        np.take_along_axis(emb @ S.T, top, axis=1), axis=1
+    )
+    assert np.array_equal(tiled_scores, untiled_scores)
+    seen = set()
+    for j, rows_idx in kn._invert_top_to_rows(top):
+        assert np.all(np.diff(rows_idx) > 0) or len(rows_idx) == 1
+        for r in rows_idx:
+            seen.add((int(r), j))
+    assert seen == {(r, int(gid)) for r in range(64) for gid in top[r]}
+
+
 def test_semantic_dedup_warns_on_seedrule_auto_routing(spark):
     """r11 ADVICE: auto-routing over default seed-rule centroids is an
     exactness downgrade the caller must SEE — semantic_dedup emits a
