@@ -2239,6 +2239,21 @@ def semantic_dedup(
     byte-exact; pass ``routed=False`` to force the flat exact GEMM at any
     k.
 
+    ``routed='distributed'`` (auto above knn_routed.
+    DISTRIBUTED_K_THRESHOLD when k is known numerically): the r11 routed
+    kernel still COLLECTED the k x d centroid table to the driver — at
+    the k = n/64 contract's 100-TB point (k ~ 1.6e9, ~6 TB) that
+    collect is itself the blocker. The distributed tier
+    (operators/knn_routed.py) keeps the centroid table a DataFrame end
+    to end: only a capped router sample is collected, centroids are
+    grouped map-side against the broadcast router, and the bottom-tier
+    argbest is a routed-group cogroup GEMM keyed on group id. Same
+    O(n sqrt(8k) d) FLOPs; adds an O(8 n d)-byte linear shuffle the
+    in-memory tiers don't have — the price of removing the last
+    super-linear driver term. Gated alongside the in-memory tier in
+    tests/test_semantic_routing.py (recall, determinism,
+    salt-invariance, capped-collect, end-to-end keep/drop).
+
     Producing the centroids at scale: the seed rule here exists for the
     exact SQL twin; production callers pass
     ``centroids=indexing.train_kmeans_centroids(vectors, k,
@@ -2262,6 +2277,10 @@ def semantic_dedup(
         n_cents = k
     else:
         n_cents = None
+    if routed == "distributed":
+        # The distributed tier IS a numpy-family kernel (cogroup GEMMs);
+        # a kernel='expr' request alongside it would be contradictory.
+        kernel = "numpy"
     if kernel == "auto":
         from .knn import _pick_kernel
         from .knn_numpy import LARGE_NLIST_THRESHOLD
@@ -2274,11 +2293,20 @@ def semantic_dedup(
             kernel = _pick_kernel("auto", centroids)
     if kernel == "numpy":
         from .knn_numpy import ROUTED_K_THRESHOLD, argmax_centroid_numpy
+        from .knn_routed import DISTRIBUTED_K_THRESHOLD
 
         if routed == "auto" and n_cents is not None:
             # k is known numerically (seed-centroid rule) — resolve the
             # routing decision without the limit().count() probe job.
-            routed = n_cents > ROUTED_K_THRESHOLD
+            # Past DISTRIBUTED_K_THRESHOLD even the ROUTED kernel's
+            # driver-side collect of the k x d table is the scale
+            # problem — escalate to the distributed bottom tier
+            # (knn_routed.py), which collects only a capped router
+            # sample.
+            if n_cents > DISTRIBUTED_K_THRESHOLD:
+                routed = "distributed"
+            else:
+                routed = n_cents > ROUTED_K_THRESHOLD
             if routed:
                 # Auto-routing is engaging over SEED-RULE centroids
                 # (first-k raw corpus rows), where the trained-centroid

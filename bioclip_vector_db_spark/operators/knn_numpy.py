@@ -62,9 +62,14 @@ def _collect_centroids(centroids: DataFrame, pid_col: str, vec_col: str):
     """Centroid matrix sorted by partition id -> (pids int64[k], C float64[k,d]).
 
     Driver-side collect is the point: the centroid table is nlist x dim
-    (~130 MB at the reference's max) — broadcast-variable territory, not
-    join territory. Ascending-pid order makes every argmin-first tiebreak
-    below equal the expression kernel's lexicographic (d, pid) min.
+    (~130 MB at the reference's nlist = 10*sqrt(N) design point) —
+    broadcast-variable territory, not join territory. Ascending-pid
+    order makes every argmin-first tiebreak below equal the expression
+    kernel's lexicographic (d, pid) min. Above
+    knn_routed.DISTRIBUTED_K_THRESHOLD rows (SemDeDup's k = n/64
+    contract at extreme n) this collect is itself the scale problem —
+    the distributed tier (knn_routed.py) replaces it with a capped
+    router sample and never materializes the table on the driver.
     """
     rows = centroids.select(pid_col, vec_col).orderBy(pid_col).collect()
     pids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -220,7 +225,9 @@ ROUTE_PROBES = 8
 _SUPER_KMEANS_ITERS = 8
 
 
-def _super_centroids(cmat: "np.ndarray", probes: int = ROUTE_PROBES):
+def _super_centroids(
+    cmat: "np.ndarray", probes: int = ROUTE_PROBES, g: "int | None" = None
+):
     """Deterministic driver-side grouping of the (id-sorted) centroid
     matrix into g = ceil(sqrt(probes * k)) groups: Lloyd's k-means with
     evenly-strided init (no RNG — same input, same groups, so routed
@@ -229,12 +236,18 @@ def _super_centroids(cmat: "np.ndarray", probes: int = ROUTE_PROBES):
     row-indices of its member centroids (ascending row-index == ascending
     centroid id, preserving the smallest-id tiebreak within a group).
 
+    ``g`` overrides the group count — the distributed tier
+    (knn_routed.py) builds its router from a SAMPLE of the centroid
+    table, so the group count must come from the FULL table's k, not
+    from len(cmat).
+
     Cost is O(k * g * d) = O(k^1.5 d) BLAS on the driver — sub-second at
     the stress decades (k <= 2,000) and bounded by the same
     centroid-table-fits-on-the-driver contract _collect_centroids already
-    imposes on the flat kernel."""
+    imposes on the flat kernel (the distributed tier bounds it by the
+    sample cap instead)."""
     k = cmat.shape[0]
-    g = min(k, max(2, math.ceil(math.sqrt(probes * k))))
+    g = min(k, max(2, g if g is not None else math.ceil(math.sqrt(probes * k))))
     S = cmat[np.linspace(0, k - 1, g).astype(np.int64)].copy()
     assign = None
     for _ in range(_SUPER_KMEANS_ITERS):
@@ -439,7 +452,31 @@ def argmax_centroid_numpy(
     forces the flat exact GEMM, ``'auto'`` (default) routes when the
     centroid table exceeds ROUTED_K_THRESHOLD — above it the flat
     kernel's O(n k d) is the SemDeDup scale-killer the r10 verdict named
-    (k grows with n by contract, so flat assignment is O(n^2 d / 64))."""
+    (k grows with n by contract, so flat assignment is O(n^2 d / 64)).
+    ``'distributed'`` additionally removes the centroids-fit-on-the-
+    driver bound both other tiers share (this function's collect):
+    knn_routed.routed_best_centroid_distributed keeps the centroid table
+    a DataFrame end to end and collects only a capped router sample —
+    required above ~DISTRIBUTED_K_THRESHOLD centroids, where the k x d
+    collect itself is the scale problem; needs ``vectors`` to carry a
+    unique ``vec_id`` column (the distributed merge's key). ``'auto'``
+    does NOT escalate here on its own — it must collect the table to
+    count it, which is exactly what the distributed tier avoids; callers
+    who know k is past the bound say so (semantic_dedup's auto does,
+    from its seed-rule k)."""
+    if routed == "distributed":
+        from .knn_routed import routed_best_centroid_distributed
+
+        return routed_best_centroid_distributed(
+            vectors,
+            centroids,
+            id_col=cid_col,
+            cvec_col=cvec_col,
+            vec_col=vec_col,
+            similarity=True,
+            out_field=T.StructField(cid_col, T.LongType()),
+            score_field="csim",
+        )
     collected = None
     if routed == "auto":
         # Both kernels collect the centroid table anyway (it IS the GEMM

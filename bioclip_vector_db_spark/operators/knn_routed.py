@@ -1,0 +1,361 @@
+"""Distributed two-tier routed centroid assignment — no driver-resident
+centroid table.
+
+The r11 routed kernel (knn_numpy._routed_best_centroid) removed the
+O(n^2 d / 64) flat-assignment wall under SemDeDup's k = ceil(n/64)
+contract, but kept `_collect_centroids`' centroids-fit-on-the-driver
+bound: the full bottom-tier k x d matrix is collected and broadcast. At
+the contract's 100-TB point (n = 1e11 -> k ~ 1.6e9, ~6 TB at 512-d)
+that table fits NO driver — the r11 verdict's one named engineering
+frontier. This module removes the bound:
+
+- only the ROUTER is driver-resident: ~g = ceil(sqrt(probes*k))
+  normalized group means built from a hash-strided SAMPLE of the
+  centroid table (<= _ROUTER_SAMPLE_CAP rows collected — a constant,
+  never O(k)); g x d is ~sqrt(k) rows — MBs at any contract point
+  (113k x 512 doubles ~ 460 MB at the extreme k=1.6e9; the SAMPLE
+  collected to build it stays capped);
+- the bottom tier stays a DataFrame: each centroid row is assigned to
+  its router group MAP-SIDE (tiled argmax against the broadcast
+  router), giving a (group_id, cid, cvec) table that is shuffled by
+  group_id — never collected;
+- each vector routes map-side to its top-``probes`` LIVE groups (groups
+  that actually own >= 1 centroid — the live-id list is a <= g-row
+  collect), is exploded to ``probes`` rows, and the per-group argbest
+  is a cogroup ``applyInPandas`` GEMM between the routed vectors and
+  the group's member centroids (group id — optionally salted — as the
+  equi-join key);
+- the global argbest is one groupBy(vec_id) struct-min/max over n x p
+  candidate rows (no embedding payload), joined back to the input.
+
+Cost model vs the in-memory routed kernel: identical GEMM work,
+O(n sqrt(probes*k) d) FLOPs, plus a shuffle the in-memory kernel does
+not have — O(probes * n * d) bytes for the routed vector explode and
+O(salts * k * d) for the member side. That shuffle is LINEAR in n (the
+flat kernel's collect was the super-linear driver term), which is the
+trade that removes the driver bound; engage this tier only above it
+(DISTRIBUTED_K_THRESHOLD, or explicitly with routed="distributed").
+
+Approximation contract: same class as the in-memory routed kernel —
+the probed-group union need not contain the true argbest centroid;
+recall is gated on structured data by tests/test_semantic_routing.py
+and the keep/drop drift bound is gated end-to-end on semantic_dedup.
+Deterministic end to end: hash-strided sample, strided-init Lloyd,
+argmax/argpartition over fixed layouts, ties to the smallest id at
+every stage (group assignment, within-group argbest, global merge).
+
+Reference parity note: the reference loads its whole FAISS index on one
+process (storage_impl.py) — at 100 TB no single process can; this tier
+is the Spark-native answer SCALING.md §2.1 names.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .knn_numpy import (
+    ROUTE_PROBES,
+    _SUPER_KMEANS_ITERS,
+    _invert_top_to_rows,
+    _super_centroids,
+    _tiled_top_groups,
+)
+
+#: Above this many centroids argmax_centroid_numpy's driver-collect tiers
+#: (flat AND in-memory-routed both broadcast the full k x d table) give
+#: way to this module: 1M rows x 512-d doubles is ~4 GB collected — the
+#: practical edge of broadcast-variable territory. semantic_dedup's
+#: ``routed='auto'`` escalates here when k is known numerically; callers
+#: with an explicit centroid DataFrame opt in with routed="distributed".
+DISTRIBUTED_K_THRESHOLD = 1_000_000
+
+#: Centroid rows sampled (hash-strided, deterministic) to build the
+#: router. Bounds the ONLY driver-side collect at a constant: the router
+#: needs g = ceil(sqrt(probes*k)) anchors, and cap^2/probes >= k holds to
+#: k ~ 5e8 at this cap; past that the router is built from strided
+#: sample rows directly (every sampled row an anchor) — coarser but
+#: still ~sqrt(k) anchors, and never O(k) driver bytes.
+_ROUTER_SAMPLE_CAP = 65_536
+
+#: Driver-side Lloyd refine budget in multiply-adds: sample x g x d x
+#: iters beyond this skips the refine and uses strided sample rows as
+#: anchors directly (routing quality degrades gracefully; the recall
+#: gates run well inside the refined regime).
+_ROUTER_LLOYD_BUDGET = 2e10
+
+_CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("_rt_vid", T.LongType()),
+        T.StructField("_rt_cand", T.LongType()),
+        T.StructField("_rt_score", T.DoubleType()),
+    ]
+)
+
+
+def _sample_router_matrix(
+    centroids: DataFrame, id_col: str, cvec_col: str, k: int
+) -> "np.ndarray":
+    """Deterministic <= _ROUTER_SAMPLE_CAP-row sample of centroid vectors
+    (hash-strided on the id so the sample is a property of the DATA, not
+    of partitioning or row order; id-sorted so the Lloyd init is
+    reproducible). The one collect in this module that touches centroid
+    VECTORS — bounded by the cap, never by k."""
+    stride = max(1, math.ceil(k / _ROUTER_SAMPLE_CAP))
+    samp = centroids.select(id_col, cvec_col)
+    if stride > 1:
+        samp = samp.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+        )
+    rows = samp.orderBy(id_col).limit(2 * _ROUTER_SAMPLE_CAP).collect()
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
+def _build_router(sample: "np.ndarray", k: int, probes: int) -> "np.ndarray":
+    """g ~ ceil(sqrt(probes*k)) unit-normalized routing anchors from the
+    sample: Lloyd-refined via _super_centroids when the driver FLOPs
+    budget allows (same strided init / oversize split / normalization as
+    the in-memory tier), strided sample rows otherwise."""
+    s, d = sample.shape
+    g = min(s, max(2, math.ceil(math.sqrt(probes * k))))
+    if s * g * d * _SUPER_KMEANS_ITERS <= _ROUTER_LLOYD_BUDGET:
+        S, _ = _super_centroids(sample, probes, g=g)
+        return S
+    S = sample[np.linspace(0, s - 1, g).astype(np.int64)].copy()
+    norms = np.linalg.norm(S, axis=1, keepdims=True)
+    return S / np.where(norms < 1e-12, 1.0, norms)
+
+
+def _tiled_argmax_group(emb: "np.ndarray", S: "np.ndarray") -> "np.ndarray":
+    """Deterministic argmax routing-group per row, tiled like
+    _tiled_top_groups: blocks ascend by group id, within a block argmax
+    takes the FIRST maximum, cross-block updates require a STRICT
+    improvement — ties break to the smallest group id, matching every
+    other argbest in the kernel family."""
+    from .knn_numpy import _TILE_ELEMS
+
+    b, g = emb.shape[0], S.shape[0]
+    gblock = max(1, min(g, _TILE_ELEMS // max(b, 1)))
+    best_v = np.full(b, -np.inf)
+    best_g = np.zeros(b, dtype=np.int64)
+    for s in range(0, g, gblock):
+        blk = emb @ S[s : s + gblock].T
+        j = blk.argmax(axis=1)
+        v = blk[np.arange(b), j]
+        upd = v > best_v
+        best_v[upd] = v[upd]
+        best_g[upd] = s + j[upd]
+    return best_g
+
+
+def routed_best_centroid_distributed(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    cvec_col: str,
+    vec_col: str,
+    vec_id_col: str = "vec_id",
+    similarity: bool = True,
+    out_field: "T.StructField",
+    score_field: "str | None" = None,
+    probes: int = ROUTE_PROBES,
+    group_salts: int = 1,
+) -> DataFrame:
+    """Two-tier argbest with a DISTRIBUTED bottom tier (module docstring
+    has the full shape). Requires ``vec_id_col`` to be unique per input
+    row — the global merge keys on it and the result is joined back by
+    it (the in-memory kernels are pure mapInPandas and need no key; the
+    distributed tier's cogroup does).
+
+    ``group_salts``: splits each routed group's VECTOR rows across this
+    many cogroup keys, replicating the group's member centroids per salt
+    — the standard hot-key treatment when n*probes/g rows per group
+    exceeds one task's comfort (at 100 TB with n=1e11, g~113k: ~7e9
+    routed rows per group — size salts ~ that over ~10M). Results are
+    salt-invariant (gated): the per-group argbest is computed per salt
+    and the global struct-merge is associative.
+    """
+    spark = vectors.sparkSession
+    fields = list(vectors.schema.fields) + [out_field]
+    if score_field is not None:
+        fields.append(T.StructField(score_field, T.DoubleType()))
+    out_schema = T.StructType(fields)
+    k = centroids.count()
+    if k == 0:
+        return spark.createDataFrame([], out_schema)
+
+    sample = _sample_router_matrix(centroids, id_col, cvec_col, k)
+    S = _build_router(sample, k, probes)
+    bc_router = spark.sparkContext.broadcast(S)
+
+    # -- bottom tier: centroid -> group, map-side, never collected -------
+    grouped_schema = T.StructType(
+        [
+            T.StructField("_rt_gid", T.IntegerType()),
+            next(f for f in centroids.schema.fields if f.name == id_col),
+            next(f for f in centroids.schema.fields if f.name == cvec_col),
+        ]
+    )
+
+    def assign_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bS = bc_router.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.array(list(pdf[cvec_col]), dtype=np.float64)
+            gid = _tiled_argmax_group(emb, bS)
+            yield pd.DataFrame(
+                {
+                    "_rt_gid": gid.astype(np.int32),
+                    id_col: pdf[id_col].to_numpy(),
+                    cvec_col: pdf[cvec_col],
+                }
+            )
+
+    from ..plans.registry import transient_persist
+
+    members = transient_persist(
+        centroids.select(id_col, cvec_col).mapInPandas(
+            assign_groups, grouped_schema
+        )
+    )
+    # Live-group ids: <= g scalars — vectors route only over groups that
+    # own >= 1 centroid, so every probe lands on a member-bearing cogroup
+    # key and no vector can end up candidate-less.
+    live = np.array(
+        sorted(r[0] for r in members.select("_rt_gid").distinct().collect()),
+        dtype=np.int64,
+    )
+    bc_live = spark.sparkContext.broadcast(live)
+
+    # -- vectors -> top-p live groups, exploded map-side ------------------
+    vid_field = next(f for f in vectors.schema.fields if f.name == vec_id_col)
+    routed_schema = T.StructType(
+        [
+            vid_field,
+            next(f for f in vectors.schema.fields if f.name == vec_col),
+            T.StructField("_rt_gid", T.IntegerType()),
+            T.StructField("_rt_salt", T.IntegerType()),
+        ]
+    )
+    n_salts = max(1, int(group_salts))
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bS = bc_router.value
+        blive = bc_live.value
+        S_live = bS[blive]
+        p = min(probes, len(blive))
+        for pdf in batches:
+            b = len(pdf)
+            if not b:
+                continue
+            emb = np.array(list(pdf[vec_col]), dtype=np.float64)
+            top = blive[_tiled_top_groups(emb, S_live, p)]  # b x p live gids
+            vids = pdf[vec_id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    vec_id_col: np.repeat(vids, p),
+                    vec_col: [v for v in pdf[vec_col] for _ in range(p)],
+                    "_rt_gid": top.ravel().astype(np.int32),
+                    "_rt_salt": np.repeat(
+                        (vids % n_salts).astype(np.int32), p
+                    ),
+                }
+            )
+
+    routed_v = vectors.select(vec_id_col, vec_col).mapInPandas(
+        route, routed_schema
+    )
+
+    member_side = members
+    if n_salts > 1:
+        member_side = members.withColumn(
+            "_rt_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+        )
+    else:
+        member_side = members.withColumn("_rt_salt", F.lit(0))
+
+    # -- per-group argbest: cogroup GEMM keyed on (group, salt) ----------
+    def per_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            # right-only keys: group/salt no vector probed — no candidates.
+            # left-only keys cannot occur (vectors route over LIVE groups
+            # and every salt replica of a live group has members).
+            return pd.DataFrame(
+                {
+                    "_rt_vid": pd.Series([], dtype="int64"),
+                    "_rt_cand": pd.Series([], dtype="int64"),
+                    "_rt_score": pd.Series([], dtype="float64"),
+                }
+            )
+        order = np.argsort(right[id_col].to_numpy(), kind="stable")
+        cids = right[id_col].to_numpy()[order]
+        C = np.array(list(right[cvec_col]), dtype=np.float64)[order]
+        E = np.array(list(left[vec_col]), dtype=np.float64)
+        blk = E @ C.T
+        if not similarity:
+            blk = 1.0 - blk
+        np.round(blk, 9, out=blk)
+        # first extremum = smallest cid (members sorted ascending above)
+        j = blk.argmax(axis=1) if similarity else blk.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "_rt_vid": left[vec_id_col].to_numpy(dtype=np.int64),
+                "_rt_cand": cids[j].astype(np.int64),
+                "_rt_score": blk[np.arange(len(E)), j],
+            }
+        )
+
+    cands = (
+        routed_v.groupBy("_rt_gid", "_rt_salt")
+        .cogroup(member_side.groupBy("_rt_gid", "_rt_salt"))
+        .applyInPandas(per_group, _CAND_SCHEMA)
+    )
+
+    # -- global argbest per vector: struct merge, ties to smallest id ----
+    if similarity:
+        best = cands.groupBy("_rt_vid").agg(
+            F.max(
+                F.struct(
+                    F.col("_rt_score").alias("s"),
+                    (-F.col("_rt_cand")).alias("nid"),
+                )
+            ).alias("_rt_best")
+        )
+        best = best.select(
+            F.col("_rt_vid"),
+            (-F.col("_rt_best.nid")).alias("_rt_out"),
+            F.col("_rt_best.s").alias("_rt_sc"),
+        )
+    else:
+        best = cands.groupBy("_rt_vid").agg(
+            F.min(
+                F.struct(
+                    F.col("_rt_score").alias("s"),
+                    F.col("_rt_cand").alias("id"),
+                )
+            ).alias("_rt_best")
+        )
+        best = best.select(
+            F.col("_rt_vid"),
+            F.col("_rt_best.id").alias("_rt_out"),
+            F.col("_rt_best.s").alias("_rt_sc"),
+        )
+
+    out_cols = [F.col(f.name) for f in vectors.schema.fields] + [
+        F.col("_rt_out").cast(out_field.dataType).alias(out_field.name)
+    ]
+    if score_field is not None:
+        out_cols.append(F.col("_rt_sc").alias(score_field))
+    return vectors.join(
+        best, vectors[vec_id_col] == best["_rt_vid"], "inner"
+    ).select(*out_cols)

@@ -24,6 +24,8 @@ three claims the docstrings make:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 
@@ -143,6 +145,181 @@ def test_routed_auto_threshold_and_flat_default(spark):
     a = _collect_assign(argmax_centroid_numpy(vecs, small, routed="auto"))
     b = _collect_assign(argmax_centroid_numpy(vecs, small, routed=False))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Distributed bottom tier (r11 verdict item 1): same recall/determinism/tie
+# contracts as the in-memory routed kernel, PLUS the no-O(k)-collect bound.
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_routed_recall_on_structured_data(spark):
+    """The distributed tier's recall gate, mirroring the in-memory one:
+    >= 99% assignment agreement with the exact flat argmax on planted
+    clusters at realistic dims, negligible similarity loss on misses,
+    IDENTICAL doubles on agreements (routing changes which centroids are
+    scored, never how — the cogroup GEMM rounds to 9dp like every other
+    kernel)."""
+    cents, vecs = _planted(spark)
+    flat = _collect_assign(argmax_centroid_numpy(vecs, cents, routed=False))
+    dist = _collect_assign(
+        argmax_centroid_numpy(vecs, cents, routed="distributed")
+    )
+    assert set(flat) == set(dist)
+    n = len(flat)
+    agree = sum(1 for k in flat if flat[k][0] == dist[k][0])
+    assert agree / n >= 0.99, f"distributed routing recall {agree}/{n}"
+    assert max(flat[k][1] - dist[k][1] for k in flat) <= 0.02
+    assert all(
+        flat[k][1] == dist[k][1] for k in flat if flat[k][0] == dist[k][0]
+    )
+
+
+def test_distributed_routed_is_deterministic_and_salt_invariant(spark):
+    """Same input -> identical output, run to run (hash-strided sample,
+    strided-init Lloyd, no RNG); and group_salts — the hot-group
+    splitting knob for the 100-TB regime — must not change a single row
+    (the per-group argbest is computed per salt and the global
+    struct-merge is associative)."""
+    from pyspark.sql import types as T
+
+    from bioclip_vector_db_spark.operators.knn_routed import (
+        routed_best_centroid_distributed,
+    )
+
+    cents, vecs = _planted(spark, K=520, N=800)
+
+    def run(salts):
+        return _collect_assign(
+            routed_best_centroid_distributed(
+                vecs,
+                cents,
+                id_col="cid",
+                cvec_col="cvec",
+                vec_col="embedding",
+                similarity=True,
+                out_field=T.StructField("cid", T.LongType()),
+                score_field="csim",
+                group_salts=salts,
+            )
+        )
+
+    a, b, salted = run(1), run(1), run(3)
+    assert a == b
+    assert a == salted
+
+
+def test_distributed_collects_only_a_capped_router_sample(spark, monkeypatch):
+    """The tier's contract: the ONLY centroid-vector collect is the
+    hash-strided router sample, bounded by _ROUTER_SAMPLE_CAP — never
+    O(k). Pinned by (a) shrinking the cap far below k and asserting the
+    collected sample honors it while the pipeline stays correct, and
+    (b) asserting the full-table collect helper is never called."""
+    from bioclip_vector_db_spark.operators import knn_numpy, knn_routed
+
+    cents, vecs = _planted(spark, K=600, N=600)
+    seen = {}
+    real_sample = knn_routed._sample_router_matrix
+
+    def spy(centroids, id_col, cvec_col, k):
+        out = real_sample(centroids, id_col, cvec_col, k)
+        seen["rows"] = len(out)
+        return out
+
+    def forbidden(*a, **kw):
+        raise AssertionError(
+            "distributed tier collected the full centroid table"
+        )
+
+    monkeypatch.setattr(knn_routed, "_ROUTER_SAMPLE_CAP", 96)
+    monkeypatch.setattr(knn_routed, "_sample_router_matrix", spy)
+    monkeypatch.setattr(knn_numpy, "_collect_centroids", forbidden)
+    dist = _collect_assign(
+        argmax_centroid_numpy(vecs, cents, routed="distributed")
+    )
+    assert seen["rows"] <= 2 * 96 < 600
+    assert len(dist) == 600
+    # A 6x-coarser router costs recall headroom, not correctness of the
+    # probed-set argbest: every row still gets a real (cid, finite dot).
+    assert all(
+        isinstance(c, int) and math.isfinite(s) for c, s in dist.values()
+    )
+
+
+def test_distributed_cross_group_tie_breaks_to_smallest_cid(spark):
+    """Twin centroids planted so ties can span cogroup keys: the
+    smallest-cid rule must hold through the per-group argbest AND the
+    global struct merge."""
+    D = 8
+    base = np.eye(D)
+    rows = [(i, base[i % D].tolist()) for i in range(2 * D)]
+    cents = spark.createDataFrame(rows, "cid long, cvec array<double>")
+    vecs = spark.createDataFrame(
+        [(int(i), base[i % D].tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    got = _collect_assign(
+        argmax_centroid_numpy(vecs, cents, routed="distributed")
+    )
+    for vid, (cid, csim) in got.items():
+        # Either twin's group may be the one probed; when BOTH are in the
+        # probed union the winner must be the smaller cid, and the score
+        # is exactly 1.0 regardless.
+        assert csim == 1.0
+        assert cid % D == vid % D
+    # The twins are identical vectors, so their groups tie at every
+    # stage; the probe set is the LIVE-group top-p which here covers all
+    # groups (g <= probes) — the smaller twin must win everywhere.
+    assert all(cid == vid % D for vid, (cid, _) in got.items())
+
+
+def test_distributed_empty_inputs(spark):
+    cents, vecs = _planted(spark, K=520, N=50)
+    assert (
+        argmax_centroid_numpy(
+            vecs, cents.filter("cid < 0"), routed="distributed"
+        ).count()
+        == 0
+    )
+    assert (
+        argmax_centroid_numpy(
+            vecs.filter("vec_id < 0"), cents, routed="distributed"
+        ).count()
+        == 0
+    )
+
+
+def test_semantic_dedup_distributed_matches_flat_on_structured_corpus(spark):
+    """End-to-end SemDeDup keep/drop under the distributed tier equals
+    the flat exact kernel's on a structured corpus — the operator-level
+    gate, mirroring the in-memory tier's."""
+    from bioclip_vector_db_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    K, D, per = 530, 128, 3
+    C = rng.randn(K, D)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    rows = [(int(i), C[i].tolist()) for i in range(K)]
+    vid = K
+    for i in range(K):
+        for _ in range(per - 1):
+            rows.append((int(vid), (C[i] + 0.05 * rng.randn(D)).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flat = {
+        r.vec_id: (r.cluster_id, r.kept)
+        for r in semantic_dedup(emb, k=K, kernel="numpy", routed=False).collect()
+    }
+    dist = {
+        r.vec_id: (r.cluster_id, r.kept)
+        for r in semantic_dedup(
+            emb, k=K, kernel="numpy", routed="distributed"
+        ).collect()
+    }
+    assert set(flat) == set(dist)
+    assert all(flat[k][1] == dist[k][1] for k in flat), "keep/drop diverged"
+    agree = sum(1 for k in flat if flat[k][0] == dist[k][0])
+    assert agree / len(flat) >= 0.995
 
 
 def test_tiled_routing_matches_untiled_and_inversion_is_total():
