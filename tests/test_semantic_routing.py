@@ -29,6 +29,8 @@ import math
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from bioclip_vector_db_spark.operators.knn_numpy import (
     ROUTED_K_THRESHOLD,
     _super_centroids,
@@ -145,6 +147,85 @@ def test_routed_auto_threshold_and_flat_default(spark):
     a = _collect_assign(argmax_centroid_numpy(vecs, small, routed="auto"))
     b = _collect_assign(argmax_centroid_numpy(vecs, small, routed=False))
     assert a == b
+
+
+def test_trained_centroid_drift_gate_on_real_fixture(spark):
+    """r11 verdict item 2: the >=99% recall gates run on planted
+    synthetic clusters; the one real-data trained-centroid measurement
+    (90% assignment agreement at k=520 over the sf0.1 64-d fixture)
+    lived only as SCALING.md prose. This gate enforces the approximate
+    path's contract on the third data regime — REAL fixture embeddings
+    with TRAINED centroids at k > ROUTED_K_THRESHOLD — for BOTH
+    approximate tiers (in-memory routed and distributed):
+
+    Bounds are set from MEASURED values on this exact configuration
+    (both tiers: drift 90/2000 = 4.5%, agreement 90.0%) — NOT from the
+    0.16% adversarial-corpus figure, which this gate's first run proved
+    does not transfer: at trained k=520 over n=2,000 the cells are ~3.8
+    vectors deep (far off SemDeDup's n/k=64 contract depth), so a
+    routing miss frequently lands a vector in a runner-up cluster with
+    NO neighbor above tau — flipping kept False->True (79 of the 90
+    flips are this conservative direction: extra data retained, no
+    unique dropped). On the contract-depth corpora (stress M=32,
+    clusters ~64 deep) the same miss still finds a dup partner and
+    drift stays 0.16%. SCALING.md §2.1 adjudicates. The gates here
+    bound regression, not re-derive the value:
+
+    - keep/drop drift vs the flat exact kernel <= 6% (measured 4.5%);
+    - assignment agreement >= 85% (measured 90.0%; 64-d shallow cells
+      are the documented boundary regime — see _planted's docstring —
+      far above the 48% adversarial floor, below the synthetic 99%).
+    """
+    from bioclip_vector_db_spark.operators.dedup import semantic_dedup
+    from bioclip_vector_db_spark.operators.indexing import (
+        train_kmeans_centroids,
+    )
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    k = ROUTED_K_THRESHOLD + 8  # 520 > threshold on n=2,000 real vectors
+    cents = (
+        train_kmeans_centroids(emb, k, max_iter=8)
+        .select(
+            F.col("partition_id").cast("long").alias("cid"),
+            F.col("centroid").alias("cvec"),
+        )
+        .localCheckpoint()  # pin ONE training result for all three runs
+    )
+
+    def decisions(routed):
+        return {
+            r.vec_id: (r.cluster_id, r.kept)
+            for r in semantic_dedup(
+                emb, centroids=cents, kernel="numpy", routed=routed
+            ).collect()
+        }
+
+    flat = decisions(False)
+    for tier in (True, "distributed"):
+        approx = decisions(tier)
+        assert set(flat) == set(approx)
+        n = len(flat)
+        drift = sum(1 for key in flat if flat[key][1] != approx[key][1])
+        assert drift / n <= 0.06, (
+            f"tier {tier}: keep/drop drift {drift}/{n} exceeds the 6% bound"
+        )
+        agree = sum(1 for key in flat if flat[key][0] == approx[key][0])
+        assert agree / n >= 0.85, (
+            f"tier {tier}: trained-centroid agreement {agree}/{n} below floor"
+        )
+        # Drift direction: the dominant flip must stay CONSERVATIVE
+        # (kept where flat dropped) — a tier that started spuriously
+        # DROPPING uniques would pass a symmetric drift bound while
+        # silently destroying data.
+        spurious_drop = sum(
+            1 for key in flat if flat[key][1] and not approx[key][1]
+        )
+        assert spurious_drop / n <= 0.02, (
+            f"tier {tier}: {spurious_drop}/{n} uniques spuriously dropped"
+        )
 
 
 # ---------------------------------------------------------------------------
