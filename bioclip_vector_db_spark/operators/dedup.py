@@ -2458,6 +2458,100 @@ FROM ranked r LEFT JOIN removed rm ON rm.vec_id = r.vec_id
 """
 
 
+#: semantic_dedup_routed_eval corpus constants: REP rotations of the
+#: first BASE fixture vectors (dimension-roll per copy — a rotation
+#: keeps within-copy geometry exact and makes cross-copy dots
+#: incoherent), interleaved ids so the seed rule picks every copy's
+#: anchors. n = BASE*REP = 8,500 and k = EVAL_K = 520 >
+#: ROUTED_K_THRESHOLD at EVERY sf (the corpus is sf-independent by
+#: construction), so the approximate kernels genuinely engage.
+SEMDEDUP_EVAL_BASE = 500
+SEMDEDUP_EVAL_REP = 17
+SEMDEDUP_EVAL_K = 520
+
+
+def _semantic_eval_corpus(emb: DataFrame) -> DataFrame:
+    base = emb.filter(F.col("vec_id") < SEMDEDUP_EVAL_BASE).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    d = F.size("embedding")
+    return base.select(
+        F.col("vec_id"),
+        F.explode(
+            F.array(*[F.lit(c) for c in range(SEMDEDUP_EVAL_REP)])
+        ).alias("copy"),
+        "embedding",
+    ).select(
+        (F.col("vec_id") * SEMDEDUP_EVAL_REP + F.col("copy"))
+        .cast("long")
+        .alias("vec_id"),
+        F.when(F.col("copy") == 0, F.col("embedding"))
+        .otherwise(
+            F.concat(
+                F.slice("embedding", F.col("copy") + 1, d - F.col("copy")),
+                F.slice("embedding", 1, F.col("copy")),
+            )
+        )
+        .alias("embedding"),
+    )
+
+
+_SEMDEDUP_ROUTED_EVAL_ORACLE = f"""
+SELECT (SELECT count(*) * {SEMDEDUP_EVAL_REP} FROM embeddings
+        WHERE vec_id < {SEMDEDUP_EVAL_BASE})::BIGINT AS n_vectors,
+       true AS drift_le_6pct,
+       true AS spurious_drop_le_1pct
+"""
+
+
+@register("semantic_dedup_routed_eval", oracle=_SEMDEDUP_ROUTED_EVAL_ORACLE)
+def q_semantic_dedup_routed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 [W]: the routed (approximate) assignment path's contract,
+    enforced where the DRIVER's harness sees it — r11 verdict item 6:
+    the routed kernel was the one substantial code path no queries()
+    entry exercised (approximate + BLAS can't be hash-exact row-wise,
+    so it backs the library, not an oracle row). Mirroring the
+    knn_recall_eval pattern, this row asserts the approximation BOUND
+    in-plan instead of the rows: build a deterministic 8,500-vector
+    corpus (17 dimension-rotations of the first 500 fixture vectors —
+    rotations preserve within-copy geometry exactly), run semantic_dedup
+    at k=520 (> ROUTED_K_THRESHOLD, so routing genuinely engages) under
+    BOTH the flat exact kernel and the two-tier routed kernel, and emit
+    one summary row whose booleans encode the gated bounds:
+
+    - keep/drop drift <= 6% (measured 4.3% on this corpus — shallow
+      ~16-deep cells, same regime as the trained-centroid pytest gate;
+      the contract-depth figure is 0.16%, SCALING.md §2.1);
+    - spurious drops <= 1% (measured 0.24% — routing misses
+      overwhelmingly KEEP extra rows rather than drop uniques).
+
+    The DuckDB twin emits the expected constants, so any recall
+    regression past a bound flips a boolean and fails the driver's
+    hash-exact gate — the approximation contract is now
+    harness-visible, not pytest-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = transient_persist(_semantic_eval_corpus(emb))
+    flat = semantic_dedup(
+        corpus, k=SEMDEDUP_EVAL_K, kernel="numpy", routed=False
+    ).select("vec_id", F.col("kept").alias("kept_flat"))
+    routed = semantic_dedup(
+        corpus, k=SEMDEDUP_EVAL_K, kernel="numpy", routed=True
+    ).select("vec_id", F.col("kept").alias("kept_routed"))
+    j = flat.join(routed, "vec_id")
+    n = F.count(F.lit(1))
+    drift = F.sum(
+        F.when(F.col("kept_flat") != F.col("kept_routed"), 1).otherwise(0)
+    )
+    spurious = F.sum(
+        F.when(F.col("kept_flat") & ~F.col("kept_routed"), 1).otherwise(0)
+    )
+    return j.agg(
+        n.cast("bigint").alias("n_vectors"),
+        (drift * 100 <= n * 6).alias("drift_le_6pct"),
+        (spurious * 100 <= n * 1).alias("spurious_drop_le_1pct"),
+    )
+
+
 @register("semantic_dedup", oracle=_SEMANTIC_DEDUP_ORACLE)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 [Q]: SemDeDup over the embeddings corpus — scale-adaptive seed

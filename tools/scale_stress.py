@@ -298,6 +298,37 @@ def main() -> None:
                     routed_assignment=k_sd > ROUTED_K_THRESHOLD,
                 )
 
+            if "semantic_dedup_dist" in ops:
+                # r12: the DISTRIBUTED bottom tier at the same scale as
+                # the semantic_dedup_numpy decades — same O(n sqrt(8k) d)
+                # FLOPs as the in-memory routed kernel, but the centroid
+                # table is never collected (only the capped router
+                # sample is), at the price of a linear O(8 n d)-byte
+                # routed-explode shuffle. Removed-count recorded so
+                # decision drift vs the flat/routed rows is adjudicable
+                # from the record.
+                from bioclip_vector_db_spark.operators.dedup import (
+                    SEMDEDUP_K_MIN,
+                    SEMDEDUP_TARGET_CLUSTER,
+                )
+
+                k_sd = max(SEMDEDUP_K_MIN, -(-n_emb // SEMDEDUP_TARGET_CLUSTER))
+                t0 = time.perf_counter()
+                sd = transient_persist(
+                    semantic_dedup(emb, kernel="numpy", routed="distributed")
+                )
+                n_out = sd.count()
+                n_removed = sd.filter(~F.col("kept")).count()
+                emit(
+                    "semantic_dedup_dist",
+                    m,
+                    n_emb,
+                    time.perf_counter() - t0,
+                    out_rows=n_out,
+                    removed=n_removed,
+                    k=k_sd,
+                )
+
             if "pq64_adc" in ops:
                 # FAISS's standard PQ64 byte-per-dim layout end-to-end at
                 # the replicated scale: numpy-kernel encode (the expr
