@@ -115,6 +115,17 @@ def _sample_router_matrix(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
         )
     rows = samp.orderBy(id_col).limit(2 * _ROUTER_SAMPLE_CAP).collect()
+    if not rows:
+        # Degenerate hash-stride miss (possible only for tiny k with a
+        # pathological id set): fall back to the first cap rows rather
+        # than crash the router build — still deterministic, still
+        # capped.
+        rows = (
+            centroids.select(id_col, cvec_col)
+            .orderBy(id_col)
+            .limit(_ROUTER_SAMPLE_CAP)
+            .collect()
+        )
     return np.array([r[1] for r in rows], dtype=np.float64)
 
 
