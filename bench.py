@@ -348,7 +348,16 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
     )
     if "--json" in sys.argv:
-        json_path = sys.argv[sys.argv.index("--json") + 1]
+        i = sys.argv.index("--json")
+        if i + 1 >= len(sys.argv):
+            # Don't lose a completed benchmark to a trailing flag typo:
+            # fall back to the default path and say so.
+            print(
+                f"bench.py: --json given without a path; writing {json_path}",
+                file=sys.stderr,
+            )
+        else:
+            json_path = sys.argv[i + 1]
     full_record = dict(
         compact, queries=timings, queries_is_slowest_20_of_n=False,
         durable_restart=durable_restart,

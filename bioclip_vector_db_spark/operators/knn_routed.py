@@ -105,16 +105,17 @@ def _sample_router_matrix(
 ) -> "np.ndarray":
     """Deterministic <= _ROUTER_SAMPLE_CAP-row sample of centroid vectors
     (hash-strided on the id so the sample is a property of the DATA, not
-    of partitioning or row order; id-sorted so the Lloyd init is
-    reproducible). The one collect in this module that touches centroid
-    VECTORS — bounded by the cap, never by k."""
+    of partitioning or row order; id-sorted-then-limited so the result
+    is reproducible AND the cap is exact, not expected-value). The one
+    collect in this module that touches centroid VECTORS — bounded by
+    the cap, never by k."""
     stride = max(1, math.ceil(k / _ROUTER_SAMPLE_CAP))
     samp = centroids.select(id_col, cvec_col)
     if stride > 1:
         samp = samp.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
         )
-    rows = samp.orderBy(id_col).limit(2 * _ROUTER_SAMPLE_CAP).collect()
+    rows = samp.orderBy(id_col).limit(_ROUTER_SAMPLE_CAP).collect()
     if not rows:
         # Degenerate hash-stride miss (possible only for tiny k with a
         # pathological id set): fall back to the first cap rows rather
@@ -194,11 +195,19 @@ def routed_best_centroid_distributed(
     salt-invariant (gated): the per-group argbest is computed per salt
     and the global struct-merge is associative.
     """
+    from ..plans.registry import transient_persist
+
     spark = vectors.sparkSession
     fields = list(vectors.schema.fields) + [out_field]
     if score_field is not None:
         fields.append(T.StructField(score_field, T.DoubleType()))
     out_schema = T.StructType(fields)
+    # Persist the (projected) centroid plan ONCE: the count below, the
+    # router-sample collect, and the members build would otherwise each
+    # re-execute the caller's full centroid lineage — 3x the cost of an
+    # expensive plan (an uncheckpointed k-means output, a filter over
+    # the whole corpus) at exactly the scale this tier targets.
+    centroids = transient_persist(centroids.select(id_col, cvec_col))
     k = centroids.count()
     if k == 0:
         return spark.createDataFrame([], out_schema)
@@ -231,12 +240,8 @@ def routed_best_centroid_distributed(
                 }
             )
 
-    from ..plans.registry import transient_persist
-
     members = transient_persist(
-        centroids.select(id_col, cvec_col).mapInPandas(
-            assign_groups, grouped_schema
-        )
+        centroids.mapInPandas(assign_groups, grouped_schema)
     )
     # Live-group ids: <= g scalars — vectors route only over groups that
     # own >= 1 centroid, so every probe lands on a member-bearing cogroup
@@ -296,6 +301,11 @@ def routed_best_centroid_distributed(
         member_side = members.withColumn("_rt_salt", F.lit(0))
 
     # -- per-group argbest: cogroup GEMM keyed on (group, salt) ----------
+    # Captured at PLAN-BUILD time (driver-side): executor Python workers
+    # re-import modules, so a closure capture is both cheaper than a
+    # per-call import and the only way tests can pin the tiling path.
+    from .knn_numpy import _TILE_ELEMS as _tile_elems
+
     def per_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if not len(left) or not len(right):
             # right-only keys: group/salt no vector probed — no candidates.
@@ -312,17 +322,30 @@ def routed_best_centroid_distributed(
         cids = right[id_col].to_numpy()[order]
         C = np.array(list(right[cvec_col]), dtype=np.float64)[order]
         E = np.array(list(left[vec_col]), dtype=np.float64)
-        blk = E @ C.T
-        if not similarity:
-            blk = 1.0 - blk
-        np.round(blk, 9, out=blk)
-        # first extremum = smallest cid (members sorted ascending above)
-        j = blk.argmax(axis=1) if similarity else blk.argmin(axis=1)
+        # Tile the score GEMM over VECTOR rows so the per-task tile is
+        # bounded by _TILE_ELEMS like every other kernel in the family:
+        # untiled, |group-vectors| x |group-members| doubles is exactly
+        # the allocation that blows up at the design point this tier
+        # exists for (salted fan-in ~1e6+ rows x sqrt(k/8) members).
+        n_rows = len(E)
+        m = C.shape[0]
+        rblock = max(1, _tile_elems // max(m, 1))
+        out_j = np.empty(n_rows, dtype=np.int64)
+        out_v = np.empty(n_rows, dtype=np.float64)
+        for s in range(0, n_rows, rblock):
+            blk = E[s : s + rblock] @ C.T
+            if not similarity:
+                blk = 1.0 - blk
+            np.round(blk, 9, out=blk)
+            # first extremum = smallest cid (members sorted ascending)
+            j = blk.argmax(axis=1) if similarity else blk.argmin(axis=1)
+            out_j[s : s + rblock] = j
+            out_v[s : s + rblock] = blk[np.arange(blk.shape[0]), j]
         return pd.DataFrame(
             {
                 "_rt_vid": left[vec_id_col].to_numpy(dtype=np.int64),
-                "_rt_cand": cids[j].astype(np.int64),
-                "_rt_score": blk[np.arange(len(E)), j],
+                "_rt_cand": cids[out_j].astype(np.int64),
+                "_rt_score": out_v,
             }
         )
 

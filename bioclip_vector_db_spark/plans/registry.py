@@ -98,10 +98,14 @@ def transient_persist(df):
         # Indexed at REGISTRATION time (not list creation):
         # release_all_transients prunes emptied lists, so a thread that
         # registers again after a drain must re-index its (identical,
-        # TLS-held) list or the next drain would miss it.
+        # TLS-held) list or the next drain would miss it. The append
+        # happens INSIDE the lock: appended outside, a drain's prune
+        # could interleave between index-check and append and drop the
+        # list from the index with a live entry about to land in it —
+        # an unreleasable JVM-side persist.
         if not any(l is lst for l in _ALL_TRANSIENT_LISTS):
             _ALL_TRANSIENT_LISTS.append(lst)
-    lst.append(df)
+        lst.append(df)
     return df
 
 
@@ -127,7 +131,7 @@ def release_all_transients() -> None:
     the silent-empty-result race release_transient()'s thread-scoping
     exists to prevent (see _TRANSIENT_TLS). Wired into the long-running
     harnesses' shutdown paths (bench.py, tools/check_correctness.py,
-    tools/scale_stress.py) and api.VectorDB.close().
+    tools/scale_stress.py) and api.VectorSearchEngine.close().
 
     Emptied lists are PRUNED from the index afterwards (r11 ADVICE:
     one retained list per thread ever created is an unbounded leak on a
