@@ -329,6 +329,63 @@ def main() -> None:
                     k=k_sd,
                 )
 
+            if "dist_salted" in ops:
+                # r12 boundary (c): group_salts is the distributed
+                # tier's hot-group knob for extreme-n fan-in; the
+                # invariance gates run at salts <= 16 on small corpora.
+                # This leg measures the WALL cost of heavy salting at
+                # replicated scale (member side replicated per salt)
+                # and asserts exact assignment parity with salts=1.
+                from pyspark.sql import types as T_
+                from bioclip_vector_db_spark.operators.knn_routed import (
+                    routed_best_centroid_distributed,
+                )
+
+                k_sd = max(8, -(-n_emb // 64))
+                cent = emb.filter(F.col("vec_id") < k_sd).select(
+                    F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+                )
+
+                def dist_assign(salts):
+                    return routed_best_centroid_distributed(
+                        emb,
+                        cent,
+                        id_col="cid",
+                        cvec_col="cvec",
+                        vec_col="embedding",
+                        similarity=True,
+                        out_field=T_.StructField("cid", T_.LongType()),
+                        group_salts=salts,
+                    ).select("vec_id", "cid")
+
+                t0 = time.perf_counter()
+                a1 = transient_persist(dist_assign(1))
+                a1.count()
+                t_s1 = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                a64 = transient_persist(dist_assign(64))
+                a64.count()
+                t_s64 = time.perf_counter() - t0
+                n_match = (
+                    a1.join(
+                        a64.select("vec_id", F.col("cid").alias("cid64")),
+                        "vec_id",
+                    )
+                    .filter(F.col("cid") == F.col("cid64"))
+                    .count()
+                )
+                emit(
+                    "dist_salted",
+                    m,
+                    n_emb,
+                    t_s1 + t_s64,
+                    k=k_sd,
+                    wall_salts1_s=round(t_s1, 2),
+                    wall_salts64_s=round(t_s64, 2),
+                    rows_match=bool(n_match == n_emb),
+                    matched=n_match,
+                )
+
             if "pq64_adc" in ops:
                 # FAISS's standard PQ64 byte-per-dim layout end-to-end at
                 # the replicated scale: numpy-kernel encode (the expr
