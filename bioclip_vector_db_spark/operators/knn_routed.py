@@ -9,12 +9,16 @@ the contract's 100-TB point (n = 1e11 -> k ~ 1.6e9, ~6 TB at 512-d)
 that table fits NO driver — the r11 verdict's one named engineering
 frontier. This module removes the bound:
 
-- only the ROUTER is driver-resident: ~g = ceil(sqrt(probes*k))
-  normalized group means built from a hash-strided SAMPLE of the
-  centroid table (<= _ROUTER_SAMPLE_CAP rows collected — a constant,
-  never O(k)); g x d is ~sqrt(k) rows — MBs at any contract point
-  (113k x 512 doubles ~ 460 MB at the extreme k=1.6e9; the SAMPLE
-  collected to build it stays capped);
+- only the ROUTER is driver-resident: g = min(sample,
+  ceil(sqrt(probes*k))) normalized group means built from a
+  hash-strided SAMPLE of the centroid table (<= _ROUTER_SAMPLE_CAP
+  rows collected — a constant, never O(k)). Because g is bounded by
+  the sample, the router broadcast is CAP-bounded too: <= cap x d =
+  268 MB at 512-d, at ANY k — and the cap costs little even at the
+  extreme contract point (k = 1.6e9: capped g = 65,536 vs the
+  unbounded optimum sqrt(8k) = 113k gives 65,536 + 8*(k/g) ~ 261k
+  dots/vector vs the optimal 2*sqrt(8k) ~ 226k — a 15% FLOPs
+  deviation, not a regime change);
 - the bottom tier stays a DataFrame: each centroid row is assigned to
   its router group MAP-SIDE (tiled argmax against the broadcast
   router), giving a (group_id, cid, cvec) table that is shuffled by
