@@ -491,6 +491,39 @@ def test_distributed_empty_inputs(spark):
     )
 
 
+def test_semantic_dedup_auto_escalates_to_distributed(spark, monkeypatch):
+    """Wiring gate for the auto tier ladder: above DISTRIBUTED_K_THRESHOLD
+    (unreachable at test scale, so the threshold is lowered) a
+    seed-rule semantic_dedup must route through the DISTRIBUTED kernel
+    — not the collect-based in-memory one — and still emit the
+    exactness-downgrade warning. Pinned with a spy so a future refactor
+    that silently reverts auto to the collecting tier fails here."""
+    from bioclip_vector_db_spark.operators import knn_routed
+    from bioclip_vector_db_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(17)
+    V = rng.randn(120, 16)
+    emb = spark.createDataFrame(
+        [(int(i), V[i].tolist()) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    called = {}
+    real = knn_routed.routed_best_centroid_distributed
+
+    def spy(*a, **kw):
+        called["distributed"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(knn_routed, "DISTRIBUTED_K_THRESHOLD", 32)
+    monkeypatch.setattr(knn_routed, "routed_best_centroid_distributed", spy)
+    with pytest.warns(UserWarning, match="seed-rule centroids"):
+        n = semantic_dedup(emb, k=40, kernel="numpy", routed="auto").count()
+    assert n == 120
+    assert called.get("distributed"), (
+        "auto above DISTRIBUTED_K_THRESHOLD did not take the distributed tier"
+    )
+
+
 def test_semantic_dedup_distributed_matches_flat_on_structured_corpus(spark):
     """End-to-end SemDeDup keep/drop under the distributed tier equals
     the flat exact kernel's on a structured corpus — the operator-level
