@@ -2328,7 +2328,12 @@ def semantic_dedup(
                     "(indexing.train_kmeans_centroids) for gated recall.",
                     stacklevel=2,
                 )
-        assigned = argmax_centroid_numpy(v, centroids, routed=routed)
+        # n_cents (known numerically under the seed rule) doubles as the
+        # distributed tier's router-sizing hint, skipping its O(k)
+        # count job; ignored by the collect-based tiers.
+        assigned = argmax_centroid_numpy(
+            v, centroids, routed=routed, n_centroids=n_cents
+        )
         return _semantic_dedup_decide(assigned, threshold)
     # Assignment argmax INSIDE the scan, zero row expansion — the same
     # collapsed-struct fold knn.assign_partitions uses (knn.py O19): the

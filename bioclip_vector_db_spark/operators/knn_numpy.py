@@ -433,6 +433,7 @@ def argmax_centroid_numpy(
     cid_col: str = "cid",
     cvec_col: str = "cvec",
     routed: "bool | str" = "auto",
+    n_centroids: "int | None" = None,
 ) -> DataFrame:
     """Best-centroid argmax (similarity form of assign_partitions_numpy):
     blocked ``E @ C.T`` GEMMs with a running (best_csim, best_cid) argmax —
@@ -476,6 +477,7 @@ def argmax_centroid_numpy(
             similarity=True,
             out_field=T.StructField(cid_col, T.LongType()),
             score_field="csim",
+            n_centroids=n_centroids,
         )
     collected = None
     if routed == "auto":

@@ -184,12 +184,21 @@ def routed_best_centroid_distributed(
     score_field: "str | None" = None,
     probes: int = ROUTE_PROBES,
     group_salts: int = 1,
+    n_centroids: "int | None" = None,
 ) -> DataFrame:
     """Two-tier argbest with a DISTRIBUTED bottom tier (module docstring
     has the full shape). Requires ``vec_id_col`` to be unique per input
     row — the global merge keys on it and the result is joined back by
     it (the in-memory kernels are pure mapInPandas and need no key; the
     distributed tier's cogroup does).
+
+    ``n_centroids``: the centroid count when the caller knows it
+    (semantic_dedup's seed rule derives k numerically) — skips the
+    one remaining full-table job this tier would otherwise run (the
+    ``count()`` that sizes the router), leaving NO O(k) action before
+    the map-side grouping pass itself. Trusted as a sizing hint only:
+    a wrong value skews g, never correctness (grouping and argbest
+    read the real table).
 
     ``group_salts``: splits each routed group's VECTOR rows across this
     many cogroup keys, replicating the group's member centroids per salt
@@ -212,11 +221,15 @@ def routed_best_centroid_distributed(
     # expensive plan (an uncheckpointed k-means output, a filter over
     # the whole corpus) at exactly the scale this tier targets.
     centroids = transient_persist(centroids.select(id_col, cvec_col))
-    k = centroids.count()
+    k = n_centroids if n_centroids is not None else centroids.count()
     if k == 0:
         return spark.createDataFrame([], out_schema)
 
     sample = _sample_router_matrix(centroids, id_col, cvec_col, k)
+    if len(sample) == 0:
+        # A nonzero n_centroids HINT over an actually-empty table: the
+        # sample discovers the truth — empty-in/empty-out, not a crash.
+        return spark.createDataFrame([], out_schema)
     S = _build_router(sample, k, probes)
     bc_router = spark.sparkContext.broadcast(S)
 

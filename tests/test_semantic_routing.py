@@ -489,6 +489,17 @@ def test_distributed_empty_inputs(spark):
         ).count()
         == 0
     )
+    # A nonzero n_centroids HINT over an actually-empty table: the
+    # router sample discovers the truth — empty-out, never a crash in
+    # the router build (the hint sizes g, it is not trusted for
+    # emptiness).
+    assert (
+        argmax_centroid_numpy(
+            vecs, cents.filter("cid < 0"), routed="distributed",
+            n_centroids=100,
+        ).count()
+        == 0
+    )
 
 
 def test_semantic_dedup_auto_escalates_to_distributed(spark, monkeypatch):
