@@ -475,6 +475,30 @@ def test_distributed_fuzz_internal_consistency(spark, seed, K, D, N, salts):
         )
 
 
+def test_distributed_invariant_to_arrow_batch_shape(spark):
+    """The tier has three Arrow-batched stages (centroid grouping,
+    vector routing, cogroup argbest); forcing 7-row batches must not
+    change one output row — batch boundaries are an execution detail,
+    like the registered-query matrix leg pins for the oracle surface."""
+    cents, vecs = _planted(spark, K=520, N=300)
+    base = _collect_assign(
+        argmax_centroid_numpy(vecs, cents, routed="distributed")
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        tiny = _collect_assign(
+            argmax_centroid_numpy(vecs, cents, routed="distributed")
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert base == tiny
+
+
 def test_distributed_empty_inputs(spark):
     cents, vecs = _planted(spark, K=520, N=50)
     assert (
