@@ -2265,12 +2265,13 @@ def semantic_dedup(
     v = vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    n_vec = None
     if centroids is None:
         if k is None:
             # One scalar count — small-by-contract driver round trip; the
             # oracle computes the identical k with a scalar subquery.
-            n = v.count()
-            k = max(SEMDEDUP_K_MIN, -(-n // SEMDEDUP_TARGET_CLUSTER))
+            n_vec = v.count()
+            k = max(SEMDEDUP_K_MIN, -(-n_vec // SEMDEDUP_TARGET_CLUSTER))
         centroids = v.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
         )
@@ -2330,9 +2331,11 @@ def semantic_dedup(
                 )
         # n_cents (known numerically under the seed rule) doubles as the
         # distributed tier's router-sizing hint, skipping its O(k)
-        # count job; ignored by the collect-based tiers.
+        # count job; n_vec (when the seed rule already counted the
+        # corpus) likewise feeds its group_salts auto-sizing. Both are
+        # ignored by the collect-based tiers.
         assigned = argmax_centroid_numpy(
-            v, centroids, routed=routed, n_centroids=n_cents
+            v, centroids, routed=routed, n_centroids=n_cents, n_vectors=n_vec
         )
         return _semantic_dedup_decide(assigned, threshold)
     # Assignment argmax INSIDE the scan, zero row expansion — the same

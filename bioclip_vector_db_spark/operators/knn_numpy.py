@@ -290,32 +290,48 @@ def _tiled_top_groups(emb: "np.ndarray", S: "np.ndarray", p: int) -> "np.ndarray
     blocks so the b x g score matrix never materializes whole (r11
     ADVICE: at SemDeDup's design point k ~ 1e7 -> g ~ 11,000 groups, an
     untiled ``emb @ S.T`` is ~880 MB of doubles per 10k-row Arrow
-    batch). Each block keeps a per-row top-p candidate set
-    (argpartition, O(block) per row); the final top-p comes from the
-    tiles x p candidate pool. Peak memory is the b x gblock tile,
-    bounded by _TILE_ELEMS exactly like _blocked_best_centroid's
-    scoring GEMM. Returns an int64 (b, p) array of group ids (unordered
-    within a row; ties at the p-th boundary resolve by argpartition's
-    deterministic layout, same class of boundary-tie behavior as the
-    untiled kernel had)."""
+    batch). Peak memory is the b x gblock tile, bounded by _TILE_ELEMS
+    exactly like _blocked_best_centroid's scoring GEMM.
+
+    Selection is a TOTAL order — (round-9 score desc, group id asc) —
+    applied both within each tile (stable descending argsort: column
+    index ascends with group id, so equal scores keep the smaller gid)
+    and to the pooled candidates (lexsort). This makes the returned set
+    a pure function of (emb row, S, p): any element of the true global
+    top-p under the total order is within its own tile's top-p, so
+    per-tile truncation can never evict it — the result is INVARIANT to
+    the tile width and therefore to the Arrow batch size that feeds it
+    (r12 ADVICE: the previous argpartition selection resolved boundary
+    ties by tile layout, so exact-duplicate embeddings — SemDeDup's
+    normal input — could probe different groups under different batch
+    shapes). Scores are rounded to 9 dp BEFORE comparison, the family's
+    standard tie contract — necessary here, not just conventional:
+    BLAS evaluates the same mathematical dot with shape-dependent
+    summation order, so exact ties differ in the last ulp ACROSS tiles
+    and no selection rule alone could make raw scores tile-invariant.
+    Returns an int64 (b, p) array of group ids, best-first within a
+    row."""
     b, g = emb.shape[0], S.shape[0]
     p = min(p, g)
     gblock = max(p, min(g, _TILE_ELEMS // max(b, 1)))
-    if gblock >= g:
-        sup = emb @ S.T
-        return np.argpartition(sup, g - p, axis=1)[:, g - p :]
     cand_s: list[np.ndarray] = []
     cand_g: list[np.ndarray] = []
     for s in range(0, g, gblock):
         blk = emb @ S[s : s + gblock].T  # b x gblock
+        np.round(blk, 9, out=blk)
         t = min(p, blk.shape[1])
-        idx = np.argpartition(blk, blk.shape[1] - t, axis=1)[:, blk.shape[1] - t :]
+        # Stable argsort on the negated scores: descending by score,
+        # ascending column (== ascending gid) among equals.
+        idx = np.argsort(-blk, axis=1, kind="stable")[:, :t]
         cand_s.append(np.take_along_axis(blk, idx, axis=1))
         cand_g.append(idx + s)
     sall = np.concatenate(cand_s, axis=1)  # b x (t*tiles)
     gall = np.concatenate(cand_g, axis=1)
-    keep = np.argpartition(sall, sall.shape[1] - p, axis=1)[:, sall.shape[1] - p :]
-    return np.take_along_axis(gall, keep, axis=1)
+    if sall.shape[1] == p:
+        return gall  # single exact-width tile: already the answer
+    # Pooled (score desc, gid asc) — last lexsort key is primary.
+    order = np.lexsort((gall, -sall), axis=1)[:, :p]
+    return np.take_along_axis(gall, order, axis=1)
 
 
 def _invert_top_to_rows(top: "np.ndarray"):
@@ -434,6 +450,7 @@ def argmax_centroid_numpy(
     cvec_col: str = "cvec",
     routed: "bool | str" = "auto",
     n_centroids: "int | None" = None,
+    n_vectors: "int | None" = None,
 ) -> DataFrame:
     """Best-centroid argmax (similarity form of assign_partitions_numpy):
     blocked ``E @ C.T`` GEMMs with a running (best_csim, best_cid) argmax —
@@ -464,7 +481,10 @@ def argmax_centroid_numpy(
     does NOT escalate here on its own — it must collect the table to
     count it, which is exactly what the distributed tier avoids; callers
     who know k is past the bound say so (semantic_dedup's auto does,
-    from its seed-rule k)."""
+    from its seed-rule k). ``n_vectors`` (distributed tier only) is the
+    corpus-size hint that lets its group_salts auto-sizing skip a
+    count() job — like n_centroids, a positive-only sizing hint, never
+    trusted for correctness."""
     if routed == "distributed":
         from .knn_routed import routed_best_centroid_distributed
 
@@ -478,6 +498,7 @@ def argmax_centroid_numpy(
             out_field=T.StructField(cid_col, T.LongType()),
             score_field="csim",
             n_centroids=n_centroids,
+            n_vectors=n_vectors,
         )
     collected = None
     if routed == "auto":

@@ -95,6 +95,32 @@ _ROUTER_SAMPLE_CAP = 65_536
 #: gates run well inside the refined regime).
 _ROUTER_LLOYD_BUDGET = 2e10
 
+#: Auto-sizing target for group_salts: MEAN routed-vector fan-in rows
+#: per (group, salt) cogroup key. The binding per-task memory bound is
+#: NOT the tiled score GEMM (_TILE_ELEMS caps that) but applyInPandas
+#: itself: the whole key's vector fan-in materializes as one pandas
+#: frame before per_group runs (r12 ADVICE) — at 512-d float64, 1e5
+#: rows is ~0.4 GB as the numpy GEMM operand plus the Arrow/pandas
+#: input frame, ~1 GB/task envelope; well inside a standard 4-8 GB
+#: executor with headroom for skewed (above-mean) groups. Over-salting
+#: is measured FREE (salts=64 row-exact and faster than salts=1,
+#: SCALE_STRESS r12), so erring low on this target only adds keys.
+_TARGET_ROWS_PER_GROUP_TASK = 100_000
+
+
+def _auto_salts(n_vectors: int, probes_eff: int, g_live: int) -> int:
+    """ceil(mean fan-in per live group / target rows per task): the
+    derivation the r12 docstring did by hand (100-TB point: n = 1e11,
+    probes = 8, g capped at 65,536 -> 1.22e7 rows/group -> 123 salts)
+    — now computed instead of caller-guessed. Skewed groups run hotter
+    than the mean; the gated salt-invariance (and measured free
+    over-salting) means callers needing skew headroom can still pass an
+    explicit larger count."""
+    if g_live <= 0:
+        return 1
+    mean_fan_in = n_vectors * max(1, probes_eff) / g_live
+    return max(1, math.ceil(mean_fan_in / _TARGET_ROWS_PER_GROUP_TASK))
+
 _CAND_SCHEMA = T.StructType(
     [
         T.StructField("_rt_vid", T.LongType()),
@@ -154,7 +180,11 @@ def _tiled_argmax_group(emb: "np.ndarray", S: "np.ndarray") -> "np.ndarray":
     _tiled_top_groups: blocks ascend by group id, within a block argmax
     takes the FIRST maximum, cross-block updates require a STRICT
     improvement — ties break to the smallest group id, matching every
-    other argbest in the kernel family."""
+    other argbest in the kernel family. Scores are rounded to 9 dp
+    before comparison (the family contract), which is what makes the
+    tiebreak reachable at all across tiles: BLAS summation order is
+    GEMM-shape-dependent, so raw exact-duplicate dots can differ in the
+    last ulp between tiles and between Arrow batch shapes."""
     from .knn_numpy import _TILE_ELEMS
 
     b, g = emb.shape[0], S.shape[0]
@@ -163,6 +193,7 @@ def _tiled_argmax_group(emb: "np.ndarray", S: "np.ndarray") -> "np.ndarray":
     best_g = np.zeros(b, dtype=np.int64)
     for s in range(0, g, gblock):
         blk = emb @ S[s : s + gblock].T
+        np.round(blk, 9, out=blk)
         j = blk.argmax(axis=1)
         v = blk[np.arange(b), j]
         upd = v > best_v
@@ -183,8 +214,9 @@ def routed_best_centroid_distributed(
     out_field: "T.StructField",
     score_field: "str | None" = None,
     probes: int = ROUTE_PROBES,
-    group_salts: int = 1,
+    group_salts: "int | None" = None,
     n_centroids: "int | None" = None,
+    n_vectors: "int | None" = None,
 ) -> DataFrame:
     """Two-tier argbest with a DISTRIBUTED bottom tier (module docstring
     has the full shape). Requires ``vec_id_col`` to be unique per input
@@ -196,17 +228,29 @@ def routed_best_centroid_distributed(
     (semantic_dedup's seed rule derives k numerically) — skips the
     one remaining full-table job this tier would otherwise run (the
     ``count()`` that sizes the router), leaving NO O(k) action before
-    the map-side grouping pass itself. Trusted as a sizing hint only:
-    a wrong value skews g, never correctness (grouping and argbest
-    read the real table).
+    the map-side grouping pass itself. Trusted as a sizing hint only
+    when POSITIVE: a wrong positive value skews g, never correctness
+    (grouping and argbest read the real table); a hint <= 0 is treated
+    as UNKNOWN and falls back to the count — trusting it would either
+    short-circuit a non-empty table to an empty result (0) or feed
+    sqrt a negative (r12 ADVICE).
 
     ``group_salts``: splits each routed group's VECTOR rows across this
     many cogroup keys, replicating the group's member centroids per salt
-    — the standard hot-key treatment when n*probes/g rows per group
-    exceeds one task's comfort (at 100 TB with n=1e11, g~113k: ~7e9
-    routed rows per group — size salts ~ that over ~10M). Results are
-    salt-invariant (gated): the per-group argbest is computed per salt
-    and the global struct-merge is associative.
+    — the standard hot-key treatment for large per-group fan-in. The
+    binding per-task memory bound is the cogroup ``applyInPandas``
+    full-key materialization (each key's entire vector fan-in lands in
+    one pandas frame BEFORE the tiled GEMM runs — the _TILE_ELEMS tiling
+    bounds only the score matrix), so keys are sized for
+    ~_TARGET_ROWS_PER_GROUP_TASK (1e5) fan-in rows, not the ~10M a
+    GEMM-only bound would allow (r12 ADVICE). ``None`` (default)
+    AUTO-SIZES: salts = ceil((n * probes / g_live) /
+    _TARGET_ROWS_PER_GROUP_TASK) — at the 100-TB contract point
+    (n = 1e11, probes = 8, g capped at 65,536) that derives ~123 salts
+    with no caller arithmetic; ``n_vectors`` skips the one count() job
+    the auto-size otherwise runs. Results are salt-invariant (gated):
+    the per-group argbest is computed per salt and the global
+    struct-merge is associative, and over-salting is measured free.
     """
     from ..plans.registry import transient_persist
 
@@ -221,7 +265,11 @@ def routed_best_centroid_distributed(
     # expensive plan (an uncheckpointed k-means output, a filter over
     # the whole corpus) at exactly the scale this tier targets.
     centroids = transient_persist(centroids.select(id_col, cvec_col))
-    k = n_centroids if n_centroids is not None else centroids.count()
+    k = (
+        n_centroids
+        if n_centroids is not None and n_centroids > 0
+        else centroids.count()
+    )
     if k == 0:
         return spark.createDataFrame([], out_schema)
 
@@ -269,6 +317,16 @@ def routed_best_centroid_distributed(
     )
     bc_live = spark.sparkContext.broadcast(live)
 
+    if group_salts is None:
+        n_vec = (
+            n_vectors
+            if n_vectors is not None and n_vectors > 0
+            else vectors.count()
+        )
+        n_salts = _auto_salts(n_vec, min(probes, len(live)), len(live))
+    else:
+        n_salts = max(1, int(group_salts))
+
     # -- vectors -> top-p live groups, exploded map-side ------------------
     vid_field = next(f for f in vectors.schema.fields if f.name == vec_id_col)
     routed_schema = T.StructType(
@@ -279,7 +337,6 @@ def routed_best_centroid_distributed(
             T.StructField("_rt_salt", T.IntegerType()),
         ]
     )
-    n_salts = max(1, int(group_salts))
 
     def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bS = bc_router.value
@@ -339,11 +396,13 @@ def routed_best_centroid_distributed(
         cids = right[id_col].to_numpy()[order]
         C = np.array(list(right[cvec_col]), dtype=np.float64)[order]
         E = np.array(list(left[vec_col]), dtype=np.float64)
-        # Tile the score GEMM over VECTOR rows so the per-task tile is
-        # bounded by _TILE_ELEMS like every other kernel in the family:
-        # untiled, |group-vectors| x |group-members| doubles is exactly
-        # the allocation that blows up at the design point this tier
-        # exists for (salted fan-in ~1e6+ rows x sqrt(k/8) members).
+        # Tile the score GEMM over VECTOR rows so the score matrix is
+        # bounded by _TILE_ELEMS like every other kernel in the family.
+        # NOTE the tiling bounds only the SCORE allocation: the key's
+        # whole vector fan-in (left) is already materialized by
+        # applyInPandas before this function runs — that is the binding
+        # per-task memory term, and it is what _TARGET_ROWS_PER_GROUP_
+        # TASK / auto group_salts size to ~1e5 rows (r12 ADVICE).
         n_rows = len(E)
         m = C.shape[0]
         rblock = max(1, _tile_elems // max(m, 1))

@@ -505,19 +505,27 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
                             else:
                                 missing.append(triple)
                             break
+                # The two diagnoses can co-occur (a NaN query AND a
+                # codebook mismatch in the same offender window); raising
+                # on one would hide the other until it was fixed (r12
+                # ADVICE) — report every list that is non-empty in ONE
+                # error.
+                parts = []
                 if stored_nan:
-                    raise ValueError(
+                    parts.append(
                         "ADC LUT holds a stored NaN distance for "
                         f"(query_id, subspace, code) triple(s) {stored_nan} "
                         "— a NaN query embedding or codebook vector "
                         "poisoned the LUT build (the cells exist; their "
                         "values are NaN)"
                     )
-                raise ValueError(
-                    "ADC LUT has no entry for (query_id, subspace, code) "
-                    f"triple(s) {missing} — the LUT and the encoded rows "
-                    "were built from different codebooks"
-                )
+                if missing:
+                    parts.append(
+                        "ADC LUT has no entry for (query_id, subspace, "
+                        f"code) triple(s) {missing} — the LUT and the "
+                        "encoded rows were built from different codebooks"
+                    )
+                raise ValueError("; AND ".join(parts))
             out = pdf.copy()
             out["adc_distance"] = total
             yield out
