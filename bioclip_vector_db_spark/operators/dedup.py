@@ -2508,7 +2508,9 @@ _SEMDEDUP_ROUTED_EVAL_ORACLE = f"""
 SELECT (SELECT count(*) * {SEMDEDUP_EVAL_REP} FROM embeddings
         WHERE vec_id < {SEMDEDUP_EVAL_BASE})::BIGINT AS n_vectors,
        true AS drift_le_6pct,
-       true AS spurious_drop_le_1pct
+       true AS spurious_drop_le_1pct,
+       true AS dist_drift_le_6pct,
+       true AS dist_spurious_drop_le_1pct
 """
 
 
@@ -2524,19 +2526,27 @@ def q_semantic_dedup_routed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (17 dimension-rotations of the first 500 fixture vectors —
     rotations preserve within-copy geometry exactly), run semantic_dedup
     at k=520 (> ROUTED_K_THRESHOLD, so routing genuinely engages) under
-    BOTH the flat exact kernel and the two-tier routed kernel, and emit
-    one summary row whose booleans encode the gated bounds:
+    the flat exact kernel, the in-memory two-tier routed kernel, AND the
+    DISTRIBUTED routed tier (r12 verdict item 1: the tier that actually
+    runs at 100 TB — router sampling, map-side centroid grouping, salted
+    cogroup GEMM, struct-merge global argbest — previously had no
+    queries() entry, so the driver's CORRECTNESS check never executed
+    its plumbing), and emit one summary row whose booleans encode the
+    gated bounds:
 
-    - keep/drop drift <= 6% (measured 4.3% on this corpus — shallow
-      ~16-deep cells, same regime as the trained-centroid pytest gate;
-      the contract-depth figure is 0.16%, SCALING.md §2.1);
-    - spurious drops <= 1% (measured 0.24% — routing misses
-      overwhelmingly KEEP extra rows rather than drop uniques).
+    - in-memory keep/drop drift <= 6% (measured 4.27% on this corpus —
+      shallow ~16-deep cells, same regime as the trained-centroid
+      pytest gate; the contract-depth figure is 0.16%, SCALING.md §2.1)
+      and spurious drops <= 1% (measured 0.24% — routing misses
+      overwhelmingly KEEP extra rows rather than drop uniques);
+    - distributed-tier drift <= 6% / spurious <= 1% (measured 4.34% /
+      0.24% — same regime: the tiers share the router family and differ
+      only in WHERE the bottom-tier argbest runs).
 
     The DuckDB twin emits the expected constants, so any recall
     regression past a bound flips a boolean and fails the driver's
-    hash-exact gate — the approximation contract is now
-    harness-visible, not pytest-only."""
+    hash-exact gate — the approximation contract of BOTH approximate
+    tiers is harness-visible, not pytest-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = transient_persist(_semantic_eval_corpus(emb))
     flat = semantic_dedup(
@@ -2545,18 +2555,28 @@ def q_semantic_dedup_routed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = semantic_dedup(
         corpus, k=SEMDEDUP_EVAL_K, kernel="numpy", routed=True
     ).select("vec_id", F.col("kept").alias("kept_routed"))
-    j = flat.join(routed, "vec_id")
+    dist = semantic_dedup(
+        corpus, k=SEMDEDUP_EVAL_K, kernel="numpy", routed="distributed"
+    ).select("vec_id", F.col("kept").alias("kept_dist"))
+    j = flat.join(routed, "vec_id").join(dist, "vec_id")
     n = F.count(F.lit(1))
-    drift = F.sum(
-        F.when(F.col("kept_flat") != F.col("kept_routed"), 1).otherwise(0)
-    )
-    spurious = F.sum(
-        F.when(F.col("kept_flat") & ~F.col("kept_routed"), 1).otherwise(0)
-    )
+
+    def bounds(col, prefix):
+        drift = F.sum(
+            F.when(F.col("kept_flat") != F.col(col), 1).otherwise(0)
+        )
+        spurious = F.sum(
+            F.when(F.col("kept_flat") & ~F.col(col), 1).otherwise(0)
+        )
+        return [
+            (drift * 100 <= n * 6).alias(f"{prefix}drift_le_6pct"),
+            (spurious * 100 <= n * 1).alias(f"{prefix}spurious_drop_le_1pct"),
+        ]
+
     return j.agg(
         n.cast("bigint").alias("n_vectors"),
-        (drift * 100 <= n * 6).alias("drift_le_6pct"),
-        (spurious * 100 <= n * 1).alias("spurious_drop_le_1pct"),
+        *bounds("kept_routed", ""),
+        *bounds("kept_dist", "dist_"),
     )
 
 
