@@ -153,6 +153,26 @@ def check_against_reference(timings: dict[str, float], sf_val) -> bool:
     return not regressions
 
 
+def _git_head() -> "str | None":
+    """HEAD commit of the repo the bench ran from, for the reference
+    record's provenance — best-effort (None outside a git checkout)."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        return None
+
+
 def main() -> None:
     # The correctness-sweep hatches cripple performance (static planner /
     # interpreted evaluation); a leftover export in the shell would make
@@ -368,7 +388,13 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_WRITE_REF") == "1":
         # Stamp recording conditions INTO the reference so its provenance
         # is adjudicable later: a reference recorded idle is the contract;
-        # one recorded contended (forced) is visibly suspect.
+        # one recorded contended (forced) is visibly suspect. Host/date
+        # stamps (r12 verdict item 4) let a future round tell "this ref
+        # predates a host slowdown" from the record alone — the r12
+        # worktree experiment proved ~10% drift had silently accrued on
+        # the previous, unstamped reference.
+        import platform
+
         with open(BENCH_REF, "w") as fh:
             json.dump(
                 {
@@ -377,6 +403,16 @@ def main() -> None:
                     "loadavg_before": load_before,
                     "loadavg_after": read_loadavg(),
                     "contended": contended,
+                    "recorded_utc": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "host": {
+                        "node": platform.node(),
+                        "machine": platform.machine(),
+                        "cpus": os.cpu_count(),
+                        "python": platform.python_version(),
+                    },
+                    "code_commit": _git_head(),
                 },
                 fh,
                 indent=1,

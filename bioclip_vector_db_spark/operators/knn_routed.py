@@ -56,6 +56,7 @@ is the Spark-native answer SCALING.md §2.1 names.
 from __future__ import annotations
 
 import math
+import time
 from collections.abc import Iterator
 
 import numpy as np
@@ -120,6 +121,15 @@ def _auto_salts(n_vectors: int, probes_eff: int, g_live: int) -> int:
         return 1
     mean_fan_in = n_vectors * max(1, probes_eff) / g_live
     return max(1, math.ceil(mean_fan_in / _TARGET_ROWS_PER_GROUP_TASK))
+
+#: Opt-in stage-wall sink (tools/scale_stress.py `dist_decompose` leg):
+#: when a dict is installed here, routed_best_centroid_distributed
+#: records per-stage driver walls into it and FORCE-MATERIALIZES the
+#: candidate table so the routed-explode-shuffle + cogroup-GEMM term is
+#: separable from the global merge (r12 verdict item 5: attribute the
+#: M=256 decade's 2.50x/doubling). None (default) = zero overhead, no
+#: extra action, identical plan.
+_INSTRUMENT: "dict | None" = None
 
 _CAND_SCHEMA = T.StructType(
     [
@@ -264,6 +274,7 @@ def routed_best_centroid_distributed(
     # re-execute the caller's full centroid lineage — 3x the cost of an
     # expensive plan (an uncheckpointed k-means output, a filter over
     # the whole corpus) at exactly the scale this tier targets.
+    inst = _INSTRUMENT
     centroids = transient_persist(centroids.select(id_col, cvec_col))
     k = (
         n_centroids
@@ -273,12 +284,19 @@ def routed_best_centroid_distributed(
     if k == 0:
         return spark.createDataFrame([], out_schema)
 
+    t0 = time.perf_counter()
     sample = _sample_router_matrix(centroids, id_col, cvec_col, k)
+    if inst is not None:
+        inst["router_sample_s"] = time.perf_counter() - t0
     if len(sample) == 0:
         # A nonzero n_centroids HINT over an actually-empty table: the
         # sample discovers the truth — empty-in/empty-out, not a crash.
         return spark.createDataFrame([], out_schema)
+    t0 = time.perf_counter()
     S = _build_router(sample, k, probes)
+    if inst is not None:
+        inst["router_build_s"] = time.perf_counter() - t0
+        inst["g"] = int(S.shape[0])
     bc_router = spark.sparkContext.broadcast(S)
 
     # -- bottom tier: centroid -> group, map-side, never collected -------
@@ -311,10 +329,13 @@ def routed_best_centroid_distributed(
     # Live-group ids: <= g scalars — vectors route only over groups that
     # own >= 1 centroid, so every probe lands on a member-bearing cogroup
     # key and no vector can end up candidate-less.
+    t0 = time.perf_counter()
     live = np.array(
         sorted(r[0] for r in members.select("_rt_gid").distinct().collect()),
         dtype=np.int64,
     )
+    if inst is not None:
+        inst["member_group_s"] = time.perf_counter() - t0
     bc_live = spark.sparkContext.broadcast(live)
 
     if group_salts is None:
@@ -326,6 +347,8 @@ def routed_best_centroid_distributed(
         n_salts = _auto_salts(n_vec, min(probes, len(live)), len(live))
     else:
         n_salts = max(1, int(group_salts))
+    if inst is not None:
+        inst["salts"] = n_salts
 
     # -- vectors -> top-p live groups, exploded map-side ------------------
     vid_field = next(f for f in vectors.schema.fields if f.name == vec_id_col)
@@ -430,6 +453,13 @@ def routed_best_centroid_distributed(
         .cogroup(member_side.groupBy("_rt_gid", "_rt_salt"))
         .applyInPandas(per_group, _CAND_SCHEMA)
     )
+    if inst is not None:
+        # Diagnostics-only materialization: pins the routed-explode
+        # shuffle + cogroup GEMM wall separately from the global merge.
+        cands = transient_persist(cands)
+        t0 = time.perf_counter()
+        inst["cand_rows"] = cands.count()
+        inst["route_cogroup_s"] = time.perf_counter() - t0
 
     # -- global argbest per vector: struct merge, ties to smallest id ----
     if similarity:

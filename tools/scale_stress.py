@@ -386,6 +386,56 @@ def main() -> None:
                     matched=n_match,
                 )
 
+            if "dist_decompose" in ops:
+                # r12 verdict item 5: the distributed tier's M=256
+                # doubling read 2.50x — under the 2.83x O(n^1.5) model
+                # but thinning. Attribute the wall to its four terms:
+                # router build (driver sample + Lloyd), map-side member
+                # grouping, routed-explode shuffle + cogroup GEMM, and
+                # the global struct-merge + join-back + decide tail —
+                # via the opt-in knn_routed._INSTRUMENT sink (the
+                # candidate table is force-materialized in this mode,
+                # so `route_cogroup_s` is pinned separately from the
+                # merge; total wall is therefore a hair above the
+                # uninstrumented leg's).
+                from bioclip_vector_db_spark.operators import knn_routed
+                from bioclip_vector_db_spark.operators.dedup import (
+                    SEMDEDUP_K_MIN,
+                    SEMDEDUP_TARGET_CLUSTER,
+                )
+
+                k_sd = max(SEMDEDUP_K_MIN, -(-n_emb // SEMDEDUP_TARGET_CLUSTER))
+                stage: dict = {}
+                knn_routed._INSTRUMENT = stage
+                try:
+                    t0 = time.perf_counter()
+                    sd = transient_persist(
+                        semantic_dedup(emb, kernel="numpy", routed="distributed")
+                    )
+                    n_out = sd.count()
+                    wall = time.perf_counter() - t0
+                finally:
+                    knn_routed._INSTRUMENT = None
+                accounted = sum(
+                    v for kk, v in stage.items() if kk.endswith("_s")
+                )
+                emit(
+                    "dist_decompose",
+                    m,
+                    n_emb,
+                    wall,
+                    out_rows=n_out,
+                    k=k_sd,
+                    router_sample_s=round(stage.get("router_sample_s", 0), 2),
+                    router_build_s=round(stage.get("router_build_s", 0), 2),
+                    member_group_s=round(stage.get("member_group_s", 0), 2),
+                    route_cogroup_s=round(stage.get("route_cogroup_s", 0), 2),
+                    merge_tail_s=round(wall - accounted, 2),
+                    g=stage.get("g"),
+                    salts=stage.get("salts"),
+                    cand_rows=stage.get("cand_rows"),
+                )
+
             if "pq64_adc" in ops:
                 # FAISS's standard PQ64 byte-per-dim layout end-to-end at
                 # the replicated scale: numpy-kernel encode (the expr
