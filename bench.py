@@ -154,21 +154,26 @@ def check_against_reference(timings: dict[str, float], sf_val) -> bool:
 
 
 def _git_head() -> "str | None":
-    """HEAD commit of the repo the bench ran from, for the reference
-    record's provenance — best-effort (None outside a git checkout)."""
+    """Commit of the tree the bench ran from, for the reference record's
+    provenance — best-effort (None outside a git checkout). Uses
+    ``git describe --always --dirty`` and checks the exit status: a
+    reference recorded over UNCOMMITTED edits must say so (a clean-HEAD
+    sha over a dirty tree attributes the timings to code that did not
+    produce them — the silent provenance drift the stamp exists to
+    catch, r13 review)."""
     import subprocess
 
     try:
-        return (
-            subprocess.run(
-                ["git", "rev-parse", "HEAD"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True,
-                text=True,
-                timeout=10,
-            ).stdout.strip()
-            or None
+        proc = subprocess.run(
+            ["git", "describe", "--always", "--dirty", "--abbrev=40"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
         )
+        if proc.returncode != 0:
+            return None
+        return proc.stdout.strip() or None
     except Exception:
         return None
 

@@ -258,7 +258,9 @@ def routed_best_centroid_distributed(
     _TARGET_ROWS_PER_GROUP_TASK) — at the 100-TB contract point
     (n = 1e11, probes = 8, g capped at 65,536) that derives ~123 salts
     with no caller arithmetic; ``n_vectors`` skips the one count() job
-    the auto-size otherwise runs. Results are salt-invariant (gated):
+    the auto-size otherwise runs (metadata-only over scan-backed plans;
+    a full lineage re-execution over computed ones — pass the hint or
+    an explicit salt count there). Results are salt-invariant (gated):
     the per-group argbest is computed per salt and the global
     struct-merge is associative, and over-salting is measured free.
     """
@@ -339,10 +341,16 @@ def routed_best_centroid_distributed(
     bc_live = spark.sparkContext.broadcast(live)
 
     if group_salts is None:
+        # Auto-sizing needs n. The count runs on the narrowest projection
+        # (count() reads no columns, so over a parquet-backed plan this is
+        # a footer-metadata job, not a data scan); over COMPUTED lineage
+        # it is one extra lineage execution — callers with an expensive
+        # upstream plan should pass n_vectors (semantic_dedup's seed-rule
+        # path does) or an explicit group_salts to skip it (r13 review).
         n_vec = (
             n_vectors
             if n_vectors is not None and n_vectors > 0
-            else vectors.count()
+            else vectors.select(vec_id_col).count()
         )
         n_salts = _auto_salts(n_vec, min(probes, len(live)), len(live))
     else:
@@ -390,9 +398,15 @@ def routed_best_centroid_distributed(
 
     member_side = members
     if n_salts > 1:
+        # sequence(), not array(lit(0)..lit(n-1)): the auto-derived salt
+        # count is data-sized (hundreds at the 100-TB point, unbounded
+        # for small-g/huge-n calls), and an array of one literal
+        # expression node PER SALT makes driver-side plan construction
+        # and analysis scale with it — sequence keeps the plan O(1) in
+        # n_salts (r13 review).
         member_side = members.withColumn(
             "_rt_salt",
-            F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_salts - 1)))),
         )
     else:
         member_side = members.withColumn("_rt_salt", F.lit(0))

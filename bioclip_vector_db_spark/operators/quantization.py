@@ -525,6 +525,26 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
                         f"code) triple(s) {missing} — the LUT and the "
                         "encoded rows were built from different codebooks"
                     )
+                if not parts:
+                    # A NaN SUM with no NaN cell: opposite-sign infinite
+                    # LUT cells (an inf component in a query embedding or
+                    # codebook vector) cancel to NaN in the fold — without
+                    # this branch the error would be an empty, diagnosis-
+                    # free ValueError("") (r13 review).
+                    offenders = sorted(
+                        set(
+                            pdf["query_id"]
+                            .iloc[np.nonzero(np.isnan(total))[0][:5]]
+                            .tolist()
+                        )
+                    )
+                    parts.append(
+                        "ADC per-row distance sum is NaN for query_id(s) "
+                        f"{offenders} although no single LUT cell is NaN — "
+                        "opposite-sign non-finite cells (inf + -inf) cancel "
+                        "in the subspace fold; check the query embeddings "
+                        "and codebook for inf components"
+                    )
                 raise ValueError("; AND ".join(parts))
             out = pdf.copy()
             out["adc_distance"] = total

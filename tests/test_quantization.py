@@ -349,3 +349,30 @@ def test_adc_gather_stored_nan_diagnosed_distinctly(spark):
     # Rows never touching the poisoned cell still score normally.
     got = qz.adc_score(rows, poisoned, m=4, kernel="gather").collect()
     assert len(got) == 1 and got[0]["adc_distance"] is not None
+
+
+def test_adc_gather_inf_cancellation_diagnosed(spark):
+    """A NaN per-row SUM with no NaN LUT cell — opposite-sign infinite
+    cells (an inf component in a query embedding makes every dot with it
+    +/-inf) cancel in the subspace fold. The offender rescan classifies
+    per CELL, so both offender lists stay empty and the combined
+    diagnostic used to raise a message-free ValueError('') (r13 review);
+    it must instead name the query and the cancellation cause."""
+    import pytest
+
+    lut, rows = _tiny_lut_and_rows(spark)
+    noisy = lut.withColumn(
+        "d",
+        F.when(
+            (F.col("s") == 2) & (F.col("code") == 1), F.lit(float("inf"))
+        )
+        .when(
+            (F.col("s") == 3) & (F.col("code") == 1), F.lit(float("-inf"))
+        )
+        .otherwise(F.col("d")),
+    )
+    # Default rows already read pq_code_3 = 1 (-inf); route s=2 to the
+    # +inf cell too, so the fold is finite + finite + inf + (-inf) = NaN.
+    bad = rows.withColumn("pq_code_2", F.lit(1))
+    with pytest.raises(Exception, match="cancel in the subspace fold"):
+        qz.adc_score(bad, noisy, m=4, kernel="gather").collect()

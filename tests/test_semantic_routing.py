@@ -328,6 +328,12 @@ def test_distributed_routed_is_deterministic_and_salt_invariant(spark):
     # the regime a 100-TB operator actually runs in is many salts, and
     # over-salting must never perturb the merge.
     assert a == run(16)
+    # Data-sized salt counts (hundreds+ at the 100-TB point) must keep
+    # the PLAN constant-size too: the member explode is sequence(), not
+    # an array of one literal node per salt whose analysis cost grows
+    # with n_salts (r13 review). 1024 salts would have been a
+    # 1024-literal expression under the old form.
+    assert a == run(1024)
 
 
 def test_distributed_strided_anchor_fallback_keeps_recall(spark, monkeypatch):
