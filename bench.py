@@ -163,17 +163,33 @@ def _git_head() -> "str | None":
     catch, r13 review)."""
     import subprocess
 
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        proc = subprocess.run(
-            ["git", "describe", "--always", "--dirty", "--abbrev=40"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=repo,
             capture_output=True,
             text=True,
             timeout=10,
         )
-        if proc.returncode != 0:
+        if head.returncode != 0 or not head.stdout.strip():
             return None
-        return proc.stdout.strip() or None
+        # Dirty probe via status --porcelain, NOT `describe --dirty`:
+        # describe ignores UNTRACKED files (a brand-new module the benched
+        # code imports would stamp as clean), and its output format stops
+        # being a bare sha the moment the repo gains an annotated tag.
+        # porcelain lists both modified and untracked paths; a non-zero
+        # exit leaves the verdict unknown, which is stamped as dirty —
+        # provenance must fail suspicious, not clean.
+        status = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        dirty = status.returncode != 0 or bool(status.stdout.strip())
+        return head.stdout.strip() + ("-dirty" if dirty else "")
     except Exception:
         return None
 

@@ -341,16 +341,16 @@ def routed_best_centroid_distributed(
     bc_live = spark.sparkContext.broadcast(live)
 
     if group_salts is None:
-        # Auto-sizing needs n. The count runs on the narrowest projection
-        # (count() reads no columns, so over a parquet-backed plan this is
-        # a footer-metadata job, not a data scan); over COMPUTED lineage
-        # it is one extra lineage execution — callers with an expensive
-        # upstream plan should pass n_vectors (semantic_dedup's seed-rule
-        # path does) or an explicit group_salts to skip it (r13 review).
+        # Auto-sizing needs n. count() prunes every column, so over a
+        # parquet-backed plan this is a footer-metadata job, not a data
+        # scan; over COMPUTED lineage it is one extra lineage execution —
+        # callers with an expensive upstream plan should pass n_vectors
+        # (semantic_dedup's seed-rule path does) or an explicit
+        # group_salts to skip it (r13 review).
         n_vec = (
             n_vectors
             if n_vectors is not None and n_vectors > 0
-            else vectors.select(vec_id_col).count()
+            else vectors.count()
         )
         n_salts = _auto_salts(n_vec, min(probes, len(live)), len(live))
     else:

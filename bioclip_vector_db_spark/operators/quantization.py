@@ -488,8 +488,9 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
                 # NaN distance (a NaN query embedding poisons every dot
                 # product) — the two get different diagnoses (r11
                 # ADVICE).
-                missing, stored_nan = [], []
+                missing, stored_nan, cancelled = [], [], []
                 for i in np.nonzero(np.isnan(total))[0][:5]:
+                    found_nan_cell = False
                     for s in range(m):
                         ci = np.searchsorted(
                             bcodes, pdf[f"pq_code_{s}"].to_numpy()[i : i + 1]
@@ -504,7 +505,10 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
                                 stored_nan.append(triple)
                             else:
                                 missing.append(triple)
+                            found_nan_cell = True
                             break
+                    if not found_nan_cell:
+                        cancelled.append(pdf["query_id"].iloc[i])
                 # The two diagnoses can co-occur (a NaN query AND a
                 # codebook mismatch in the same offender window); raising
                 # on one would hide the other until it was fixed (r12
@@ -525,19 +529,17 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
                         f"code) triple(s) {missing} — the LUT and the "
                         "encoded rows were built from different codebooks"
                     )
-                if not parts:
-                    # A NaN SUM with no NaN cell: opposite-sign infinite
-                    # LUT cells (an inf component in a query embedding or
-                    # codebook vector) cancel to NaN in the fold — without
-                    # this branch the error would be an empty, diagnosis-
-                    # free ValueError("") (r13 review).
-                    offenders = sorted(
-                        set(
-                            pdf["query_id"]
-                            .iloc[np.nonzero(np.isnan(total))[0][:5]]
-                            .tolist()
-                        )
-                    )
+                if cancelled:
+                    # A NaN SUM with no NaN cell for that row:
+                    # opposite-sign infinite LUT cells (an inf component
+                    # in a query embedding or codebook vector) cancel to
+                    # NaN in the fold. Reported per-ROW alongside the
+                    # other two, not only when they are absent — a mixed
+                    # offender window must surface every co-occurring
+                    # cause in the one error (r13 review), and without
+                    # this branch a cancellation-only batch raised an
+                    # empty, diagnosis-free ValueError("").
+                    offenders = sorted(set(cancelled))
                     parts.append(
                         "ADC per-row distance sum is NaN for query_id(s) "
                         f"{offenders} although no single LUT cell is NaN — "

@@ -376,3 +376,42 @@ def test_adc_gather_inf_cancellation_diagnosed(spark):
     bad = rows.withColumn("pq_code_2", F.lit(1))
     with pytest.raises(Exception, match="cancel in the subspace fold"):
         qz.adc_score(bad, noisy, m=4, kernel="gather").collect()
+
+
+def test_adc_gather_mixed_causes_report_in_one_error(spark):
+    """A batch where one row's NaN comes from a MISSING LUT cell and
+    another's from inf/-inf CANCELLATION must name both causes in the
+    one error — the cancellation diagnosis originally fired only when
+    the other offender lists were empty, so a mixed offender window
+    serialized the diagnoses across pipeline re-runs (r13 review), the
+    exact pattern the r12 co-occurrence rule forbids."""
+    import pytest
+
+    lut, _ = _tiny_lut_and_rows(spark)
+    tampered = lut.filter(
+        ~((F.col("s") == 2) & (F.col("code") == 1))
+    ).withColumn(
+        "d",
+        F.when(
+            (F.col("s") == 0) & (F.col("code") == 1), F.lit(float("inf"))
+        )
+        .when(
+            (F.col("s") == 3) & (F.col("code") == 1), F.lit(float("-inf"))
+        )
+        .otherwise(F.col("d")),
+    )
+    rows2 = spark.createDataFrame(
+        [
+            # row A: hits the dropped (s=2, code=1) cell -> missing-cell
+            (1, 7, 0, 0, 1, 0),
+            # row B: hits (s=0, code=1)=+inf and (s=3, code=1)=-inf
+            (1, 8, 1, 0, 0, 1),
+        ],
+        "query_id long, vec_id long, pq_code_0 int, pq_code_1 int, "
+        "pq_code_2 int, pq_code_3 int",
+    ).coalesce(1)
+    with pytest.raises(Exception) as ei:
+        qz.adc_score(rows2, tampered, m=4, kernel="gather").collect()
+    msg = str(ei.value)
+    assert "different codebooks" in msg
+    assert "cancel in the subspace fold" in msg
