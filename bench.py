@@ -52,6 +52,16 @@ GUARD_FACTOR = 2.0
 #: the idle-host protocol's adjudication instrument: the judge can tell
 #: noise from regression from the record alone.
 RERUN_FACTOR = 1.5
+#: Queries still above this ratio after the in-session rerun get ONE
+#: re-measure in a FRESH SUBPROCESS Spark session (r13 verdict item 2:
+#: the diagnosed mechanism behind phantom over-2x readings is
+#: in-sequence page-cache/heap interference from the 171 preceding
+#: queries — twice adjudicated away with an uncommitted isolated
+#: re-measure; this makes the record adjudicate its own outliers).
+#: Both figures are kept in the record's "isolated" field; the headline
+#: worst_ratio_vs_ref / n_over_2x and the strict gate use the ISOLATED
+#: figure, the in-sequence one stays stamped alongside in "queries".
+ISOLATE_FACTOR = 1.8
 #: 1-minute loadavg above which the host counts as contended. Timings
 #: recorded on a contended box are stamped `"contended": true` and are not
 #: trustworthy as regression evidence; writing BENCH_REF on a contended
@@ -153,14 +163,30 @@ def check_against_reference(timings: dict[str, float], sf_val) -> bool:
     return not regressions
 
 
+# The dirty probe is scoped to the paths that can change what the bench
+# MEASURES. Bench artifacts (BENCH_LAST.json, BENCH_REF*.json,
+# CORRECTNESS*.json, ...) are tracked in git and rewritten by the very run
+# being stamped, so an unscoped `git status --porcelain` always reads
+# dirty during ref recording and the stamp could never say "clean" in
+# practice (r13 ADVICE). Code dirt under these paths still flags —
+# including UNTRACKED new modules, which `describe --dirty` would miss.
+_PROVENANCE_CODE_PATHS = (
+    "bench.py",
+    "__spark_entry__.py",
+    "bioclip_vector_db_spark",
+    "tools",
+)
+
+
 def _git_head() -> "str | None":
     """Commit of the tree the bench ran from, for the reference record's
-    provenance — best-effort (None outside a git checkout). Uses
-    ``git describe --always --dirty`` and checks the exit status: a
-    reference recorded over UNCOMMITTED edits must say so (a clean-HEAD
-    sha over a dirty tree attributes the timings to code that did not
-    produce them — the silent provenance drift the stamp exists to
-    catch, r13 review)."""
+    provenance — best-effort (None outside a git checkout). A reference
+    recorded over UNCOMMITTED code edits must say so (a clean-HEAD sha
+    over a dirty tree attributes the timings to code that did not produce
+    them — the silent provenance drift the stamp exists to catch, r13
+    review). Call this BEFORE the run writes any artifacts: the stamp is
+    about the tree the timings came from, not the tree after the run
+    rewrote its own records (r13 ADVICE)."""
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -182,7 +208,7 @@ def _git_head() -> "str | None":
         # exit leaves the verdict unknown, which is stamped as dirty —
         # provenance must fail suspicious, not clean.
         status = subprocess.run(
-            ["git", "status", "--porcelain"],
+            ["git", "status", "--porcelain", "--", *_PROVENANCE_CODE_PATHS],
             cwd=repo,
             capture_output=True,
             text=True,
@@ -192,6 +218,49 @@ def _git_head() -> "str | None":
         return head.stdout.strip() + ("-dirty" if dirty else "")
     except Exception:
         return None
+
+
+def _isolate_query(name: str, timeout_s: int = 900) -> "float | None":
+    """One fresh-subprocess re-measure of ``name`` via the documented
+    SPARK_GRAFT_BENCH_ONLY protocol (own JVM, own page-cache locality,
+    same warmup + prebuilt artifacts + min-of-2 as the reference
+    recording). Returns the measured seconds, or None when the
+    subprocess fails — the caller then lets the in-sequence figure
+    stand and stamps the failure."""
+    import subprocess
+    import tempfile
+
+    here = os.path.abspath(__file__)
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        out_path = tf.name
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_ONLY"] = name
+    env["SPARK_GRAFT_BENCH_JSON"] = out_path
+    # The child must never recurse into ref-writing or strict-exit: it is
+    # a measurement probe, not a gate.
+    env.pop("SPARK_GRAFT_BENCH_WRITE_REF", None)
+    env.pop("SPARK_GRAFT_BENCH_STRICT", None)
+    try:
+        proc = subprocess.run(
+            [sys.executable, here],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        if proc.returncode != 0:
+            return None
+        with open(out_path) as fh:
+            rec = json.load(fh)
+        got = rec.get("queries", {}).get(name)
+        return float(got) if got is not None else None
+    except Exception:
+        return None
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
 
 
 def main() -> None:
@@ -205,6 +274,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_AQE", "1") == "0":
         sys.exit("bench.py: unset SPARK_GRAFT_AQE first (correctness-sweep hatch)")
     load_before = read_loadavg()
+    # Stamp provenance NOW, before the run rewrites any tracked artifacts
+    # (BENCH_LAST.json is written, and BENCH_REF.json truncated, before the
+    # old call site evaluated — so the probe saw its own output and every
+    # reference stamped '-dirty' even from a clean checkout, r13 ADVICE).
+    code_commit = _git_head()
     contended = bool(load_before) and load_before[0] > CONTENTION_LOADAVG
     if contended:
         print(
@@ -303,12 +377,16 @@ def main() -> None:
     # three independent passes, a scheduler spike does not, and the judge
     # can see which happened without re-running anything.
     reruns: dict[str, dict[str, float]] = {}
+    # One floor for every ratio consumer (rerun trigger, isolate trigger,
+    # compact ratios, strict gate) — a trigger exempting what the gate
+    # counts would let an over-2x row through unadjudicated.
+    floor = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", GUARD_FLOOR_SEC))
     if os.path.exists(BENCH_REF):
         with open(BENCH_REF) as fh:
             _ref = json.load(fh)
         if _ref.get("sf") == sf_val:
             flagged = find_regressions(
-                timings, _ref.get("queries", {}), factor=RERUN_FACTOR
+                timings, _ref.get("queries", {}), factor=RERUN_FACTOR, floor=floor
             )
             for name in sorted(flagged):
                 if name in DURABLE_GATES:
@@ -319,6 +397,40 @@ def main() -> None:
                 release_transient()
                 reruns[name] = {"first": timings[name], "rerun": again}
                 timings[name] = min(timings[name], again)
+    # Outliers that SURVIVE the in-session rerun get one re-measure in a
+    # fresh subprocess session (SPARK_GRAFT_BENCH_ONLY honors the full
+    # protocol: same warmup, same prebuilt artifacts, min-of-2) — the
+    # committed record then adjudicates its own outliers instead of
+    # needing an uncommitted side-measurement and a prose explanation
+    # (r13 verdict item 2). Skipped for a single-query run: that IS the
+    # isolated measurement (and what the probe subprocess itself runs).
+    isolated: dict[str, dict] = {}
+    adjudicated = dict(timings)
+    if len(qs) > 1 and os.path.exists(BENCH_REF):
+        with open(BENCH_REF) as fh:
+            _ref = json.load(fh)
+        if _ref.get("sf") == sf_val:
+            flagged = find_regressions(
+                timings,
+                _ref.get("queries", {}),
+                factor=ISOLATE_FACTOR,
+                floor=floor,
+            )
+            for name in sorted(flagged):
+                iso = _isolate_query(name)
+                if iso is None:
+                    isolated[name] = {
+                        "in_sequence": timings[name],
+                        "isolated": None,
+                        "note": "isolated re-measure failed; "
+                        "in-sequence figure stands",
+                    }
+                else:
+                    isolated[name] = {
+                        "in_sequence": timings[name],
+                        "isolated": iso,
+                    }
+                    adjudicated[name] = min(timings[name], iso)
     print(
         json.dumps(
             {
@@ -328,6 +440,7 @@ def main() -> None:
                 "queries": timings,
                 "durable_restart": durable_restart,
                 "reruns": reruns,
+                "isolated": isolated,
                 "contended": contended,
                 "sf": sf_val,
             }
@@ -340,16 +453,19 @@ def main() -> None:
     # tail always ends with a complete, parseable headline. Ratios use
     # the SAME floor (env-overridable) as the strict gate below, so
     # n_over_2x in the record can never disagree with the gate's verdict.
+    # Ratios use the ADJUDICATED figures (isolated re-measure where one
+    # ran): the headline worst_ratio_vs_ref / n_over_2x then reflect the
+    # query's cost in a clean session, with the raw in-sequence figure
+    # preserved in "queries"/"isolated" for the interference diagnosis.
     ratios = {}
-    floor = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", GUARD_FLOOR_SEC))
     if os.path.exists(BENCH_REF):
         with open(BENCH_REF) as fh:
             _ref_q = json.load(fh)
         if _ref_q.get("sf") == sf_val:
             ratios = {
-                n: round(timings[n] / r, 3)
+                n: round(adjudicated[n] / r, 3)
                 for n, r in _ref_q.get("queries", {}).items()
-                if n in timings and r >= floor
+                if n in adjudicated and r >= floor
             }
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     compact = {
@@ -367,6 +483,7 @@ def main() -> None:
         "n_over_2x": sum(1 for v in ratios.values() if v > GUARD_FACTOR),
         "n_rerun_over_1_5x": len(reruns),
         "reruns": reruns,
+        "isolated": isolated,
         "contended": contended,
         "loadavg_before": load_before,
         "loadavg_after": read_loadavg(),
@@ -401,7 +518,7 @@ def main() -> None:
             json_path = sys.argv[i + 1]
     full_record = dict(
         compact, queries=timings, queries_is_slowest_20_of_n=False,
-        durable_restart=durable_restart,
+        durable_restart=durable_restart, code_commit=code_commit,
     )
     with open(json_path, "w") as fh:
         json.dump(full_record, fh, indent=1, sort_keys=True)
@@ -433,14 +550,14 @@ def main() -> None:
                         "cpus": os.cpu_count(),
                         "python": platform.python_version(),
                     },
-                    "code_commit": _git_head(),
+                    "code_commit": code_commit,
                 },
                 fh,
                 indent=1,
                 sort_keys=True,
             )
             fh.write("\n")
-    elif not check_against_reference(timings, sf_val):
+    elif not check_against_reference(adjudicated, sf_val):
         if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
             sys.exit(3)
 

@@ -2158,6 +2158,21 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_K_MIN = 8
 SEMDEDUP_TARGET_CLUSTER = 64
 SEMDEDUP_TAU = 0.3
+#: Decide-tail depth cap auto-engaged on the APPROXIMATE (routed) tiers:
+#: each vector is compared only against its cluster's top-CAP exemplars
+#: (rank <= CAP) instead of EVERY better-ranked member. The k =
+#: ceil(n/TARGET_CLUSTER) contract bounds expected depth at ~64, so 4x
+#: contract depth leaves the cap inert on any well-clustered corpus
+#: (exact parity whenever cluster depth <= CAP+1 — every better-ranked
+#: member of a depth-(CAP+1) cluster has rank <= CAP); a SKEWED corpus
+#: that piles a hot cluster far past contract depth gets the pair join
+#: linearized from O(depth^2) to O(depth * CAP) per cluster, with a
+#: ONE-SIDED decision change: capped decide can only UNDER-remove
+#: (removed_capped is a subset of removed_exact), never spuriously drop
+#: a unique (r13 verdict item 1 — the last super-linear term anywhere in
+#: the engine, measured 4.07x/doubling merge_tail at the M=512 ladder's
+#: seed-saturated deep-cluster regime, SCALING.md section 2.1).
+SEMDEDUP_DECIDE_CAP = 4 * SEMDEDUP_TARGET_CLUSTER
 
 
 def semantic_dedup(
@@ -2168,6 +2183,8 @@ def semantic_dedup(
     centroids: "DataFrame | None" = None,
     kernel: str = "auto",
     routed: "bool | str" = "auto",
+    decide_cap: "int | str | None" = "auto",
+    routed_payload: str = "f64",
 ) -> DataFrame:
     """Cluster-partitioned semantic dedup over an embedding corpus — the
     public SemDeDup method (Abbas et al. 2023, arXiv:2303.09540): assign
@@ -2254,6 +2271,20 @@ def semantic_dedup(
     tests/test_semantic_routing.py (recall, determinism,
     salt-invariance, capped-collect, end-to-end keep/drop).
 
+    ``decide_cap``: bounds the decide tail's within-cluster pair join,
+    which is quadratic in CLUSTER DEPTH — linear in n only while the
+    corpus honors the k = ceil(n/64) contract, and a skewed real corpus
+    won't (r13 verdict item 1). ``'auto'`` (default) engages
+    SEMDEDUP_DECIDE_CAP (= 4x contract depth) exactly when the RESOLVED
+    assignment is a routed tier — the approximate kernels that actually
+    run at the scales where skew bites — and stays exact (None) on the
+    flat kernels, so every oracle-gated query and the advertised-exact
+    ``routed=False`` GEMM are untouched. An explicit int engages the cap
+    on any kernel; ``None`` forces the exact all-pairs tail anywhere.
+    The cap is EXACT for every cluster of depth <= cap+1 and strictly
+    one-sided beyond (under-removal only — see _semantic_dedup_decide);
+    per-cluster decide work falls from O(depth^2) to O(depth * cap).
+
     Producing the centroids at scale: the seed rule here exists for the
     exact SQL twin; production callers pass
     ``centroids=indexing.train_kmeans_centroids(vectors, k,
@@ -2337,7 +2368,24 @@ def semantic_dedup(
         assigned = argmax_centroid_numpy(
             v, centroids, routed=routed, n_centroids=n_cents, n_vectors=n_vec
         )
-        return _semantic_dedup_decide(assigned, threshold)
+        if decide_cap == "auto":
+            # Engage on the APPROXIMATE tiers only: the routed tiers are
+            # both where skew-prone scale lives and already
+            # non-hash-exact, so the one-sided cap changes no
+            # advertised-exact result. With explicit centroids routed can
+            # still be the STRING 'auto' here (argmax_centroid_numpy
+            # resolves it from its own collect) — a truthiness test on it
+            # would wrongly cap a flat run; mirror its size rule with a
+            # bounded limit().count() probe instead.
+            if routed == "auto":
+                routed_engages = (
+                    centroids.limit(ROUTED_K_THRESHOLD + 1).count()
+                    > ROUTED_K_THRESHOLD
+                )
+            else:
+                routed_engages = bool(routed)
+            decide_cap = SEMDEDUP_DECIDE_CAP if routed_engages else None
+        return _semantic_dedup_decide(assigned, threshold, depth_cap=decide_cap)
     # Assignment argmax INSIDE the scan, zero row expansion — the same
     # collapsed-struct fold knn.assign_partitions uses (knn.py O19): the
     # centroid table becomes ONE row holding an array of (cid, cvec)
@@ -2379,13 +2427,43 @@ def semantic_dedup(
             F.col("_best.csim").alias("csim"),
         )
     )
-    return _semantic_dedup_decide(assigned, threshold)
+    # The expr kernel is the flat exact path — 'auto' resolves to None
+    # here so the oracle-gated rows keep their byte-identical plan; an
+    # explicit int still engages the cap for callers who want it.
+    return _semantic_dedup_decide(
+        assigned, threshold, depth_cap=None if decide_cap == "auto" else decide_cap
+    )
 
 
-def _semantic_dedup_decide(assigned: DataFrame, threshold: float) -> DataFrame:
+def _semantic_dedup_decide(
+    assigned: DataFrame, threshold: float, depth_cap: "int | None" = None
+) -> DataFrame:
     """Shared SemDeDup tail over an assigned ``(vec_id, embedding, cid,
     csim)`` table: cluster-keyed exemplar rank, within-cluster pair join,
-    keep/drop decision — identical for both assignment kernels."""
+    keep/drop decision — identical for every assignment kernel.
+
+    ``depth_cap=None`` (the oracle-gated default) runs the exact
+    all-pairs form: every unordered within-cluster pair over the cosine
+    threshold marks its worse-ranked member removed. The pair join is
+    quadratic in CLUSTER depth — linear in n only under SemDeDup's
+    k = ceil(n/64) contract, and a skewed real corpus won't honor a
+    contract (r13 verdict item 1: merge_tail 4.07x/doubling at the
+    M=512 ladder's deep-cluster regime).
+
+    ``depth_cap=R`` prunes the BETTER-RANKED comparison side to each
+    cluster's top-R exemplars before the join, using the equivalent
+    exists-form of the decision rule: a vector is removed iff SOME
+    better-ranked same-cluster member within the threshold exists (rank
+    is a row_number — strict total order, so "worse member of each
+    qualifying pair" and "has a better-ranked qualifying neighbor" name
+    the same set). Capping the witness side keeps that rule EXACT for
+    every cluster of depth <= R+1 (all better-ranked members then have
+    rank <= R) and makes it one-sided beyond: a removal always has a
+    top-R witness or none, so removed_capped is a SUBSET of
+    removed_exact — the cap can only keep extra rows, never drop a
+    unique. Per-cluster pair work falls from O(depth^2) to
+    O(depth * R); the b-side shrinks to at most k*R rows total.
+    Both properties are gated in tests/test_semantic_dedup_cap.py."""
     rw = Window.partitionBy("cid").orderBy(F.col("csim").desc(), F.col("vec_id").asc())
     ranked = transient_persist(
         assigned.withColumn("rank", F.row_number().over(rw).cast("bigint"))
@@ -2402,18 +2480,36 @@ def _semantic_dedup_decide(assigned: DataFrame, threshold: float) -> DataFrame:
         F.col("embedding").alias("b_vec"),
         F.col("rank").alias("b_rank"),
     )
-    removed = (
-        a.join(b, "cid")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.round(dot_product(F.col("a_vec"), F.col("b_vec")), 9) > threshold)
-        .select(
-            F.when(F.col("a_rank") > F.col("b_rank"), F.col("a_id"))
-            .otherwise(F.col("b_id"))
-            .alias("vec_id")
+    if depth_cap is None:
+        removed = (
+            a.join(b, "cid")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(
+                F.round(dot_product(F.col("a_vec"), F.col("b_vec")), 9) > threshold
+            )
+            .select(
+                F.when(F.col("a_rank") > F.col("b_rank"), F.col("a_id"))
+                .otherwise(F.col("b_id"))
+                .alias("vec_id")
+            )
+            .distinct()
+            .withColumn("_removed", F.lit(True))
         )
-        .distinct()
-        .withColumn("_removed", F.lit(True))
-    )
+    else:
+        if depth_cap < 1:
+            raise ValueError(
+                f"depth_cap must be a positive int or None, got {depth_cap!r}"
+            )
+        removed = (
+            a.join(b.filter(F.col("b_rank") <= depth_cap), "cid")
+            .filter(F.col("b_rank") < F.col("a_rank"))
+            .filter(
+                F.round(dot_product(F.col("a_vec"), F.col("b_vec")), 9) > threshold
+            )
+            .select(F.col("a_id").alias("vec_id"))
+            .distinct()
+            .withColumn("_removed", F.lit(True))
+        )
     return ranked.join(removed, "vec_id", "left").select(
         "vec_id",
         F.col("cid").cast("bigint").alias("cluster_id"),

@@ -451,6 +451,7 @@ def argmax_centroid_numpy(
     routed: "bool | str" = "auto",
     n_centroids: "int | None" = None,
     n_vectors: "int | None" = None,
+    routed_payload: str = "f64",
 ) -> DataFrame:
     """Best-centroid argmax (similarity form of assign_partitions_numpy):
     blocked ``E @ C.T`` GEMMs with a running (best_csim, best_cid) argmax —
@@ -484,7 +485,11 @@ def argmax_centroid_numpy(
     from its seed-rule k). ``n_vectors`` (distributed tier only) is the
     corpus-size hint that lets its group_salts auto-sizing skip a
     count() job — like n_centroids, a positive-only sizing hint, never
-    trusted for correctness."""
+    trusted for correctness. ``routed_payload``: distributed tier only —
+    'f32' ships the routed-explode vector payload as float32 (halved
+    shuffle bytes, ~1e-7 dot perturbation; knn_routed docstring), 'f64'
+    (default) keeps exact doubles; ignored by the in-memory tiers, which
+    have no shuffle."""
     if routed == "distributed":
         from .knn_routed import routed_best_centroid_distributed
 
@@ -499,6 +504,7 @@ def argmax_centroid_numpy(
             score_field="csim",
             n_centroids=n_centroids,
             n_vectors=n_vectors,
+            payload=routed_payload,
         )
     collected = None
     if routed == "auto":

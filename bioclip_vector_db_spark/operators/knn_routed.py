@@ -91,10 +91,23 @@ DISTRIBUTED_K_THRESHOLD = 1_000_000
 _ROUTER_SAMPLE_CAP = 65_536
 
 #: Driver-side Lloyd refine budget in multiply-adds: sample x g x d x
-#: iters beyond this skips the refine and uses strided sample rows as
-#: anchors directly (routing quality degrades gracefully; the recall
-#: gates run well inside the refined regime).
+#: iters beyond this skips the FULL refine and uses strided sample rows
+#: as anchors (routing quality degrades gracefully; the recall gates run
+#: well inside the refined regime).
 _ROUTER_LLOYD_BUDGET = 2e10
+
+#: Constant mini-budget (multiply-adds) the FALLBACK branch still spends
+#: refining its strided anchors: a few mini-batch Lloyd passes over an
+#: evenly-strided subsample of the router sample, sized so rows x g x d
+#: x passes stays under this bound — independent of n, k, and the main
+#: budget (r13 verdict item 3: the raw-strided-anchor regime's honest
+#: drift bound was 17.6%; spending a bounded extra ~2e9 madds of driver
+#: BLAS on anchor refinement buys most of the refined router's quality
+#: back wherever the subsample covers the sample). Deterministic: the
+#: subsample is strided, assignment argmax takes the first maximum, and
+#: anchors update to plain means — no RNG anywhere.
+_ROUTER_FALLBACK_REFINE_MADDS = 2e9
+_ROUTER_FALLBACK_REFINE_PASSES = 2
 
 #: Auto-sizing target for group_salts: MEAN routed-vector fan-in rows
 #: per (group, salt) cogroup key. The binding per-task memory bound is
@@ -174,13 +187,35 @@ def _build_router(sample: "np.ndarray", k: int, probes: int) -> "np.ndarray":
     """g ~ ceil(sqrt(probes*k)) unit-normalized routing anchors from the
     sample: Lloyd-refined via _super_centroids when the driver FLOPs
     budget allows (same strided init / oversize split / normalization as
-    the in-memory tier), strided sample rows otherwise."""
+    the in-memory tier); otherwise strided sample rows refined by a
+    CONSTANT-cost mini-batch Lloyd (r13 verdict item 3 — raw strided
+    anchors measured 17.6% end-to-end keep/drop drift on the forced-
+    fallback fixture; two bounded passes over a strided subsample recover
+    most of the refined router's quality whenever the subsample budget
+    covers a useful fraction of the sample, and cost nothing that scales
+    with n or k)."""
     s, d = sample.shape
     g = min(s, max(2, math.ceil(math.sqrt(probes * k))))
     if s * g * d * _SUPER_KMEANS_ITERS <= _ROUTER_LLOYD_BUDGET:
         S, _ = _super_centroids(sample, probes, g=g)
         return S
     S = sample[np.linspace(0, s - 1, g).astype(np.int64)].copy()
+    passes = _ROUTER_FALLBACK_REFINE_PASSES
+    rows = int(_ROUTER_FALLBACK_REFINE_MADDS // max(1, g * d * passes))
+    if rows >= 2:
+        # Evenly-strided mini-batch (deterministic, covers the sample's
+        # id-sorted span); assignment scores use the same argmin-
+        # Euclidean-as-argmax form as _super_centroids. Anchors that win
+        # no mini-batch rows keep their strided init — with rows << g
+        # (the extreme-k regime) most anchors are untouched and the
+        # refine degrades back toward the raw strided router instead of
+        # degenerating.
+        mb = sample[np.linspace(0, s - 1, min(s, rows)).astype(np.int64)]
+        for _ in range(passes):
+            scores = mb @ S.T - 0.5 * (S * S).sum(axis=1)
+            assign = scores.argmax(axis=1)
+            for j in np.unique(assign):
+                S[j] = mb[assign == j].mean(axis=0)
     norms = np.linalg.norm(S, axis=1, keepdims=True)
     return S / np.where(norms < 1e-12, 1.0, norms)
 
@@ -227,6 +262,7 @@ def routed_best_centroid_distributed(
     group_salts: "int | None" = None,
     n_centroids: "int | None" = None,
     n_vectors: "int | None" = None,
+    payload: str = "f64",
 ) -> DataFrame:
     """Two-tier argbest with a DISTRIBUTED bottom tier (module docstring
     has the full shape). Requires ``vec_id_col`` to be unique per input
@@ -263,9 +299,27 @@ def routed_best_centroid_distributed(
     an explicit salt count there). Results are salt-invariant (gated):
     the per-group argbest is computed per salt and the global
     struct-merge is associative, and over-salting is measured free.
+
+    ``payload``: element width of the vector payload through the
+    routed-explode shuffle — the tier's dominant cost term is MOVING
+    the probes x-replicated vectors through the cogroup exchange
+    (shuffle/serialization-bound, not compute-bound; SCALING.md §2.1),
+    and p x payload is the information floor, but each element need not
+    be 8 bytes. ``'f64'`` (default) ships exact doubles — bit-identical
+    scoring to the in-memory tiers. ``'f32'`` (opt-in, r13 verdict item
+    4) ships float32 and upcasts inside the cogroup GEMM: halves the
+    shuffle bytes at a ~1e-7 relative perturbation of each dot — scores
+    still round to 9 dp under the same total-order tie rule, so salt/
+    batch-shape/tiling invariance is untouched (the gated properties
+    never depended on WHICH doubles are scored), but results may drift
+    from the f64 tiers in the 8th-9th decimal of a near-tie. Candidate
+    ROUTING always stays f64 map-side (the router never ships); only
+    the cogroup payload narrows.
     """
     from ..plans.registry import transient_persist
 
+    if payload not in ("f64", "f32"):
+        raise ValueError(f"payload must be 'f64' or 'f32', got {payload!r}")
     spark = vectors.sparkSession
     fields = list(vectors.schema.fields) + [out_field]
     if score_field is not None:
@@ -357,17 +411,21 @@ def routed_best_centroid_distributed(
         n_salts = max(1, int(group_salts))
     if inst is not None:
         inst["salts"] = n_salts
+        inst["payload"] = payload
 
     # -- vectors -> top-p live groups, exploded map-side ------------------
     vid_field = next(f for f in vectors.schema.fields if f.name == vec_id_col)
     routed_schema = T.StructType(
         [
             vid_field,
-            next(f for f in vectors.schema.fields if f.name == vec_col),
+            T.StructField(vec_col, T.ArrayType(T.FloatType()))
+            if payload == "f32"
+            else next(f for f in vectors.schema.fields if f.name == vec_col),
             T.StructField("_rt_gid", T.IntegerType()),
             T.StructField("_rt_salt", T.IntegerType()),
         ]
     )
+    narrow = payload == "f32"
 
     def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bS = bc_router.value
@@ -381,10 +439,17 @@ def routed_best_centroid_distributed(
             emb = np.array(list(pdf[vec_col]), dtype=np.float64)
             top = blive[_tiled_top_groups(emb, S_live, p)]  # b x p live gids
             vids = pdf[vec_id_col].to_numpy()
+            if narrow:
+                # Narrow ONCE here (routing above always scores f64);
+                # only the shuffled copy is float32.
+                emb32 = emb.astype(np.float32)
+                ship = [emb32[i] for i in range(b) for _ in range(p)]
+            else:
+                ship = [v for v in pdf[vec_col] for _ in range(p)]
             yield pd.DataFrame(
                 {
                     vec_id_col: np.repeat(vids, p),
-                    vec_col: [v for v in pdf[vec_col] for _ in range(p)],
+                    vec_col: ship,
                     "_rt_gid": top.ravel().astype(np.int32),
                     "_rt_salt": np.repeat(
                         (vids % n_salts).astype(np.int32), p

@@ -482,14 +482,22 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
                 # that particular query/subspace slot — a silent NaN
                 # adc_distance instead of the loud error these guards
                 # exist for (r10 ADVICE). Name the first offending
-                # (query_id, s, code) triples. The filled-cell mask
+                # (query_id, s, code) triples per cause. The filled-cell mask
                 # distinguishes an UNFILLED cell (codebook/encoding
                 # mismatch) from a cell that holds a genuinely STORED
                 # NaN distance (a NaN query embedding poisons every dot
                 # product) — the two get different diagnoses (r11
                 # ADVICE).
+                # EVERY NaN row is classified; only the reported examples
+                # are capped at 5 PER CATEGORY — capping the scan itself
+                # (the old [:5] window) hid a co-occurring cause whose
+                # first offender sat past row five behind the dominant
+                # one: the serialized-diagnosis pattern the r12 rule
+                # forbids, merely moved to the window boundary (r13
+                # ADVICE). This is the error path (we raise below), so
+                # the full scan costs nothing in the hot path.
                 missing, stored_nan, cancelled = [], [], []
-                for i in np.nonzero(np.isnan(total))[0][:5]:
+                for i in np.nonzero(np.isnan(total))[0]:
                     found_nan_cell = False
                     for s in range(m):
                         ci = np.searchsorted(
@@ -502,12 +510,13 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
                                 int(pdf[f"pq_code_{s}"].iloc[i]),
                             )
                             if bLfilled[qi[i], s, ci]:
-                                stored_nan.append(triple)
-                            else:
+                                if len(stored_nan) < 5:
+                                    stored_nan.append(triple)
+                            elif len(missing) < 5:
                                 missing.append(triple)
                             found_nan_cell = True
                             break
-                    if not found_nan_cell:
+                    if not found_nan_cell and len(cancelled) < 5:
                         cancelled.append(pdf["query_id"].iloc[i])
                 # The two diagnoses can co-occur (a NaN query AND a
                 # codebook mismatch in the same offender window); raising

@@ -415,3 +415,48 @@ def test_adc_gather_mixed_causes_report_in_one_error(spark):
     msg = str(ei.value)
     assert "different codebooks" in msg
     assert "cancel in the subspace fold" in msg
+
+
+def test_adc_gather_cause_past_offender_window_still_reported(spark):
+    """The offender rescan used to classify only the FIRST FIVE NaN rows:
+    when those five were all inf/-inf cancellations, a co-occurring
+    missing-cell cause in row six onward stayed hidden until the
+    cancellation was fixed — the serialized-diagnosis pattern the r12
+    rule forbids, moved to the window boundary (r13 ADVICE). Every NaN
+    row is now classified (only the reported examples are capped per
+    category), so a sixth-row missing-cell cause must appear in the one
+    error alongside the cancellations."""
+    import pytest
+
+    lut, _ = _tiny_lut_and_rows(spark)
+    tampered = lut.filter(
+        ~((F.col("s") == 2) & (F.col("code") == 1))
+    ).withColumn(
+        "d",
+        F.when(
+            (F.col("s") == 0) & (F.col("code") == 1), F.lit(float("inf"))
+        )
+        .when(
+            (F.col("s") == 3) & (F.col("code") == 1), F.lit(float("-inf"))
+        )
+        .otherwise(F.col("d")),
+    )
+    data = [
+        # rows 1-5: cancellation — (s=0, code=1)=+inf + (s=3, code=1)=-inf
+        (1, 10 + j, 1, 0, 0, 1)
+        for j in range(5)
+    ] + [
+        # row 6: hits the dropped (s=2, code=1) cell -> missing-cell cause,
+        # past the old [:5] scan window.
+        (1, 99, 0, 0, 1, 0),
+    ]
+    rows2 = spark.createDataFrame(
+        data,
+        "query_id long, vec_id long, pq_code_0 int, pq_code_1 int, "
+        "pq_code_2 int, pq_code_3 int",
+    ).coalesce(1)
+    with pytest.raises(Exception) as ei:
+        qz.adc_score(rows2, tampered, m=4, kernel="gather").collect()
+    msg = str(ei.value)
+    assert "different codebooks" in msg, msg
+    assert "cancel in the subspace fold" in msg, msg

@@ -240,25 +240,30 @@ def test_trained_centroid_drift_gate_on_real_fixture(spark, sf_dir, monkeypatch)
     # gated on AGREEMENT only, on planted data — gate the contract
     # quantity, end-to-end keep/drop drift, in this regime too. Bounds
     # are adjudicated from measurement on this exact fixture (the
-    # 4.5%-not-1% episode's lesson: measure first), and they are honest
-    # about coarseness: drift 17.6%, agreement 72.9%, spurious drops
-    # 1.7% — strided anchors on the documented 64-d shallow-cell
-    # boundary regime are the COARSE tier by design (planted structured
-    # data reads 85.5% agreement; the Lloyd refine runs whenever the
-    # budget allows precisely because the fallback costs this much).
+    # 4.5%-not-1% episode's lesson: measure first). r13 verdict item 3
+    # re-measured after the fallback gained its CONSTANT-budget
+    # mini-batch Lloyd refine (knn_routed._build_router): at this
+    # fixture's k=520 the 2e9-madd mini-budget covers the whole sample,
+    # so the raw-strided regime's 17.6%/72.9%/1.7% figures collapsed to
+    # drift 4.50%, agreement 90.25%, spurious 0.60% — the REFINED
+    # router's own numbers (4.5%/90.0%). Bounds re-set from the new
+    # measurement; the truly-uncovered regime (mini-batch << sample,
+    # k >> 1e6) degrades toward the old figures by construction and is
+    # documented in SCALING.md §2.1 rather than reachable at fixture
+    # scale.
     from bioclip_vector_db_spark.operators import knn_routed
 
     monkeypatch.setattr(knn_routed, "_ROUTER_LLOYD_BUDGET", 0)
     fb = decisions("distributed")
     assert set(flat) == set(fb)
     drift = sum(1 for key in flat if flat[key][1] != fb[key][1])
-    assert drift / n <= 0.22, (
+    assert drift / n <= 0.06, (
         f"fallback keep/drop drift {drift}/{n} exceeds the measured-regime bound"
     )
     agree = sum(1 for key in flat if flat[key][0] == fb[key][0])
-    assert agree / n >= 0.68, f"fallback agreement {agree}/{n} below floor"
+    assert agree / n >= 0.85, f"fallback agreement {agree}/{n} below floor"
     spurious_drop = sum(1 for key in flat if flat[key][1] and not fb[key][1])
-    assert spurious_drop / n <= 0.03, (
+    assert spurious_drop / n <= 0.02, (
         f"fallback: {spurious_drop}/{n} uniques spuriously dropped"
     )
 
@@ -341,10 +346,14 @@ def test_distributed_strided_anchor_fallback_keeps_recall(spark, monkeypatch):
     sample rows as anchors (SCALING.md §2.1 boundary (a)). Force that
     branch and gate it: the pipeline must stay total/deterministic and
     keep useful recall on structured data — degraded gracefully, not
-    broken. Measured 85.5% on the planted corpus vs the refined
-    router's >= 99%; the floor sits under it with margin — strided
-    anchors are the coarse tier by design, which is exactly why the
-    Lloyd refine runs whenever the budget allows."""
+    broken. Raw strided anchors measured 85.5% on the planted corpus vs
+    the refined router's >= 99%; after the fallback's constant-budget
+    mini-batch Lloyd refine (r13 verdict item 3) the same forced branch
+    measures 100.0% here — at planted scale (k=600) the 2e9-madd
+    mini-budget covers the whole sample, so the fallback IS a two-pass
+    refine. Floor re-set from that measurement with margin; the
+    genuinely-uncovered regime (k >> 1e6) is documented, not reachable
+    at fixture scale."""
     from bioclip_vector_db_spark.operators import knn_routed
 
     cents, vecs = _planted(spark)
@@ -355,8 +364,20 @@ def test_distributed_strided_anchor_fallback_keeps_recall(spark, monkeypatch):
     )
     assert set(flat) == set(dist)
     agree = sum(1 for k in flat if flat[k][0] == dist[k][0])
-    assert agree / len(flat) >= 0.80, (
-        f"strided-anchor recall {agree}/{len(flat)} below the coarse floor"
+    assert agree / len(flat) >= 0.97, (
+        f"strided-anchor recall {agree}/{len(flat)} below the refined-fallback floor"
+    )
+    # The RAW strided tier (mini-budget also exhausted — the k >> 1e6
+    # regime where the subsample covers a negligible sample fraction)
+    # must itself stay total and useful: the original coarse floor.
+    monkeypatch.setattr(knn_routed, "_ROUTER_FALLBACK_REFINE_MADDS", 0)
+    raw = _collect_assign(
+        argmax_centroid_numpy(vecs, cents, routed="distributed")
+    )
+    assert set(flat) == set(raw)
+    agree_raw = sum(1 for k in flat if flat[k][0] == raw[k][0])
+    assert agree_raw / len(flat) >= 0.80, (
+        f"raw strided-anchor recall {agree_raw}/{len(flat)} below the coarse floor"
     )
     # Agreements still score with identical doubles — the fallback
     # changes WHICH groups are probed, never how members are scored.
@@ -880,3 +901,118 @@ def test_auto_salts_engage_and_match_salts_one(spark, monkeypatch):
     auto = run(None)
     assert derived["salts"] > 1, "auto-sizing never engaged at forced target"
     assert auto == run(1)
+
+
+# ---------------------------------------------------------------------------
+# f32 payload encoding (r13 verdict item 4): the routed-explode shuffle is
+# the tier's dominant cost and p x payload its information floor — but each
+# element need not be 8 bytes. Opt-in float32 halves the shuffle bytes; the
+# gates pin that the ~1e-7 dot perturbation stays behind round-9 in practice
+# and that every structural invariant (salts, determinism) survives.
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_f32_payload_parity(spark):
+    """f32 payload vs the default f64 on the planted corpus: assignment
+    agreement >= 99.9% (a flip needs two candidates within ~1e-7 of each
+    other AFTER round-9 — a near-tie), scores within 1e-6, and the
+    result is deterministic run-to-run (measured: identical on this
+    fixture)."""
+    from pyspark.sql import types as T
+
+    from bioclip_vector_db_spark.operators import knn_routed
+
+    cents, vecs = _planted(spark)
+    f64 = _collect_assign(
+        argmax_centroid_numpy(vecs, cents, routed="distributed")
+    )
+    f32 = _collect_assign(
+        argmax_centroid_numpy(
+            vecs, cents, routed="distributed", routed_payload="f32"
+        )
+    )
+    assert set(f64) == set(f32)
+    n = len(f64)
+    agree = sum(1 for k in f64 if f64[k][0] == f32[k][0])
+    assert agree / n >= 0.999, f"f32 payload agreement {agree}/{n}"
+    assert max(abs(f64[k][1] - f32[k][1]) for k in f64) <= 1e-6
+    again = _collect_assign(
+        argmax_centroid_numpy(
+            vecs, cents, routed="distributed", routed_payload="f32"
+        )
+    )
+    assert f32 == again
+
+    with pytest.raises(ValueError, match="payload"):
+        knn_routed.routed_best_centroid_distributed(
+            vecs,
+            cents,
+            id_col="cid",
+            cvec_col="cvec",
+            vec_col="embedding",
+            similarity=True,
+            out_field=T.StructField("cid", T.LongType()),
+            payload="f16",
+        )
+
+
+def test_distributed_f32_payload_salt_invariance(spark):
+    """The salt-invariance contract must hold under the narrowed payload
+    too: per-group argbest is computed per salt and the struct-merge is
+    associative — neither depends on element width, and the f32
+    narrowing happens BEFORE salting (one cast per vector, not per
+    replica), so salted and unsalted runs score identical float32
+    payloads."""
+    from pyspark.sql import types as T
+
+    from bioclip_vector_db_spark.operators import knn_routed
+
+    cents, vecs = _planted(spark, K=520, N=700)
+
+    def run(salts):
+        return _collect_assign(
+            knn_routed.routed_best_centroid_distributed(
+                vecs,
+                cents,
+                id_col="cid",
+                cvec_col="cvec",
+                vec_col="embedding",
+                similarity=True,
+                out_field=T.StructField("cid", T.LongType()),
+                score_field="csim",
+                group_salts=salts,
+                payload="f32",
+            )
+        )
+
+    a = run(1)
+    assert a == run(8)
+
+
+def test_semantic_dedup_f32_payload_end_to_end(spark):
+    """semantic_dedup(routed='distributed', routed_payload='f32') end to
+    end on the planted corpus: keep/drop decisions vs the f64 distributed
+    run must stay inside a 0.5% drift bound (measured: identical on this
+    fixture — planted dups dot at ~1.0 and uniques at ~noise, nowhere
+    near the 9th decimal)."""
+    from bioclip_vector_db_spark.operators.dedup import semantic_dedup
+
+    cents, vecs = _planted(spark, K=520, N=1500)
+
+    def decisions(payload):
+        return {
+            r.vec_id: r.kept
+            for r in semantic_dedup(
+                vecs,
+                centroids=cents,
+                kernel="numpy",
+                routed="distributed",
+                routed_payload=payload,
+            ).collect()
+        }
+
+    f64 = decisions("f64")
+    f32 = decisions("f32")
+    assert set(f64) == set(f32)
+    drift = sum(1 for k in f64 if f64[k] != f32[k])
+    assert drift / len(f64) <= 0.005, f"f32 keep/drop drift {drift}/{len(f64)}"

@@ -436,6 +436,73 @@ def main() -> None:
                     cand_rows=stage.get("cand_rows"),
                 )
 
+            if "dist_payload" in ops:
+                # r13 verdict item 4: the routed-explode shuffle ships
+                # each vector probes x as float64 — the tier's dominant,
+                # shuffle/serialization-bound term. Measure the opt-in
+                # f32 payload against the default at the same decade:
+                # per-term walls both ways (the instrument pins
+                # route_cogroup_s separately) plus ASSIGNMENT
+                # disagreement, so the byte/wall cut and its drift price
+                # land in one record.
+                from pyspark.sql import types as T_
+                from bioclip_vector_db_spark.operators import knn_routed
+                from bioclip_vector_db_spark.operators.knn_routed import (
+                    routed_best_centroid_distributed,
+                )
+
+                k_dp = max(8, -(-n_emb // 64))
+                cent = emb.filter(F.col("vec_id") < k_dp).select(
+                    F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+                )
+
+                def dp_assign(payload):
+                    stage: dict = {}
+                    knn_routed._INSTRUMENT = stage
+                    try:
+                        t0 = time.perf_counter()
+                        a = transient_persist(
+                            routed_best_centroid_distributed(
+                                emb,
+                                cent,
+                                id_col="cid",
+                                cvec_col="cvec",
+                                vec_col="embedding",
+                                similarity=True,
+                                out_field=T_.StructField("cid", T_.LongType()),
+                                payload=payload,
+                            ).select("vec_id", "cid")
+                        )
+                        a.count()
+                        wall = time.perf_counter() - t0
+                    finally:
+                        knn_routed._INSTRUMENT = None
+                    return a, wall, stage
+
+                a64, w64, s64 = dp_assign("f64")
+                a32, w32, s32 = dp_assign("f32")
+                n_agree = (
+                    a64.join(
+                        a32.select("vec_id", F.col("cid").alias("cid32")),
+                        "vec_id",
+                    )
+                    .filter(F.col("cid") == F.col("cid32"))
+                    .count()
+                )
+                emit(
+                    "dist_payload",
+                    m,
+                    n_emb,
+                    w64 + w32,
+                    k=k_dp,
+                    wall_f64_s=round(w64, 2),
+                    wall_f32_s=round(w32, 2),
+                    route_cogroup_f64_s=round(s64.get("route_cogroup_s", 0), 2),
+                    route_cogroup_f32_s=round(s32.get("route_cogroup_s", 0), 2),
+                    assign_agree=n_agree,
+                    assign_disagree=n_emb - n_agree,
+                )
+
             if "pq64_adc" in ops:
                 # FAISS's standard PQ64 byte-per-dim layout end-to-end at
                 # the replicated scale: numpy-kernel encode (the expr
