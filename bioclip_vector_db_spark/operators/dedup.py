@@ -2185,6 +2185,7 @@ def semantic_dedup(
     routed: "bool | str" = "auto",
     decide_cap: "int | str | None" = "auto",
     routed_payload: str = "f64",
+    routed_probe_margin: "float | None" = None,
 ) -> DataFrame:
     """Cluster-partitioned semantic dedup over an embedding corpus — the
     public SemDeDup method (Abbas et al. 2023, arXiv:2303.09540): assign
@@ -2285,6 +2286,12 @@ def semantic_dedup(
     one-sided beyond (under-removal only — see _semantic_dedup_decide);
     per-cluster decide work falls from O(depth^2) to O(depth * cap).
 
+    ``routed_payload`` / ``routed_probe_margin``: pass-throughs to the
+    distributed tier's shuffle levers (float32 payload encoding and
+    adaptive probing — knn_routed.routed_best_centroid_distributed has
+    the contracts and measured trade-offs); both default off and are
+    ignored by every other kernel.
+
     Producing the centroids at scale: the seed rule here exists for the
     exact SQL twin; production callers pass
     ``centroids=indexing.train_kmeans_centroids(vectors, k,
@@ -2366,7 +2373,13 @@ def semantic_dedup(
         # corpus) likewise feeds its group_salts auto-sizing. Both are
         # ignored by the collect-based tiers.
         assigned = argmax_centroid_numpy(
-            v, centroids, routed=routed, n_centroids=n_cents, n_vectors=n_vec
+            v,
+            centroids,
+            routed=routed,
+            n_centroids=n_cents,
+            n_vectors=n_vec,
+            routed_payload=routed_payload,
+            routed_probe_margin=routed_probe_margin,
         )
         if decide_cap == "auto":
             # Engage on the APPROXIMATE tiers only: the routed tiers are

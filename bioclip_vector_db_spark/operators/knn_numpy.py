@@ -452,6 +452,7 @@ def argmax_centroid_numpy(
     n_centroids: "int | None" = None,
     n_vectors: "int | None" = None,
     routed_payload: str = "f64",
+    routed_probe_margin: "float | None" = None,
 ) -> DataFrame:
     """Best-centroid argmax (similarity form of assign_partitions_numpy):
     blocked ``E @ C.T`` GEMMs with a running (best_csim, best_cid) argmax —
@@ -489,7 +490,10 @@ def argmax_centroid_numpy(
     'f32' ships the routed-explode vector payload as float32 (halved
     shuffle bytes, ~1e-7 dot perturbation; knn_routed docstring), 'f64'
     (default) keeps exact doubles; ignored by the in-memory tiers, which
-    have no shuffle."""
+    have no shuffle. ``routed_probe_margin``: distributed tier only —
+    opt-in adaptive probing (ship a vector only to probed groups within
+    this round-9 routing-score margin of its best; knn_routed
+    docstring); None (default) keeps the fixed probes x fan-out."""
     if routed == "distributed":
         from .knn_routed import routed_best_centroid_distributed
 
@@ -505,6 +509,7 @@ def argmax_centroid_numpy(
             n_centroids=n_centroids,
             n_vectors=n_vectors,
             payload=routed_payload,
+            probe_margin=routed_probe_margin,
         )
     collected = None
     if routed == "auto":

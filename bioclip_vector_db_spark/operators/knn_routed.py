@@ -263,6 +263,7 @@ def routed_best_centroid_distributed(
     n_centroids: "int | None" = None,
     n_vectors: "int | None" = None,
     payload: str = "f64",
+    probe_margin: "float | None" = None,
 ) -> DataFrame:
     """Two-tier argbest with a DISTRIBUTED bottom tier (module docstring
     has the full shape). Requires ``vec_id_col`` to be unique per input
@@ -315,11 +316,30 @@ def routed_best_centroid_distributed(
     from the f64 tiers in the 8th-9th decimal of a near-tie. Candidate
     ROUTING always stays f64 map-side (the router never ships); only
     the cogroup payload narrows.
+
+    ``probe_margin`` (opt-in, r13 verdict item 5): ship a vector only to
+    probed groups whose ROUTING score is within this margin of its best
+    group's (round-9 scores, so the pruning inherits the family's
+    tile/batch-shape invariance). The dist_payload stress leg showed the
+    cogroup term is ROW-boxing-bound on local[*] (f32 halves the bytes
+    for a ~flat wall), so cutting the replicated ROW count is the lever
+    that moves the local wall — most vectors' best group wins by a wide
+    margin and the trailing probes are insurance. ``None`` (default)
+    keeps the fixed probes x fan-out. The pruned probe set is always a
+    SUBSET of the fixed one and always contains the best-routed group,
+    so quality degrades one-sidedly: the true argmax centroid can only
+    be missed when it lives in a pruned runner-up group whose routing
+    score trailed by more than the margin — drift measured and gated in
+    tests/test_semantic_routing.py.
     """
     from ..plans.registry import transient_persist
 
     if payload not in ("f64", "f32"):
         raise ValueError(f"payload must be 'f64' or 'f32', got {payload!r}")
+    if probe_margin is not None and not probe_margin >= 0:
+        raise ValueError(
+            f"probe_margin must be None or a non-negative float, got {probe_margin!r}"
+        )
     spark = vectors.sparkSession
     fields = list(vectors.schema.fields) + [out_field]
     if score_field is not None:
@@ -437,23 +457,41 @@ def routed_best_centroid_distributed(
             if not b:
                 continue
             emb = np.array(list(pdf[vec_col]), dtype=np.float64)
-            top = blive[_tiled_top_groups(emb, S_live, p)]  # b x p live gids
+            idx = _tiled_top_groups(emb, S_live, p)  # b x p, best-first
+            top = blive[idx]  # b x p live gids
             vids = pdf[vec_id_col].to_numpy()
+            flat = None
+            if probe_margin is not None:
+                # Re-score the selected groups (b x p gather-GEMM — tiny
+                # next to the routing pass) on the SAME round-9 scale the
+                # selector used, and keep only probes within the margin
+                # of the row's best. Column 0 is the best by the
+                # selector's total order, so every row keeps >= 1 probe
+                # and no vector can end up candidate-less.
+                sc = np.einsum("bd,bpd->bp", emb, S_live[idx])
+                np.round(sc, 9, out=sc)
+                flat = (
+                    sc >= sc.max(axis=1, keepdims=True) - probe_margin
+                ).ravel()
+            row_idx = np.repeat(np.arange(b), p)
+            vids_r = np.repeat(vids, p)
+            gids_r = top.ravel()
+            if flat is not None:
+                row_idx, vids_r, gids_r = row_idx[flat], vids_r[flat], gids_r[flat]
             if narrow:
                 # Narrow ONCE here (routing above always scores f64);
                 # only the shuffled copy is float32.
                 emb32 = emb.astype(np.float32)
-                ship = [emb32[i] for i in range(b) for _ in range(p)]
+                ship = [emb32[i] for i in row_idx]
             else:
-                ship = [v for v in pdf[vec_col] for _ in range(p)]
+                orig = pdf[vec_col].to_numpy()
+                ship = [orig[i] for i in row_idx]
             yield pd.DataFrame(
                 {
-                    vec_id_col: np.repeat(vids, p),
+                    vec_id_col: vids_r,
                     vec_col: ship,
-                    "_rt_gid": top.ravel().astype(np.int32),
-                    "_rt_salt": np.repeat(
-                        (vids % n_salts).astype(np.int32), p
-                    ),
+                    "_rt_gid": gids_r.astype(np.int32),
+                    "_rt_salt": (vids_r % n_salts).astype(np.int32),
                 }
             )
 

@@ -436,6 +436,75 @@ def main() -> None:
                     cand_rows=stage.get("cand_rows"),
                 )
 
+            if "dist_deep" in ops:
+                # r13 verdict item 1, the DELIBERATELY SKEWED leg: k is
+                # pinned at 64 (SemDeDup's k = n/64 contract deliberately
+                # broken) so cluster depth = n/64 grows with M — the
+                # regime a skewed real corpus produces and the ladder's
+                # seed-saturated tail only brushes. With the decide cap
+                # (auto on the routed tiers, 256 = 4x contract depth)
+                # per-cluster pair work is O(depth * 256), so the capped
+                # wall must double per doubling while the EXACT twin's
+                # pair join doubles its per-pair count TWICE per
+                # doubling. The exact twin runs at the largest M for the
+                # one-sided parity check: removed_capped must be a
+                # subset of removed_exact, with the drift fraction (pure
+                # under-removal) in the record.
+                from bioclip_vector_db_spark.operators.dedup import (
+                    SEMDEDUP_DECIDE_CAP,
+                )
+
+                t0 = time.perf_counter()
+                sd_c = transient_persist(
+                    semantic_dedup(
+                        emb, k=64, kernel="numpy", routed="distributed"
+                    )
+                )
+                n_out = sd_c.count()
+                wall_c = time.perf_counter() - t0
+                rem_c = sd_c.filter(~F.col("kept"))
+                n_rem_c = rem_c.count()
+                extra = {}
+                if m == max(args.m):
+                    t0 = time.perf_counter()
+                    sd_e = transient_persist(
+                        semantic_dedup(
+                            emb,
+                            k=64,
+                            kernel="numpy",
+                            routed="distributed",
+                            decide_cap=None,
+                        )
+                    )
+                    sd_e.count()
+                    wall_e = time.perf_counter() - t0
+                    rem_e = sd_e.filter(~F.col("kept"))
+                    n_rem_e = rem_e.count()
+                    n_outside = (
+                        rem_c.select("vec_id")
+                        .join(rem_e.select("vec_id"), "vec_id", "left_anti")
+                        .count()
+                    )
+                    extra = dict(
+                        wall_exact_s=round(wall_e, 2),
+                        removed_exact=n_rem_e,
+                        capped_subset_of_exact=bool(n_outside == 0),
+                        drift_under_removed=n_rem_e - n_rem_c,
+                        drift_frac=round((n_rem_e - n_rem_c) / n_out, 5),
+                    )
+                emit(
+                    "dist_deep",
+                    m,
+                    n_emb,
+                    wall_c,
+                    out_rows=n_out,
+                    removed_capped=n_rem_c,
+                    k=64,
+                    depth=n_emb // 64,
+                    decide_cap=SEMDEDUP_DECIDE_CAP,
+                    **extra,
+                )
+
             if "dist_payload" in ops:
                 # r13 verdict item 4: the routed-explode shuffle ships
                 # each vector probes x as float64 — the tier's dominant,
