@@ -470,9 +470,17 @@ def routed_best_centroid_distributed(
                 # and no vector can end up candidate-less.
                 sc = np.einsum("bd,bpd->bp", emb, S_live[idx])
                 np.round(sc, 9, out=sc)
-                flat = (
-                    sc >= sc.max(axis=1, keepdims=True) - probe_margin
-                ).ravel()
+                keep2d = sc >= sc.max(axis=1, keepdims=True) - probe_margin
+                # Column 0 is kept UNCONDITIONALLY, not just by the
+                # margin inequality: a NaN embedding scores NaN against
+                # every anchor, every >= comparison reads False, and the
+                # row would silently VANISH from the output (the global
+                # merge inner-joins on surviving candidates) — where
+                # fixed probing still ships it. Totality is the margin
+                # contract ("always contains the best-routed group"),
+                # so enforce it structurally (r14 self-review).
+                keep2d[:, 0] = True
+                flat = keep2d.ravel()
             row_idx = np.repeat(np.arange(b), p)
             vids_r = np.repeat(vids, p)
             gids_r = top.ravel()

@@ -1107,3 +1107,26 @@ def test_distributed_adaptive_probing_salt_invariance_and_validation(spark):
             out_field=T.StructField("cid", T.LongType()),
             probe_margin=-0.1,
         )
+
+
+def test_distributed_adaptive_probing_total_under_nan_embedding(spark):
+    """r14 self-review: a NaN embedding scores NaN against every routing
+    anchor, so the margin inequality reads False for ALL probes and the
+    row would silently vanish from the output (the global merge
+    inner-joins on surviving candidates) — where fixed probing still
+    ships it. Column 0 of the probe set is kept unconditionally, so the
+    margin path must emit the same vec_id set as fixed probing even with
+    a NaN row planted."""
+    import math as _math
+
+    cents, vecs = _planted(spark, K=520, N=300)
+    poisoned = vecs.union(
+        spark.createDataFrame(
+            [(999_999, [float("nan")] * 256)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    fixed, _ = _run_margin(spark, poisoned, cents, None)
+    pruned, _ = _run_margin(spark, poisoned, cents, 0.1)
+    assert set(pruned) == set(fixed)
+    assert 999_999 in pruned
