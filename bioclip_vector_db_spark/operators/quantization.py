@@ -498,6 +498,20 @@ def _adc_score_gather(rows: DataFrame, lut: DataFrame, m: int) -> DataFrame:
                 # the full scan costs nothing in the hot path.
                 missing, stored_nan, cancelled = [], [], []
                 for i in np.nonzero(np.isnan(total))[0]:
+                    if (
+                        len(missing) >= 5
+                        and len(stored_nan) >= 5
+                        and len(cancelled) >= 5
+                    ):
+                        # All three report windows are full — the rest of
+                        # the scan can add nothing to the message, and on
+                        # a large fully-poisoned batch the remaining rows
+                        # cost an O(rows*m) Python loop for no diagnostic
+                        # gain (r14 ADVICE). Every CATEGORY is still
+                        # guaranteed its first offenders: a category's
+                        # window can only be full because it already has
+                        # 5 examples.
+                        break
                     found_nan_cell = False
                     for s in range(m):
                         ci = np.searchsorted(
