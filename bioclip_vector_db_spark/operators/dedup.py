@@ -2185,7 +2185,7 @@ def semantic_dedup(
     routed: "bool | str" = "auto",
     decide_cap: "int | str | None" = "auto",
     routed_payload: str = "f64",
-    routed_probe_margin: "float | None" = None,
+    routed_probe_margin: "float | str | None" = "auto",
 ) -> DataFrame:
     """Cluster-partitioned semantic dedup over an embedding corpus — the
     public SemDeDup method (Abbas et al. 2023, arXiv:2303.09540): assign
@@ -2289,8 +2289,10 @@ def semantic_dedup(
     ``routed_payload`` / ``routed_probe_margin``: pass-throughs to the
     distributed tier's shuffle levers (float32 payload encoding and
     adaptive probing — knn_routed.routed_best_centroid_distributed has
-    the contracts and measured trade-offs); both default off and are
-    ignored by every other kernel.
+    the contracts and measured trade-offs); the payload defaults off,
+    the probe margin defaults to ``'auto'`` (calibrated from the router
+    sample, r14 verdict item 2; ``None`` opts out); both are ignored by
+    every other kernel.
 
     Producing the centroids at scale: the seed rule here exists for the
     exact SQL twin; production callers pass
@@ -2372,6 +2374,7 @@ def semantic_dedup(
         # count job; n_vec (when the seed rule already counted the
         # corpus) likewise feeds its group_salts auto-sizing. Both are
         # ignored by the collect-based tiers.
+        resolved: dict = {}
         assigned = argmax_centroid_numpy(
             v,
             centroids,
@@ -2380,24 +2383,19 @@ def semantic_dedup(
             n_vectors=n_vec,
             routed_payload=routed_payload,
             routed_probe_margin=routed_probe_margin,
+            resolved_out=resolved,
         )
         if decide_cap == "auto":
             # Engage on the APPROXIMATE tiers only: the routed tiers are
             # both where skew-prone scale lives and already
             # non-hash-exact, so the one-sided cap changes no
-            # advertised-exact result. With explicit centroids routed can
-            # still be the STRING 'auto' here (argmax_centroid_numpy
-            # resolves it from its own collect) — a truthiness test on it
-            # would wrongly cap a flat run; mirror its size rule with a
-            # bounded limit().count() probe instead.
-            if routed == "auto":
-                routed_engages = (
-                    centroids.limit(ROUTED_K_THRESHOLD + 1).count()
-                    > ROUTED_K_THRESHOLD
-                )
-            else:
-                routed_engages = bool(routed)
-            decide_cap = SEMDEDUP_DECIDE_CAP if routed_engages else None
+            # advertised-exact result. Read the tier argmax_centroid_numpy
+            # ACTUALLY chose (resolved_out) rather than re-deriving it
+            # with a separate limit().count() probe — the probe was a
+            # second evaluation of the caller's centroid plan, and for a
+            # nondeterministic plan the two resolutions could disagree,
+            # capping a run that took the exact flat kernel (r14 ADVICE).
+            decide_cap = SEMDEDUP_DECIDE_CAP if resolved.get("routed") else None
         return _semantic_dedup_decide(assigned, threshold, depth_cap=decide_cap)
     # Assignment argmax INSIDE the scan, zero row expansion — the same
     # collapsed-struct fold knn.assign_partitions uses (knn.py O19): the

@@ -452,7 +452,8 @@ def argmax_centroid_numpy(
     n_centroids: "int | None" = None,
     n_vectors: "int | None" = None,
     routed_payload: str = "f64",
-    routed_probe_margin: "float | None" = None,
+    routed_probe_margin: "float | str | None" = "auto",
+    resolved_out: "dict | None" = None,
 ) -> DataFrame:
     """Best-centroid argmax (similarity form of assign_partitions_numpy):
     blocked ``E @ C.T`` GEMMs with a running (best_csim, best_cid) argmax —
@@ -491,10 +492,20 @@ def argmax_centroid_numpy(
     shuffle bytes, ~1e-7 dot perturbation; knn_routed docstring), 'f64'
     (default) keeps exact doubles; ignored by the in-memory tiers, which
     have no shuffle. ``routed_probe_margin``: distributed tier only —
-    opt-in adaptive probing (ship a vector only to probed groups within
-    this round-9 routing-score margin of its best; knn_routed
-    docstring); None (default) keeps the fixed probes x fan-out."""
+    adaptive probing (ship a vector only to probed groups within this
+    round-9 routing-score margin of its best; knn_routed docstring);
+    'auto' (default) calibrates the margin from the router sample, None
+    opts out to the fixed probes x fan-out.
+    ``resolved_out``: when a dict is passed, this function records the
+    CONCRETE tier it chose under key ``'routed'`` (False / True /
+    'distributed') — so callers whose own behavior branches on whether
+    routing engaged (semantic_dedup's decide_cap='auto') read the SAME
+    decision this function acted on, instead of re-deriving it from a
+    second evaluation of the centroid plan that a nondeterministic plan
+    could answer differently (r14 ADVICE)."""
     if routed == "distributed":
+        if resolved_out is not None:
+            resolved_out["routed"] = "distributed"
         from .knn_routed import routed_best_centroid_distributed
 
         return routed_best_centroid_distributed(
@@ -519,6 +530,8 @@ def argmax_centroid_numpy(
         # caller's centroid plan a second time (r11 review finding).
         collected = _collect_centroids(centroids, cid_col, cvec_col)
         routed = len(collected[0]) > ROUTED_K_THRESHOLD
+    if resolved_out is not None:
+        resolved_out["routed"] = routed
     core = _routed_best_centroid if routed else _blocked_best_centroid
     return core(
         vectors,

@@ -61,10 +61,12 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.pandas.types import to_arrow_schema
 
 from .knn_numpy import (
     ROUTE_PROBES,
@@ -153,6 +155,36 @@ _CAND_SCHEMA = T.StructType(
 )
 
 
+def _list_matrix(col: "pa.Array | pa.ChunkedArray") -> "np.ndarray":
+    """(n, d) float64 matrix from an Arrow list<float|double> column with
+    NO per-row Python boxing — the r14 dist_payload stress leg proved the
+    routed tier's cogroup term is Arrow<->pandas ROW-boxing-bound (f32
+    halved the shuffle bytes for a ~flat wall): the pandas path's
+    ``np.array(list(pdf[col]))`` materializes one Python ndarray object
+    per row on BOTH sides of every stage. flatten() honors slice offsets,
+    so this reads the values buffer directly; a ragged or null-bearing
+    vector column fails the reshape loudly, exactly like the object-array
+    failure mode of the pandas path (the embedding contract is fixed-d,
+    non-null)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return vals.astype(np.float64, copy=False).reshape(n, -1)
+
+
+def _pa_cast(arr: "pa.Array | pa.ChunkedArray", typ: "pa.DataType") -> "pa.Array":
+    """Column coerced to the target Arrow type (combining chunks): list
+    child-field NAMES differ between hand-built arrays ('item') and
+    Spark's schema ('element'), and Spark's Arrow-UDF boundary checks the
+    declared schema — the cast is metadata-only for same-layout types."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr if arr.type == typ else arr.cast(typ)
+
+
 def _sample_router_matrix(
     centroids: DataFrame, id_col: str, cvec_col: str, k: int
 ) -> "np.ndarray":
@@ -220,6 +252,141 @@ def _build_router(sample: "np.ndarray", k: int, probes: int) -> "np.ndarray":
     return S / np.where(norms < 1e-12, 1.0, norms)
 
 
+#: Calibration targets for probe_margin='auto' (r14 verdict item 2).
+#: The margin is the (1 - _CALIBRATE_TARGET_MISS) quantile of the
+#: winner-group routing-score gap over a sample of the ACTUAL vectors —
+#: i.e. the smallest margin predicted to route all but that fraction of
+#: the workload to its true winner's group. 0.5% predicted routing miss
+#: sits 12x inside the 6% end-to-end drift bound the eval row gates
+#: (routing misses also overwhelmingly KEEP extra rows rather than drop
+#: uniques, so keep/drop drift runs well under the routing miss rate).
+_CALIBRATE_TARGET_MISS = 0.005
+#: Floor on the calibrated margin: a capped quantile over a finite
+#: sample must not degenerate to ties-only probing when the sampled
+#: gaps all read 0 (strongly clustered data routes its whole sample to
+#: rank-0). 0.02 on the round-9 cosine scale is 10x under the margin
+#: measured DECISION-IDENTICAL to fixed probing on the planted corpus
+#: (0.2; SCALING.md §2.1).
+_CALIBRATE_MARGIN_FLOOR = 0.02
+#: Vector rows sampled (hash-strided, deterministic — same discipline
+#: as _ROUTER_SAMPLE_CAP) as calibration queries; bounds the collect at
+#: a constant (~16 MB at 512-d) at ANY corpus size.
+_CALIBRATE_VECTOR_SAMPLE_CAP = 4096
+#: Driver-BLAS budget (multiply-adds) for the calibration GEMMs; caps
+#: the query subset so calibration stays a bounded driver-side cost at
+#: any sample/router size (<= a few seconds of dgemm at the caps).
+_CALIBRATE_MADDS_BUDGET = 2e10
+
+
+def _sample_vector_matrix(
+    vectors: DataFrame, vec_id_col: str, vec_col: str, n: int
+) -> "np.ndarray":
+    """Deterministic <= _CALIBRATE_VECTOR_SAMPLE_CAP-row sample of the
+    WORKLOAD vectors (hash-strided on vec_id, id-sorted-then-limited —
+    the same data-property sampling discipline as _sample_router_matrix).
+    One bounded extra job over the vector plan; callers with expensive
+    computed lineage opt out by pinning probe_margin to a float or
+    None."""
+    stride = max(1, math.ceil(n / _CALIBRATE_VECTOR_SAMPLE_CAP))
+    samp = vectors.select(vec_id_col, vec_col)
+    if stride > 1:
+        samp = samp.filter(
+            F.pmod(F.xxhash64(F.col(vec_id_col)), F.lit(stride)) == 0
+        )
+    rows = (
+        samp.orderBy(vec_id_col).limit(_CALIBRATE_VECTOR_SAMPLE_CAP).collect()
+    )
+    if not rows:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
+def _calibrate_probe_margin(
+    vec_sample: "np.ndarray",
+    cent_sample: "np.ndarray",
+    S: "np.ndarray",
+    probes: int,
+) -> "float | None":
+    """Data-derived probe margin (r14 verdict item 2) — driver-side,
+    deterministic, madds-bounded.
+
+    The question the margin answers: when a vector's true argmax
+    centroid lives in a probed runner-up group, how far does that
+    group's routing score trail the best group's? Calibration measures
+    exactly that on a capped sample of the REAL workload: each sampled
+    vector's winner is found against the centroid sample (the full
+    table when k <= the router cap — the regime of every gated
+    fixture; a sqrt-ish strided subset beyond, where the in-sample
+    winner still reflects the ambiguity structure), and the winner-
+    group's routing-score gap to the vector's best group is collected
+    on the selector's own round-9 scale. The margin is the
+    (1 - _CALIBRATE_TARGET_MISS) quantile of those gaps, rounded UP
+    onto the round-9 grid, floored at _CALIBRATE_MARGIN_FLOOR.
+
+    Synthetic calibration queries were measured and rejected: centroid-
+    sample rows with self excluded, and toward-neighbor mixtures, both
+    overstate ambiguity (midpoints between random centroids produce
+    winner-gaps no real clustered vector exhibits — a planted-fixture
+    calibration read 0.485 where the workload quantile reads ~0.05,
+    erasing the row cut this feature exists for).
+
+    Returns None (= fixed probing) when pruning cannot help: probes
+    covers every router group, or the samples are too small for a
+    quantile. Vectors whose winner group is OUTSIDE the fixed top-p set
+    are excluded — fixed probing misses those too; the margin decides
+    which of the fixed probes to drop, so its contract is relative to
+    fixed probing, not to exactness."""
+    if vec_sample.size == 0 or cent_sample.size == 0:
+        return None
+    s, d = cent_sample.shape
+    g = S.shape[0]
+    p = min(probes, g)
+    if p >= g or len(vec_sample) < 64:
+        return None
+    grp = _tiled_argmax_group(cent_sample, S)
+    n_q = int(
+        min(
+            len(vec_sample),
+            max(64, _CALIBRATE_MADDS_BUDGET // max(1, (s + g) * d)),
+        )
+    )
+    q = vec_sample[np.linspace(0, len(vec_sample) - 1, n_q).astype(np.int64)]
+    # Winner (among the centroid sample) per query — same tiled
+    # round-9 / first-max / strict-cross-block-improvement argbest as
+    # every kernel in the family.
+    from .knn_numpy import _TILE_ELEMS
+
+    best_v = np.full(n_q, -np.inf)
+    best_j = np.zeros(n_q, dtype=np.int64)
+    cblock = max(1, min(s, _TILE_ELEMS // max(n_q, 1)))
+    for c0 in range(0, s, cblock):
+        blk = q @ cent_sample[c0 : c0 + cblock].T
+        np.round(blk, 9, out=blk)
+        j = blk.argmax(axis=1)
+        v = blk[np.arange(n_q), j]
+        upd = v > best_v
+        best_v[upd] = v[upd]
+        best_j[upd] = c0 + j[upd]
+    wg = grp[best_j]
+    r = q @ S.T
+    np.round(r, 9, out=r)
+    rw = r[np.arange(n_q), wg]
+    gap = r.max(axis=1) - rw
+    # Reachable under fixed top-p probing (argpartition membership —
+    # the stats need the set, not the selector's exact tie order).
+    in_probe = (np.argpartition(-r, p - 1, axis=1)[:, :p] == wg[:, None]).any(
+        axis=1
+    )
+    gaps = gap[in_probe & np.isfinite(gap)]
+    if len(gaps) < 64:
+        return None
+    m = float(np.quantile(gaps, 1.0 - _CALIBRATE_TARGET_MISS))
+    # Round UP onto the round-9 score grid so a gap exactly at the
+    # quantile stays inside the margin.
+    m = math.ceil(m * 1e9) / 1e9
+    return max(m, _CALIBRATE_MARGIN_FLOOR)
+
+
 def _tiled_argmax_group(emb: "np.ndarray", S: "np.ndarray") -> "np.ndarray":
     """Deterministic argmax routing-group per row, tiled like
     _tiled_top_groups: blocks ascend by group id, within a block argmax
@@ -263,7 +430,8 @@ def routed_best_centroid_distributed(
     n_centroids: "int | None" = None,
     n_vectors: "int | None" = None,
     payload: str = "f64",
-    probe_margin: "float | None" = None,
+    probe_margin: "float | str | None" = "auto",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Two-tier argbest with a DISTRIBUTED bottom tier (module docstring
     has the full shape). Requires ``vec_id_col`` to be unique per input
@@ -317,29 +485,54 @@ def routed_best_centroid_distributed(
     ROUTING always stays f64 map-side (the router never ships); only
     the cogroup payload narrows.
 
-    ``probe_margin`` (opt-in, r13 verdict item 5): ship a vector only to
-    probed groups whose ROUTING score is within this margin of its best
-    group's (round-9 scores, so the pruning inherits the family's
-    tile/batch-shape invariance). The dist_payload stress leg showed the
-    cogroup term is ROW-boxing-bound on local[*] (f32 halves the bytes
-    for a ~flat wall), so cutting the replicated ROW count is the lever
-    that moves the local wall — most vectors' best group wins by a wide
-    margin and the trailing probes are insurance. ``None`` (default)
-    keeps the fixed probes x fan-out. The pruned probe set is always a
-    SUBSET of the fixed one and always contains the best-routed group,
-    so quality degrades one-sidedly: the true argmax centroid can only
-    be missed when it lives in a pruned runner-up group whose routing
-    score trailed by more than the margin — drift measured and gated in
-    tests/test_semantic_routing.py.
+    ``probe_margin`` (r13 verdict item 5; default-on r14 item 2): ship a
+    vector only to probed groups whose ROUTING score is within this
+    margin of its best group's (round-9 scores, so the pruning inherits
+    the family's tile/batch-shape invariance). The dist_payload stress
+    leg showed the cogroup term is ROW-boxing-bound on local[*] (f32
+    halves the bytes for a ~flat wall), so cutting the replicated ROW
+    count is the lever that moves the local wall — most vectors' best
+    group wins by a wide margin and the trailing probes are insurance.
+    ``'auto'`` (default) CALIBRATES the margin from the router sample
+    the tier already holds (_calibrate_probe_margin: winner-group
+    routing-score gap quantile over strided + mixture queries —
+    deterministic, driver-side, madds-bounded); ``None`` opts out to
+    the fixed probes x fan-out; a float pins it. The pruned probe set
+    is always a SUBSET of the fixed one and always contains the
+    best-routed group, so quality degrades one-sidedly: the true argmax
+    centroid can only be missed when it lives in a pruned runner-up
+    group whose routing score trailed by more than the margin — drift
+    measured and gated in tests/test_semantic_routing.py, and the
+    calibrated default is inside the oracle-gated
+    semantic_dedup_routed_eval bounds (drift <= 6%, spurious <= 1%).
+
+    ``engine`` (r14 verdict item 1): ``'arrow'`` (default) runs all
+    three Python stages — centroid group-assign, vector route-explode,
+    and the per-(group, salt) cogroup GEMM — as Arrow-native UDFs
+    (``mapInArrow`` / ``cogroup().applyInArrow``) reading the vector
+    values buffer directly into the (n, d) GEMM operand and passing
+    id/vector columns through untouched; ``'pandas'`` keeps the original
+    ``mapInPandas`` / ``applyInPandas`` stages, which box one Python
+    ndarray object per row on both sides of every stage — the measured
+    per-task bound of the whole tier (SCALING.md §2.1, dist_payload
+    leg). Results are byte-identical between the engines (gated:
+    tests/test_semantic_routing.py): both build the same float64
+    matrices, run the same tiled round-9 GEMMs, and merge with the same
+    total order — the engines differ only in HOW rows cross the
+    JVM/Python boundary.
     """
     from ..plans.registry import transient_persist
 
     if payload not in ("f64", "f32"):
         raise ValueError(f"payload must be 'f64' or 'f32', got {payload!r}")
-    if probe_margin is not None and not probe_margin >= 0:
-        raise ValueError(
-            f"probe_margin must be None or a non-negative float, got {probe_margin!r}"
-        )
+    if engine not in ("arrow", "pandas"):
+        raise ValueError(f"engine must be 'arrow' or 'pandas', got {engine!r}")
+    if probe_margin is not None and probe_margin != "auto":
+        if isinstance(probe_margin, str) or not probe_margin >= 0:
+            raise ValueError(
+                "probe_margin must be 'auto', None, or a non-negative "
+                f"float, got {probe_margin!r}"
+            )
     spark = vectors.sparkSession
     fields = list(vectors.schema.fields) + [out_field]
     if score_field is not None:
@@ -373,6 +566,25 @@ def routed_best_centroid_distributed(
     if inst is not None:
         inst["router_build_s"] = time.perf_counter() - t0
         inst["g"] = int(S.shape[0])
+    # One n resolution shared by margin calibration (vector-sample
+    # stride) and group_salts auto-sizing — a positive caller hint skips
+    # the count() job entirely (sizing-only: wrong never breaks
+    # correctness, the grouping and argbest read the real tables).
+    _n_vec_cache = [n_vectors if n_vectors is not None and n_vectors > 0 else None]
+
+    def _n_vec() -> int:
+        if _n_vec_cache[0] is None:
+            _n_vec_cache[0] = vectors.count()
+        return _n_vec_cache[0]
+
+    if probe_margin == "auto":
+        t0 = time.perf_counter()
+        vec_sample = _sample_vector_matrix(vectors, vec_id_col, vec_col, _n_vec())
+        probe_margin = _calibrate_probe_margin(vec_sample, sample, S, probes)
+        if inst is not None:
+            inst["margin_calibrate_s"] = time.perf_counter() - t0
+    if inst is not None:
+        inst["probe_margin"] = probe_margin
     bc_router = spark.sparkContext.broadcast(S)
 
     # -- bottom tier: centroid -> group, map-side, never collected -------
@@ -399,8 +611,34 @@ def routed_best_centroid_distributed(
                 }
             )
 
+    grouped_arrow = to_arrow_schema(grouped_schema)
+
+    def assign_groups_arrow(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        bS = bc_router.value
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            i_id = rb.schema.get_field_index(id_col)
+            i_cv = rb.schema.get_field_index(cvec_col)
+            emb = _list_matrix(rb.column(i_cv))
+            gid = _tiled_argmax_group(emb, bS)
+            # id and vector columns pass through UNTOUCHED — no pandas
+            # object column on either side of this stage.
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(gid.astype(np.int32), type=pa.int32()),
+                    _pa_cast(rb.column(i_id), grouped_arrow.field(1).type),
+                    _pa_cast(rb.column(i_cv), grouped_arrow.field(2).type),
+                ],
+                schema=grouped_arrow,
+            )
+
     members = transient_persist(
-        centroids.mapInPandas(assign_groups, grouped_schema)
+        centroids.mapInArrow(assign_groups_arrow, grouped_schema)
+        if engine == "arrow"
+        else centroids.mapInPandas(assign_groups, grouped_schema)
     )
     # Live-group ids: <= g scalars — vectors route only over groups that
     # own >= 1 centroid, so every probe lands on a member-bearing cogroup
@@ -420,18 +658,15 @@ def routed_best_centroid_distributed(
         # scan; over COMPUTED lineage it is one extra lineage execution —
         # callers with an expensive upstream plan should pass n_vectors
         # (semantic_dedup's seed-rule path does) or an explicit
-        # group_salts to skip it (r13 review).
-        n_vec = (
-            n_vectors
-            if n_vectors is not None and n_vectors > 0
-            else vectors.count()
-        )
-        n_salts = _auto_salts(n_vec, min(probes, len(live)), len(live))
+        # group_salts to skip it (r13 review). _n_vec caches, so the
+        # margin calibration above and this block share one resolution.
+        n_salts = _auto_salts(_n_vec(), min(probes, len(live)), len(live))
     else:
         n_salts = max(1, int(group_salts))
     if inst is not None:
         inst["salts"] = n_salts
         inst["payload"] = payload
+        inst["engine"] = engine
 
     # -- vectors -> top-p live groups, exploded map-side ------------------
     vid_field = next(f for f in vectors.schema.fields if f.name == vec_id_col)
@@ -447,6 +682,43 @@ def routed_best_centroid_distributed(
     )
     narrow = payload == "f32"
 
+    def _route_core(emb, vids, S_live, blive, p):
+        """Shared numeric routing core (both engines call EXACTLY this —
+        the engines may only differ in how rows cross the JVM/Python
+        boundary, never in what is computed): top-p live groups per row,
+        optional margin pruning, returns the exploded (row_idx, vids_r,
+        gids_r) index arrays."""
+        b = emb.shape[0]
+        idx = _tiled_top_groups(emb, S_live, p)  # b x p, best-first
+        top = blive[idx]  # b x p live gids
+        flat = None
+        if probe_margin is not None:
+            # Re-score the selected groups (b x p gather-GEMM — tiny
+            # next to the routing pass) on the SAME round-9 scale the
+            # selector used, and keep only probes within the margin
+            # of the row's best. Column 0 is the best by the
+            # selector's total order, so every row keeps >= 1 probe
+            # and no vector can end up candidate-less.
+            sc = np.einsum("bd,bpd->bp", emb, S_live[idx])
+            np.round(sc, 9, out=sc)
+            keep2d = sc >= sc.max(axis=1, keepdims=True) - probe_margin
+            # Column 0 is kept UNCONDITIONALLY, not just by the
+            # margin inequality: a NaN embedding scores NaN against
+            # every anchor, every >= comparison reads False, and the
+            # row would silently VANISH from the output (the global
+            # merge inner-joins on surviving candidates) — where
+            # fixed probing still ships it. Totality is the margin
+            # contract ("always contains the best-routed group"),
+            # so enforce it structurally (r14 self-review).
+            keep2d[:, 0] = True
+            flat = keep2d.ravel()
+        row_idx = np.repeat(np.arange(b), p)
+        vids_r = np.repeat(vids, p)
+        gids_r = top.ravel()
+        if flat is not None:
+            row_idx, vids_r, gids_r = row_idx[flat], vids_r[flat], gids_r[flat]
+        return row_idx, vids_r, gids_r
+
     def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bS = bc_router.value
         blive = bc_live.value
@@ -457,35 +729,8 @@ def routed_best_centroid_distributed(
             if not b:
                 continue
             emb = np.array(list(pdf[vec_col]), dtype=np.float64)
-            idx = _tiled_top_groups(emb, S_live, p)  # b x p, best-first
-            top = blive[idx]  # b x p live gids
             vids = pdf[vec_id_col].to_numpy()
-            flat = None
-            if probe_margin is not None:
-                # Re-score the selected groups (b x p gather-GEMM — tiny
-                # next to the routing pass) on the SAME round-9 scale the
-                # selector used, and keep only probes within the margin
-                # of the row's best. Column 0 is the best by the
-                # selector's total order, so every row keeps >= 1 probe
-                # and no vector can end up candidate-less.
-                sc = np.einsum("bd,bpd->bp", emb, S_live[idx])
-                np.round(sc, 9, out=sc)
-                keep2d = sc >= sc.max(axis=1, keepdims=True) - probe_margin
-                # Column 0 is kept UNCONDITIONALLY, not just by the
-                # margin inequality: a NaN embedding scores NaN against
-                # every anchor, every >= comparison reads False, and the
-                # row would silently VANISH from the output (the global
-                # merge inner-joins on surviving candidates) — where
-                # fixed probing still ships it. Totality is the margin
-                # contract ("always contains the best-routed group"),
-                # so enforce it structurally (r14 self-review).
-                keep2d[:, 0] = True
-                flat = keep2d.ravel()
-            row_idx = np.repeat(np.arange(b), p)
-            vids_r = np.repeat(vids, p)
-            gids_r = top.ravel()
-            if flat is not None:
-                row_idx, vids_r, gids_r = row_idx[flat], vids_r[flat], gids_r[flat]
+            row_idx, vids_r, gids_r = _route_core(emb, vids, S_live, blive, p)
             if narrow:
                 # Narrow ONCE here (routing above always scores f64);
                 # only the shuffled copy is float32.
@@ -503,8 +748,57 @@ def routed_best_centroid_distributed(
                 }
             )
 
-    routed_v = vectors.select(vec_id_col, vec_col).mapInPandas(
-        route, routed_schema
+    routed_arrow = to_arrow_schema(routed_schema)
+
+    def route_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bS = bc_router.value
+        blive = bc_live.value
+        S_live = bS[blive]
+        p = min(probes, len(blive))
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            i_vid = rb.schema.get_field_index(vec_id_col)
+            i_vec = rb.schema.get_field_index(vec_col)
+            vec_arr = rb.column(i_vec)
+            emb = _list_matrix(vec_arr)
+            vids = rb.column(i_vid).to_numpy(zero_copy_only=False)
+            row_idx, vids_r, gids_r = _route_core(emb, vids, S_live, blive, p)
+            take = pa.array(row_idx, type=pa.int64())
+            if narrow:
+                # Narrow ONCE here (routing above always scores f64, so
+                # f32 -> f64 -> f32 round-trips exactly); the shipped
+                # list is built straight from the gathered values buffer
+                # — uniform width d, offsets are an arange.
+                vals32 = emb.astype(np.float32)[row_idx].ravel()
+                d = emb.shape[1]
+                offsets = pa.array(
+                    np.arange(len(row_idx) + 1, dtype=np.int32) * d
+                )
+                ship = pa.ListArray.from_arrays(offsets, pa.array(vals32))
+            else:
+                # f64 payload = passthrough: gather the ORIGINAL list
+                # rows (exact input values AND element type), zero
+                # Python boxing.
+                ship = _pa_cast(vec_arr, routed_arrow.field(1).type).take(take)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    _pa_cast(rb.column(i_vid), routed_arrow.field(0).type).take(
+                        take
+                    ),
+                    _pa_cast(ship, routed_arrow.field(1).type),
+                    pa.array(gids_r.astype(np.int32), type=pa.int32()),
+                    pa.array(
+                        (vids_r % n_salts).astype(np.int32), type=pa.int32()
+                    ),
+                ],
+                schema=routed_arrow,
+            )
+
+    routed_v = (
+        vectors.select(vec_id_col, vec_col).mapInArrow(route_arrow, routed_schema)
+        if engine == "arrow"
+        else vectors.select(vec_id_col, vec_col).mapInPandas(route, routed_schema)
     )
 
     member_side = members
@@ -573,10 +867,58 @@ def routed_best_centroid_distributed(
             }
         )
 
+    cand_arrow = to_arrow_schema(_CAND_SCHEMA)
+
+    def per_group_arrow(left: pa.Table, right: pa.Table) -> pa.Table:
+        if not left.num_rows or not right.num_rows:
+            # right-only keys: group/salt no vector probed — no candidates.
+            # left-only keys cannot occur (vectors route over LIVE groups
+            # and every salt replica of a live group has members).
+            return cand_arrow.empty_table()
+        cids = (
+            right.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.argsort(cids, kind="stable")
+        cids = cids[order]
+        C = _list_matrix(right.column(cvec_col))[order]
+        E = _list_matrix(left.column(vec_col))
+        # Same tiled round-9 GEMM as the pandas engine (the engines may
+        # only differ in how rows cross the boundary): score allocation
+        # bounded by _TILE_ELEMS, first extremum = smallest cid.
+        n_rows = E.shape[0]
+        m = C.shape[0]
+        rblock = max(1, _tile_elems // max(m, 1))
+        out_j = np.empty(n_rows, dtype=np.int64)
+        out_v = np.empty(n_rows, dtype=np.float64)
+        for s in range(0, n_rows, rblock):
+            blk = E[s : s + rblock] @ C.T
+            if not similarity:
+                blk = 1.0 - blk
+            np.round(blk, 9, out=blk)
+            j = blk.argmax(axis=1) if similarity else blk.argmin(axis=1)
+            out_j[s : s + rblock] = j
+            out_v[s : s + rblock] = blk[np.arange(blk.shape[0]), j]
+        vids = (
+            left.column(vec_id_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(vids, type=pa.int64()),
+                pa.array(cids[out_j], type=pa.int64()),
+                pa.array(out_v, type=pa.float64()),
+            ],
+            schema=cand_arrow,
+        )
+
+    grouped = routed_v.groupBy("_rt_gid", "_rt_salt").cogroup(
+        member_side.groupBy("_rt_gid", "_rt_salt")
+    )
     cands = (
-        routed_v.groupBy("_rt_gid", "_rt_salt")
-        .cogroup(member_side.groupBy("_rt_gid", "_rt_salt"))
-        .applyInPandas(per_group, _CAND_SCHEMA)
+        grouped.applyInArrow(per_group_arrow, _CAND_SCHEMA)
+        if engine == "arrow"
+        else grouped.applyInPandas(per_group, _CAND_SCHEMA)
     )
     if inst is not None:
         # Diagnostics-only materialization: pins the routed-explode

@@ -275,24 +275,54 @@ def test_trained_centroid_drift_gate_on_real_fixture(spark, sf_dir, monkeypatch)
 
 
 def test_distributed_routed_recall_on_structured_data(spark):
-    """The distributed tier's recall gate, mirroring the in-memory one:
-    >= 99% assignment agreement with the exact flat argmax on planted
-    clusters at realistic dims, negligible similarity loss on misses,
-    IDENTICAL doubles on agreements (routing changes which centroids are
-    scored, never how — the cogroup GEMM rounds to 9dp like every other
-    kernel)."""
+    """The distributed tier's recall gate, mirroring the in-memory one —
+    split by probing mode since the r14-item-2 calibrated-margin default
+    (the two modes have DIFFERENT miss profiles by design):
+
+    - FIXED probing (probe_margin=None): >= 99% agreement with the exact
+      flat argmax, max similarity loss on a miss <= 0.02 (the trailing
+      insurance probes catch near-ties), IDENTICAL doubles on agreements.
+    - CALIBRATED margin (the default): agreement still >= 99% and the
+      miss RATE is bounded by ~the calibration target (0.5%, gated at
+      2x), but a pruned-probe miss loses the insurance probes — on this
+      fixture's near-ORTHOGONAL centroids a missed vector's runner-up
+      assignment can be arbitrarily far in csim (measured mean miss loss
+      0.62 — a planted-geometry artifact: real embedding manifolds keep
+      runner-ups correlated), so the gated quantity is the MEAN loss
+      over the corpus (measured 0.0031, gated <= 0.01) plus identical
+      doubles on agreements. SemDeDup — the tier's consumer — is
+      drift-gated end-to-end separately (the eval row + trained gate).
+    """
     cents, vecs = _planted(spark)
     flat = _collect_assign(argmax_centroid_numpy(vecs, cents, routed=False))
+    n = len(flat)
+
+    # -- fixed probing: the strict per-miss contract --------------------
     dist = _collect_assign(
-        argmax_centroid_numpy(vecs, cents, routed="distributed")
+        argmax_centroid_numpy(
+            vecs, cents, routed="distributed", routed_probe_margin=None
+        )
     )
     assert set(flat) == set(dist)
-    n = len(flat)
     agree = sum(1 for k in flat if flat[k][0] == dist[k][0])
     assert agree / n >= 0.99, f"distributed routing recall {agree}/{n}"
     assert max(flat[k][1] - dist[k][1] for k in flat) <= 0.02
     assert all(
         flat[k][1] == dist[k][1] for k in flat if flat[k][0] == dist[k][0]
+    )
+
+    # -- calibrated margin (default): rate-bounded misses, mean loss ----
+    auto = _collect_assign(
+        argmax_centroid_numpy(vecs, cents, routed="distributed")
+    )
+    assert set(flat) == set(auto)
+    agree_a = sum(1 for k in flat if flat[k][0] == auto[k][0])
+    assert agree_a / n >= 0.99, f"calibrated-margin recall {agree_a}/{n}"
+    assert (n - agree_a) / n <= 0.01, "miss rate above 2x calibration target"
+    mean_loss = sum(flat[k][1] - auto[k][1] for k in flat) / n
+    assert mean_loss <= 0.01, f"mean csim loss {mean_loss:.5f} above bound"
+    assert all(
+        flat[k][1] == auto[k][1] for k in flat if flat[k][0] == auto[k][0]
     )
 
 
@@ -614,9 +644,18 @@ def test_semantic_dedup_auto_escalates_to_distributed(spark, monkeypatch):
 
 
 def test_semantic_dedup_distributed_matches_flat_on_structured_corpus(spark):
-    """End-to-end SemDeDup keep/drop under the distributed tier equals
-    the flat exact kernel's on a structured corpus — the operator-level
-    gate, mirroring the in-memory tier's."""
+    """End-to-end SemDeDup keep/drop under the distributed tier vs the
+    flat exact kernel on a structured corpus — the operator-level gate,
+    mirroring the in-memory tier's, split by probing mode since the
+    r14-item-2 calibrated-margin default:
+
+    - FIXED probing (routed_probe_margin=None): keep/drop IDENTICAL (the
+      insurance probes make every routing near-miss land in-cluster on
+      this corpus);
+    - CALIBRATED margin (the default): bounded drift — a pruned-probe
+      miss strands a vector alone in a runner-up cluster, flipping its
+      decision conservatively (kept). Bounds from measurement on this
+      exact corpus, then margined."""
     from bioclip_vector_db_spark.operators.dedup import semantic_dedup
 
     rng = np.random.RandomState(3)
@@ -630,20 +669,30 @@ def test_semantic_dedup_distributed_matches_flat_on_structured_corpus(spark):
             rows.append((int(vid), (C[i] + 0.05 * rng.randn(D)).tolist()))
             vid += 1
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    flat = {
-        r.vec_id: (r.cluster_id, r.kept)
-        for r in semantic_dedup(emb, k=K, kernel="numpy", routed=False).collect()
-    }
-    dist = {
-        r.vec_id: (r.cluster_id, r.kept)
-        for r in semantic_dedup(
-            emb, k=K, kernel="numpy", routed="distributed"
-        ).collect()
-    }
-    assert set(flat) == set(dist)
-    assert all(flat[k][1] == dist[k][1] for k in flat), "keep/drop diverged"
-    agree = sum(1 for k in flat if flat[k][0] == dist[k][0])
-    assert agree / len(flat) >= 0.995
+
+    def decisions(**kw):
+        return {
+            r.vec_id: (r.cluster_id, r.kept)
+            for r in semantic_dedup(emb, k=K, kernel="numpy", **kw).collect()
+        }
+
+    flat = decisions(routed=False)
+    n = len(flat)
+
+    dist_fixed = decisions(routed="distributed", routed_probe_margin=None)
+    assert set(flat) == set(dist_fixed)
+    assert all(flat[k][1] == dist_fixed[k][1] for k in flat), "keep/drop diverged"
+    agree = sum(1 for k in flat if flat[k][0] == dist_fixed[k][0])
+    assert agree / n >= 0.995
+
+    dist_auto = decisions(routed="distributed")
+    assert set(flat) == set(dist_auto)
+    drift = sum(1 for k in flat if flat[k][1] != dist_auto[k][1])
+    assert drift / n <= 0.02, f"calibrated-margin drift {drift}/{n}"
+    spurious = sum(1 for k in flat if flat[k][1] and not dist_auto[k][1])
+    assert spurious / n <= 0.01, f"spurious drops {spurious}/{n}"
+    agree_a = sum(1 for k in flat if flat[k][0] == dist_auto[k][0])
+    assert agree_a / n >= 0.99
 
 
 def test_tiled_routing_matches_untiled_and_inversion_is_total():
@@ -1130,3 +1179,129 @@ def test_distributed_adaptive_probing_total_under_nan_embedding(spark):
     pruned, _ = _run_margin(spark, poisoned, cents, 0.1)
     assert set(pruned) == set(fixed)
     assert 999_999 in pruned
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native engine (r14 verdict item 1): the dist_payload stress leg
+# proved the cogroup term is Arrow<->pandas ROW-boxing-bound, so the three
+# Python stages default to mapInArrow / applyInArrow reading the vector
+# values buffer directly. The contract: the engines may differ only in HOW
+# rows cross the JVM/Python boundary — results are byte-identical.
+# ---------------------------------------------------------------------------
+
+
+def _run_engine(spark, vecs, cents, engine, payload="f64", margin=None, salts=None):
+    from pyspark.sql import types as T
+
+    from bioclip_vector_db_spark.operators import knn_routed
+
+    stage = {}
+    knn_routed._INSTRUMENT = stage
+    try:
+        out = _collect_assign(
+            knn_routed.routed_best_centroid_distributed(
+                vecs,
+                cents,
+                id_col="cid",
+                cvec_col="cvec",
+                vec_col="embedding",
+                similarity=True,
+                out_field=T.StructField("cid", T.LongType()),
+                score_field="csim",
+                payload=payload,
+                probe_margin=margin,
+                group_salts=salts,
+                engine=engine,
+            )
+        )
+    finally:
+        knn_routed._INSTRUMENT = None
+    return out, stage
+
+
+def test_distributed_arrow_engine_byte_identical_to_pandas(spark):
+    """Default-engine change gate: every (payload, margin, salts) combo
+    must produce byte-identical (cid, csim) maps under both engines —
+    same float64 matrices, same tiled round-9 GEMMs, same total order;
+    only the boundary transport differs."""
+    cents, vecs = _planted(spark, K=520, N=700)
+    for payload, margin, salts in [
+        ("f64", None, None),
+        ("f64", "auto", None),
+        ("f64", 0.1, 3),
+        ("f32", None, None),
+        ("f32", 0.2, 4),
+    ]:
+        arrow, st_a = _run_engine(
+            spark, vecs, cents, "arrow", payload=payload, margin=margin, salts=salts
+        )
+        pandas_, st_p = _run_engine(
+            spark, vecs, cents, "pandas", payload=payload, margin=margin, salts=salts
+        )
+        assert arrow == pandas_, f"engine mismatch at {payload}/{margin}/{salts}"
+        assert st_a["engine"] == "arrow" and st_p["engine"] == "pandas"
+
+
+def test_distributed_arrow_engine_nan_totality_and_validation(spark):
+    """The structural column-0 keep (NaN totality, r14 self-review) must
+    hold through the Arrow route stage too; and an unknown engine is a
+    loud error, not a silent fallback."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from bioclip_vector_db_spark.operators import knn_routed
+
+    cents, vecs = _planted(spark, K=520, N=300)
+    poisoned = vecs.union(
+        spark.createDataFrame(
+            [(999_999, [float("nan")] * 256)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    pruned, _ = _run_engine(spark, poisoned, cents, "arrow", margin=0.1)
+    assert 999_999 in pruned
+    fixed, _ = _run_engine(spark, poisoned, cents, "arrow")
+    assert set(pruned) == set(fixed)
+
+    with _pytest.raises(ValueError, match="engine"):
+        knn_routed.routed_best_centroid_distributed(
+            vecs,
+            cents,
+            id_col="cid",
+            cvec_col="cvec",
+            vec_col="embedding",
+            similarity=True,
+            out_field=T.StructField("cid", T.LongType()),
+            engine="polars",
+        )
+
+
+def test_distributed_probe_margin_auto_calibration(spark):
+    """probe_margin='auto' (the default, r14 verdict item 2) calibrates
+    from a capped strided sample of the WORKLOAD vectors: deterministic
+    (same input -> same margin, run to run), regime-adaptive (the planted
+    corpus's tight clusters calibrate a small margin and a large row cut
+    — measured 0.034 / 7.4x), and always a genuine cut next to fixed
+    probing while staying inside the recall gate above. None remains the
+    opt-out (gated in the adaptive-probing tests: cand_rows == probes*n).
+    """
+    from bioclip_vector_db_spark.operators import knn_routed
+
+    cents, vecs = _planted(spark)
+    fixed, st_fixed = _run_engine(spark, vecs, cents, "arrow", margin=None)
+    auto1, st1 = _run_engine(spark, vecs, cents, "arrow", margin="auto")
+    auto2, st2 = _run_engine(spark, vecs, cents, "arrow", margin="auto")
+    # Deterministic: identical calibrated value AND identical rows.
+    assert st1["probe_margin"] == st2["probe_margin"]
+    assert auto1 == auto2
+    # The calibrated margin is a float inside the validation domain,
+    # stamped in the instrument record for stress-leg attribution.
+    assert isinstance(st1["probe_margin"], float)
+    assert st1["probe_margin"] >= knn_routed._CALIBRATE_MARGIN_FLOOR
+    # Regime-adaptive: tight planted clusters must earn a real row cut
+    # (measured 7.4x; gated at 2x so day-to-day fixture tweaks don't
+    # flake the gate).
+    assert st1["cand_rows"] * 2 <= st_fixed["cand_rows"], (
+        f"calibrated cut {st_fixed['cand_rows']}/{st1['cand_rows']} below 2x"
+    )
