@@ -128,14 +128,60 @@ def _auto_salts(n_vectors: int, probes_eff: int, g_live: int) -> int:
     """ceil(mean fan-in per live group / target rows per task): the
     derivation the r12 docstring did by hand (100-TB point: n = 1e11,
     probes = 8, g capped at 65,536 -> 1.22e7 rows/group -> 123 salts)
-    — now computed instead of caller-guessed. Skewed groups run hotter
-    than the mean; the gated salt-invariance (and measured free
-    over-salting) means callers needing skew headroom can still pass an
-    explicit larger count."""
+    — now computed instead of caller-guessed. This is the BASE (floor)
+    salt count; _group_salt_counts raises individual hot groups above
+    it from the sampled routing distribution (r14 verdict item 3: the
+    per-task OOM bound is the MAX key, and a Zipf-routed corpus can
+    pile one group arbitrarily far above the mean). The gated
+    salt-invariance (and measured free over-salting) means callers
+    needing extra headroom can still pass an explicit larger count."""
     if g_live <= 0:
         return 1
     mean_fan_in = n_vectors * max(1, probes_eff) / g_live
     return max(1, math.ceil(mean_fan_in / _TARGET_ROWS_PER_GROUP_TASK))
+
+
+def _group_salt_counts(
+    vec_sample: "np.ndarray",
+    S: "np.ndarray",
+    live: "np.ndarray",
+    probes: int,
+    n_vectors: int,
+    base_salts: int,
+) -> "np.ndarray | None":
+    """Per-GROUP salt counts from the sampled routing distribution
+    (r14 verdict item 3). Mean-based sizing bounds the MEAN cogroup key,
+    but the per-task memory bound is the MAX key: a corpus whose hot
+    region is under-represented by its centroids routes a large share
+    of vectors to ONE group, and fan_hot/salts_mean = share * g_live /
+    probes is unbounded. The calibration vector sample (cap 4,096,
+    already hash-strided and deterministic) measures each live group's
+    routed share directly — a group hot enough to matter is by
+    definition high-share, so the sample sees it: estimated fan-in
+    fan_g = share_g * n * p, and its salt count is raised to
+    ceil(fan_g / target) wherever that exceeds the mean-based base.
+
+    Honest residual: a group whose true share is below sampling
+    resolution (~1/|sample| ~ 0.02%) keeps the base count, so its max
+    key is bounded by ~n * 0.0002 * p / base — at the 100-TB contract
+    point (n = 1e11, base 123) that is ~1.3e6 rows, 13x target; the
+    instrument's max_key_rows makes any such residual visible rather
+    than silent. Returns None (uniform base) when the sample is too
+    small to estimate shares."""
+    if vec_sample.size == 0 or len(vec_sample) < 64 or len(live) == 0:
+        return None
+    p = min(probes, len(live))
+    S_live = S[live]
+    idx = _tiled_top_groups(vec_sample, S_live, p)  # rows x p live-indices
+    top_gids = live[idx].ravel()
+    counts = np.bincount(top_gids, minlength=int(live.max()) + 1)
+    # share over (row, probe) pairs -> estimated unpruned fan-in rows.
+    est_fan = counts.astype(np.float64) * (n_vectors * p / max(1, idx.size))
+    per_group = np.ceil(est_fan / _TARGET_ROWS_PER_GROUP_TASK).astype(np.int64)
+    salts = np.maximum(per_group, base_salts)
+    if salts.max() <= base_salts:
+        return None  # nothing above the floor — keep the uniform plan
+    return salts
 
 #: Opt-in stage-wall sink (tools/scale_stress.py `dist_decompose` leg):
 #: when a dict is installed here, routed_best_centroid_distributed
@@ -577,6 +623,7 @@ def routed_best_centroid_distributed(
             _n_vec_cache[0] = vectors.count()
         return _n_vec_cache[0]
 
+    vec_sample: "np.ndarray | None" = None
     if probe_margin == "auto":
         t0 = time.perf_counter()
         vec_sample = _sample_vector_matrix(vectors, vec_id_col, vec_col, _n_vec())
@@ -652,6 +699,7 @@ def routed_best_centroid_distributed(
         inst["member_group_s"] = time.perf_counter() - t0
     bc_live = spark.sparkContext.broadcast(live)
 
+    salts_arr: "np.ndarray | None" = None
     if group_salts is None:
         # Auto-sizing needs n. count() prunes every column, so over a
         # parquet-backed plan this is a footer-metadata job, not a data
@@ -661,12 +709,28 @@ def routed_best_centroid_distributed(
         # group_salts to skip it (r13 review). _n_vec caches, so the
         # margin calibration above and this block share one resolution.
         n_salts = _auto_salts(_n_vec(), min(probes, len(live)), len(live))
+        # Per-GROUP escalation above the mean-based floor (r14 verdict
+        # item 3): the sampled routing distribution raises hot groups'
+        # salt counts so the MAX cogroup key stays near the per-task
+        # target, not just the mean. Reuses the margin calibration's
+        # vector sample; collected here when margin was pinned/off.
+        if vec_sample is None:
+            vec_sample = _sample_vector_matrix(
+                vectors, vec_id_col, vec_col, _n_vec()
+            )
+        salts_arr = _group_salt_counts(
+            vec_sample, S, live, probes, _n_vec(), n_salts
+        )
     else:
         n_salts = max(1, int(group_salts))
     if inst is not None:
         inst["salts"] = n_salts
+        inst["max_group_salts"] = (
+            int(salts_arr.max()) if salts_arr is not None else n_salts
+        )
         inst["payload"] = payload
         inst["engine"] = engine
+    bc_salts = spark.sparkContext.broadcast(salts_arr)
 
     # -- vectors -> top-p live groups, exploded map-side ------------------
     vid_field = next(f for f in vectors.schema.fields if f.name == vec_id_col)
@@ -719,6 +783,16 @@ def routed_best_centroid_distributed(
             row_idx, vids_r, gids_r = row_idx[flat], vids_r[flat], gids_r[flat]
         return row_idx, vids_r, gids_r
 
+    def _salt_of(vids_r: "np.ndarray", gids_r: "np.ndarray") -> "np.ndarray":
+        """Salt id per exploded row: uniform (vid % n_salts) unless the
+        per-group escalation produced an array — then each row's modulus
+        is ITS group's salt count (hot groups split across more keys).
+        Both engines call exactly this."""
+        sarr = bc_salts.value
+        if sarr is None:
+            return (vids_r % n_salts).astype(np.int32)
+        return (vids_r % sarr[gids_r]).astype(np.int32)
+
     def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bS = bc_router.value
         blive = bc_live.value
@@ -744,7 +818,7 @@ def routed_best_centroid_distributed(
                     vec_id_col: vids_r,
                     vec_col: ship,
                     "_rt_gid": gids_r.astype(np.int32),
-                    "_rt_salt": (vids_r % n_salts).astype(np.int32),
+                    "_rt_salt": _salt_of(vids_r, gids_r),
                 }
             )
 
@@ -788,9 +862,7 @@ def routed_best_centroid_distributed(
                     ),
                     _pa_cast(ship, routed_arrow.field(1).type),
                     pa.array(gids_r.astype(np.int32), type=pa.int32()),
-                    pa.array(
-                        (vids_r % n_salts).astype(np.int32), type=pa.int32()
-                    ),
+                    pa.array(_salt_of(vids_r, gids_r), type=pa.int32()),
                 ],
                 schema=routed_arrow,
             )
@@ -800,9 +872,49 @@ def routed_best_centroid_distributed(
         if engine == "arrow"
         else vectors.select(vec_id_col, vec_col).mapInPandas(route, routed_schema)
     )
+    if inst is not None:
+        # Diagnostics-only fan-in audit (r14 verdict item 3): the
+        # per-task memory bound is the MAX (group, salt) key's vector
+        # fan-in — measure it instead of trusting the sizing estimate.
+        # Persisted so the cogroup below reuses the routed explode.
+        routed_v = transient_persist(routed_v)
+        t0 = time.perf_counter()
+        fan = (
+            routed_v.groupBy("_rt_gid", "_rt_salt")
+            .count()
+            .agg(
+                F.max("count").alias("mx"), F.avg("count").alias("mean")
+            )
+            .collect()[0]
+        )
+        inst["max_key_rows"] = int(fan["mx"]) if fan["mx"] is not None else 0
+        inst["mean_key_rows"] = (
+            float(fan["mean"]) if fan["mean"] is not None else 0.0
+        )
+        inst["fanin_audit_s"] = time.perf_counter() - t0
 
-    member_side = members
-    if n_salts > 1:
+    if salts_arr is not None:
+        # Per-group replication: each group's members are replicated by
+        # ITS salt count — a <= g-row broadcast-joined (gid, count)
+        # table, exploded by sequence(). Only hot groups pay extra
+        # member copies; the uniform path below replicates EVERY group
+        # by the global count.
+        salt_rows = [
+            (int(gid), int(salts_arr[gid])) for gid in live.tolist()
+        ]
+        salt_df = spark.createDataFrame(
+            salt_rows, "_rt_gid int, _rt_ns int"
+        )
+        member_side = (
+            members.join(F.broadcast(salt_df), "_rt_gid")
+            .withColumn(
+                "_rt_salt",
+                F.explode(F.sequence(F.lit(0), F.col("_rt_ns") - 1)),
+            )
+            .drop("_rt_ns")
+            .select("_rt_gid", id_col, cvec_col, "_rt_salt")
+        )
+    elif n_salts > 1:
         # sequence(), not array(lit(0)..lit(n-1)): the auto-derived salt
         # count is data-sized (hundreds at the 100-TB point, unbounded
         # for small-g/huge-n calls), and an array of one literal
