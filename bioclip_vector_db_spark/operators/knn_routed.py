@@ -25,10 +25,18 @@ frontier. This module removes the bound:
   group_id — never collected;
 - each vector routes map-side to its top-``probes`` LIVE groups (groups
   that actually own >= 1 centroid — the live-id list is a <= g-row
-  collect), is exploded to ``probes`` rows, and the per-group argbest
-  is a cogroup ``applyInPandas`` GEMM between the routed vectors and
-  the group's member centroids (group id — optionally salted — as the
-  equi-join key);
+  collect), pruned by the calibrated probe margin (default; r14 item
+  2), is exploded to the surviving rows, and the per-group argbest is
+  a cogroup GEMM between the routed vectors and the group's member
+  centroids ((group id, salt) as the equi-join key — salts sized
+  per group from the sampled routing distribution so the MAX key stays
+  near the per-task target, r14 item 3);
+- all three Python stages run Arrow-native by default (``mapInArrow``
+  / ``cogroup().applyInArrow``, r14 item 1): the vector values buffer
+  feeds the GEMM operand directly, with no per-row Python object
+  boxing — the bound the r14 dist_payload leg measured; the pandas
+  stages remain behind ``engine='pandas'`` with byte-identical
+  results (gated);
 - the global argbest is one groupBy(vec_id) struct-min/max over n x p
   candidate rows (no embedding payload), joined back to the input.
 
@@ -539,11 +547,12 @@ def routed_best_centroid_distributed(
     halves the bytes for a ~flat wall), so cutting the replicated ROW
     count is the lever that moves the local wall — most vectors' best
     group wins by a wide margin and the trailing probes are insurance.
-    ``'auto'`` (default) CALIBRATES the margin from the router sample
-    the tier already holds (_calibrate_probe_margin: winner-group
-    routing-score gap quantile over strided + mixture queries —
-    deterministic, driver-side, madds-bounded); ``None`` opts out to
-    the fixed probes x fan-out; a float pins it. The pruned probe set
+    ``'auto'`` (default) CALIBRATES the margin from a capped
+    hash-strided sample of the WORKLOAD vectors
+    (_calibrate_probe_margin: the 99.5% quantile of each sampled
+    vector's winner-group routing-score gap — deterministic,
+    driver-side, madds-bounded); ``None`` opts out to the fixed
+    probes x fan-out; a float pins it. The pruned probe set
     is always a SUBSET of the fixed one and always contains the
     best-routed group, so quality degrades one-sidedly: the true argmax
     centroid can only be missed when it lives in a pruned runner-up

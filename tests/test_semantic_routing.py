@@ -267,6 +267,33 @@ def test_trained_centroid_drift_gate_on_real_fixture(spark, sf_dir, monkeypatch)
         f"fallback: {spurious_drop}/{n} uniques spuriously dropped"
     )
 
+    # r14 verdict item 5: the RAW router regime (BOTH budgets exhausted —
+    # the k >> 1e8 extrapolation regime where the mini-batch refine
+    # covers a negligible sample fraction) was gated only at the 0.80
+    # planted-agreement floor; its real-fixture contract is pinned here
+    # from measurement on THIS fixture (2026-08-16, deterministic):
+    # drift 17.70% / agreement 72.50% / spurious 1.75% under the
+    # calibrated-margin default (fixed probing reads 17.55%/72.90%/
+    # 1.70% — the margin costs +0.15pp in this regime; raw-anchor
+    # routing, not pruning, dominates the misses). Bounds set with
+    # modest headroom; SCALING.md §2.1 adjudicates what this means for
+    # the one extrapolated 100-TB regime.
+    monkeypatch.setattr(knn_routed, "_ROUTER_FALLBACK_REFINE_MADDS", 0)
+    raw = decisions("distributed")
+    assert set(flat) == set(raw)
+    drift_raw = sum(1 for key in flat if flat[key][1] != raw[key][1])
+    assert drift_raw / n <= 0.20, (
+        f"raw-router keep/drop drift {drift_raw}/{n} exceeds the measured bound"
+    )
+    agree_raw = sum(1 for key in flat if flat[key][0] == raw[key][0])
+    assert agree_raw / n >= 0.70, (
+        f"raw-router agreement {agree_raw}/{n} below the measured floor"
+    )
+    spurious_raw = sum(1 for key in flat if flat[key][1] and not raw[key][1])
+    assert spurious_raw / n <= 0.025, (
+        f"raw-router: {spurious_raw}/{n} uniques spuriously dropped"
+    )
+
 
 # ---------------------------------------------------------------------------
 # Distributed bottom tier (r11 verdict item 1): same recall/determinism/tie
