@@ -885,11 +885,17 @@ def routed_best_centroid_distributed(
         # Diagnostics-only fan-in audit (r14 verdict item 3): the
         # per-task memory bound is the MAX (group, salt) key's vector
         # fan-in — measure it instead of trusting the sizing estimate.
-        # Persisted so the cogroup below reuses the routed explode.
-        routed_v = transient_persist(routed_v)
+        # Audited from a payload-FREE projection that re-runs the route
+        # pass, NOT by persisting routed_v: caching the exploded vector
+        # payload multiplies the corpus by probes AND by deserialized-
+        # object overhead (measured 3.6 GiB per partition at the M=1024
+        # stress decade — enough to starve the block manager and crash
+        # a python worker; r15 self-debug). One extra routing execution
+        # is the honest price of a diagnostics mode.
         t0 = time.perf_counter()
         fan = (
-            routed_v.groupBy("_rt_gid", "_rt_salt")
+            routed_v.select("_rt_gid", "_rt_salt")
+            .groupBy("_rt_gid", "_rt_salt")
             .count()
             .agg(
                 F.max("count").alias("mx"), F.avg("count").alias("mean")
