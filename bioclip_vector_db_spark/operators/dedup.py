@@ -2193,6 +2193,20 @@ def semantic_dedup(
     a cluster, and drop every vector that has a closer-to-centroid
     neighbor above the cosine threshold.
 
+    **BEHAVIOR CHANGE (r15)**: ``routed_probe_margin`` defaults to
+    ``'auto'`` — when the DISTRIBUTED routed tier engages (k above
+    knn_routed.DISTRIBUTED_K_THRESHOLD, or an explicit
+    ``routed='distributed'``), assignment now prunes probed groups by a
+    workload-CALIBRATED routing-score margin instead of always shipping
+    the fixed probes x fan-out. The pruning is one-sided (the best-routed
+    group is always probed) and its keep/drop drift is gated on fixtures
+    (<= 2% drift, <= 1% spurious; eval row ``semantic_dedup_routed_eval``
+    stays oracle-exact), but results under the distributed tier are no
+    longer bit-stable against pre-r15 outputs, and per-miss csim loss is
+    unbounded on adversarial geometries. Callers that need the old
+    fixed-probing results pin ``routed_probe_margin=None``; the in-memory
+    tiers (every oracle-gated SF) are unaffected by this knob.
+
     Semantics (deterministic, order-free):
     - assignment: argmax rounded cosine to the centroid table, ties to the
       lowest centroid id;

@@ -1,10 +1,22 @@
-"""Vectorized KNN kernel: blocked numpy matrix products via ``mapInPandas``.
+"""Vectorized KNN kernel: blocked numpy matrix products via ``mapInArrow``.
 
 SURVEY.md §4.2 calls this swap out explicitly: the Catalyst
 ``aggregate(zip_with(...))`` similarity kernel is JVM-side but per-row and
 interpreted (higher-order functions don't enter whole-stage codegen); when
 a profile shows the dot product itself dominating, the same logical plan
 can score each Arrow batch as ONE ``E @ Q.T`` BLAS call.
+
+Every kernel here runs Arrow-native by default (``engine='arrow'``,
+r15 verdict item 1): the vector values buffer feeds the GEMM operand
+directly via ``_list_matrix`` and id/vector columns pass through as Arrow
+arrays — no per-row Python object boxing on either side, the bound the
+r14/r15 dist_payload stress legs measured on the routed tier (2.8-3.8x
+on its cogroup term). ``engine='pandas'`` keeps the original
+``mapInPandas`` stages as the A/B twin; both engines call the SAME
+numeric ``*_core`` functions (same float64 matrices, same tiled round-9
+GEMMs, same tie rules), so results are byte-identical — the engines may
+only differ in HOW rows cross the JVM/Python boundary (gated:
+tests/test_knn_arrow_engines.py).
 
 Shape (identical distribution semantics to ``knn.knn_join``):
 1. the query side is small by contract (the reference serves one vector per
@@ -29,10 +41,12 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.pandas.types import to_arrow_schema
 
 _CAND_SCHEMA = T.StructType(
     [
@@ -58,6 +72,57 @@ LARGE_NLIST_THRESHOLD = 1024
 _TILE_ELEMS = 8_000_000
 
 
+def _list_matrix(col: "pa.Array | pa.ChunkedArray") -> "np.ndarray":
+    """(n, d) float64 matrix from an Arrow list<float|double> column with
+    NO per-row Python boxing — the r14 dist_payload stress leg proved the
+    routed tier's cogroup term is Arrow<->pandas ROW-boxing-bound (f32
+    halved the shuffle bytes for a ~flat wall): the pandas path's
+    ``np.array(list(pdf[col]))`` materializes one Python ndarray object
+    per row on BOTH sides of every stage. flatten() honors slice offsets,
+    so this reads the values buffer directly; a ragged or null-bearing
+    vector column fails the reshape loudly, exactly like the object-array
+    failure mode of the pandas path (the embedding contract is fixed-d,
+    non-null)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return vals.astype(np.float64, copy=False).reshape(n, -1)
+
+
+def _pa_cast(arr: "pa.Array | pa.ChunkedArray", typ: "pa.DataType") -> "pa.Array":
+    """Column coerced to the target Arrow type (combining chunks): list
+    child-field NAMES differ between hand-built arrays ('item') and
+    Spark's schema ('element'), and Spark's Arrow-UDF boundary checks the
+    declared schema — the cast is metadata-only for same-layout types."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr if arr.type == typ else arr.cast(typ)
+
+
+def _rb_append(
+    rb: "pa.RecordBatch", out_arrow: "pa.Schema", extras: "list[pa.Array]"
+) -> "pa.RecordBatch":
+    """Input RecordBatch columns passed through UNTOUCHED (cast to the
+    declared output types — metadata-only for same-layout lists) plus the
+    kernel's appended result arrays. The input columns are by construction
+    the leading fields of the output schema (every kernel here emits
+    ``input fields + [result, score?]``), so field(i) aligns by position."""
+    n_in = rb.num_columns
+    cols = [_pa_cast(rb.column(i), out_arrow.field(i).type) for i in range(n_in)]
+    cols += [
+        _pa_cast(a, out_arrow.field(n_in + j).type) for j, a in enumerate(extras)
+    ]
+    return pa.RecordBatch.from_arrays(cols, schema=out_arrow)
+
+
+def _check_engine(engine: str) -> None:
+    if engine not in ("arrow", "pandas"):
+        raise ValueError(f"engine must be 'arrow' or 'pandas', got {engine!r}")
+
+
 def _collect_centroids(centroids: DataFrame, pid_col: str, vec_col: str):
     """Centroid matrix sorted by partition id -> (pids int64[k], C float64[k,d]).
 
@@ -77,6 +142,37 @@ def _collect_centroids(centroids: DataFrame, pid_col: str, vec_col: str):
     return pids, cmat
 
 
+def _best_centroid_core(
+    emb: "np.ndarray",
+    bids: "np.ndarray",
+    bC: "np.ndarray",
+    similarity: bool,
+):
+    """Numeric core of the flat blocked-GEMM argbest — both engines call
+    EXACTLY this (they may only differ in how rows cross the JVM/Python
+    boundary, never in what is computed). Blocks ascend by id, within a
+    block arg{min,max} takes the FIRST extremum, cross-block updates
+    require a strict improvement, scores round to 9 dp BEFORE comparison.
+    Returns (best_id int64[b], best_v float64[b])."""
+    b = emb.shape[0]
+    k = len(bids)
+    cblock = max(1, min(k, _TILE_ELEMS // max(b, 1)))
+    best_v = np.full(b, -np.inf if similarity else np.inf)
+    best_id = np.zeros(b, dtype=np.int64)
+    for s in range(0, k, cblock):
+        blk = emb @ bC[s : s + cblock].T  # b x cblock
+        if not similarity:
+            blk = 1.0 - blk
+        np.round(blk, 9, out=blk)
+        # first extremum = smallest id within the block
+        j = blk.argmax(axis=1) if similarity else blk.argmin(axis=1)
+        v = blk[np.arange(b), j]
+        upd = (v > best_v) if similarity else (v < best_v)
+        best_v[upd] = v[upd]
+        best_id[upd] = bids[s + j[upd]]
+    return best_id, best_v
+
+
 def _blocked_best_centroid(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -88,6 +184,7 @@ def _blocked_best_centroid(
     out_field: "T.StructField",
     score_field: "str | None" = None,
     _collected: "tuple | None" = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Shared blocked-GEMM argbest core behind assign_partitions_numpy
     (argmin cosine distance) and argmax_centroid_numpy (argmax dot
@@ -101,6 +198,7 @@ def _blocked_best_centroid(
     shuffle, no row expansion. Empty centroid table -> empty output
     (empty-in/empty-out; without it every row would get id 0 and an
     infinite score — silently wrong)."""
+    _check_engine(engine)
     ids, cmat = (
         _collected
         if _collected is not None
@@ -117,33 +215,36 @@ def _blocked_best_centroid(
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bids, bC = bc.value
-        k = len(bids)
         for pdf in batches:
-            b = len(pdf)
-            if not b:
+            if not len(pdf):
                 continue
             emb = np.array(list(pdf[vec_col]), dtype=np.float64)  # b x d
-            cblock = max(1, min(k, _TILE_ELEMS // b))
-            best_v = np.full(b, -np.inf if similarity else np.inf)
-            best_id = np.zeros(b, dtype=np.int64)
-            for s in range(0, k, cblock):
-                blk = emb @ bC[s : s + cblock].T  # b x cblock
-                if not similarity:
-                    blk = 1.0 - blk
-                np.round(blk, 9, out=blk)
-                # first extremum = smallest id within the block
-                j = blk.argmax(axis=1) if similarity else blk.argmin(axis=1)
-                v = blk[np.arange(b), j]
-                upd = (v > best_v) if similarity else (v < best_v)
-                best_v[upd] = v[upd]
-                best_id[upd] = bids[s + j[upd]]
+            best_id, best_v = _best_centroid_core(emb, bids, bC, similarity)
             out = pdf.copy()
             out[out_field.name] = best_id.astype(out_np_type)
             if score_field is not None:
                 out[score_field] = best_v
             yield out
 
-    return vectors.mapInPandas(score, out_schema)
+    if engine == "pandas":
+        return vectors.mapInPandas(score, out_schema)
+
+    out_arrow = to_arrow_schema(out_schema)
+    vec_idx = [f.name for f in vectors.schema.fields].index(vec_col)
+
+    def score_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bids, bC = bc.value
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            emb = _list_matrix(rb.column(vec_idx))
+            best_id, best_v = _best_centroid_core(emb, bids, bC, similarity)
+            extras = [pa.array(best_id.astype(out_np_type))]
+            if score_field is not None:
+                extras.append(pa.array(best_v, type=pa.float64()))
+            yield _rb_append(rb, out_arrow, extras)
+
+    return vectors.mapInArrow(score_arrow, out_schema)
 
 
 def assign_partitions_numpy(
@@ -154,6 +255,7 @@ def assign_partitions_numpy(
     pid_col: str = "partition_id",
     centroid_vec_col: str = "centroid",
     routed: "bool | str" = "auto",
+    engine: str = "arrow",
 ) -> DataFrame:
     """O19 nearest-centroid assignment as a blocked GEMM — the large-nlist
     kernel behind ``knn.assign_partitions(kernel='numpy'|'auto')``.
@@ -194,6 +296,7 @@ def assign_partitions_numpy(
         vec_col=vec_col,
         similarity=False,
         out_field=T.StructField(pid_col, T.IntegerType()),
+        engine=engine,
     )
 
 
@@ -355,6 +458,48 @@ def _invert_top_to_rows(top: "np.ndarray"):
         yield int(uniq[ui]), sr[bounds[ui] : bounds[ui + 1]]
 
 
+def _routed_best_core(
+    emb: "np.ndarray",
+    bids: "np.ndarray",
+    bC: "np.ndarray",
+    bS: "np.ndarray",
+    bmem: "list[np.ndarray]",
+    p: int,
+    similarity: bool,
+):
+    """Numeric core of the two-tier routed argbest — both engines call
+    EXACTLY this. Tiled routing scores + one-pass top->rows inversion:
+    per batch this is O(b sqrt(k) d) GEMM + O(b p log(b p)) sort, never
+    O(b g) per-group scans or a whole b x g tile (r11 ADVICE). Returns
+    (best_id int64[b], best_v float64[b])."""
+    b = emb.shape[0]
+    top = _tiled_top_groups(emb, bS, p)  # b x p group ids
+    best_v = np.full(b, -np.inf if similarity else np.inf)
+    best_id = np.full(b, np.iinfo(np.int64).max, dtype=np.int64)
+    for j, rows_idx in _invert_top_to_rows(top):
+        mem = bmem[j]
+        blk = emb[rows_idx] @ bC[mem].T  # hits x |group|
+        if not similarity:
+            blk = 1.0 - blk
+        np.round(blk, 9, out=blk)
+        # first extremum = smallest id within the group (members ascend
+        # by id)
+        jj = blk.argmax(axis=1) if similarity else blk.argmin(axis=1)
+        v = blk[np.arange(len(rows_idx)), jj]
+        cand = bids[mem[jj]]
+        cur_v = best_v[rows_idx]
+        cur_id = best_id[rows_idx]
+        # Groups are NOT id-ordered, so cross-group ties need the
+        # explicit smallest-id rule the flat kernel gets for free from
+        # ascending-id blocks.
+        better = (v > cur_v) if similarity else (v < cur_v)
+        upd = better | ((v == cur_v) & (cand < cur_id))
+        tgt = rows_idx[upd]
+        best_v[tgt] = v[upd]
+        best_id[tgt] = cand[upd]
+    return best_id, best_v
+
+
 def _routed_best_centroid(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -367,6 +512,7 @@ def _routed_best_centroid(
     score_field: "str | None" = None,
     probes: int = ROUTE_PROBES,
     _collected: "tuple | None" = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Two-tier argbest: route each vector to its top-``probes``
     super-centroid groups (one b x g GEMM), then argbest only against the
@@ -381,6 +527,7 @@ def _routed_best_centroid(
     Distance mode (``similarity=False``) scores 1 - dot exactly like the
     flat kernel; routing itself always probes by RAW dot to the group
     means (monotone with 1 - dot, so both modes route identically)."""
+    _check_engine(engine)
     ids, cmat = (
         _collected
         if _collected is not None
@@ -400,45 +547,40 @@ def _routed_best_centroid(
         bids, bC, bS, bmem = bc.value
         p = min(probes, bS.shape[0])
         for pdf in batches:
-            b = len(pdf)
-            if not b:
+            if not len(pdf):
                 continue
             emb = np.array(list(pdf[vec_col]), dtype=np.float64)  # b x d
-            # Tiled routing scores + one-pass top->rows inversion: per
-            # batch this is O(b sqrt(k) d) GEMM + O(b p log(b p)) sort,
-            # never O(b g) per-group scans or a whole b x g tile (r11
-            # ADVICE).
-            top = _tiled_top_groups(emb, bS, p)  # b x p group ids
-            best_v = np.full(b, -np.inf if similarity else np.inf)
-            best_id = np.full(b, np.iinfo(np.int64).max, dtype=np.int64)
-            for j, rows_idx in _invert_top_to_rows(top):
-                mem = bmem[j]
-                blk = emb[rows_idx] @ bC[mem].T  # hits x |group|
-                if not similarity:
-                    blk = 1.0 - blk
-                np.round(blk, 9, out=blk)
-                # first extremum = smallest id within the group (members
-                # ascend by id)
-                jj = blk.argmax(axis=1) if similarity else blk.argmin(axis=1)
-                v = blk[np.arange(len(rows_idx)), jj]
-                cand = bids[mem[jj]]
-                cur_v = best_v[rows_idx]
-                cur_id = best_id[rows_idx]
-                # Groups are NOT id-ordered, so cross-group ties need the
-                # explicit smallest-id rule the flat kernel gets for free
-                # from ascending-id blocks.
-                better = (v > cur_v) if similarity else (v < cur_v)
-                upd = better | ((v == cur_v) & (cand < cur_id))
-                tgt = rows_idx[upd]
-                best_v[tgt] = v[upd]
-                best_id[tgt] = cand[upd]
+            best_id, best_v = _routed_best_core(
+                emb, bids, bC, bS, bmem, p, similarity
+            )
             out = pdf.copy()
             out[out_field.name] = best_id.astype(out_np_type)
             if score_field is not None:
                 out[score_field] = best_v
             yield out
 
-    return vectors.mapInPandas(score, out_schema)
+    if engine == "pandas":
+        return vectors.mapInPandas(score, out_schema)
+
+    out_arrow = to_arrow_schema(out_schema)
+    vec_idx = [f.name for f in vectors.schema.fields].index(vec_col)
+
+    def score_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bids, bC, bS, bmem = bc.value
+        p = min(probes, bS.shape[0])
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            emb = _list_matrix(rb.column(vec_idx))
+            best_id, best_v = _routed_best_core(
+                emb, bids, bC, bS, bmem, p, similarity
+            )
+            extras = [pa.array(best_id.astype(out_np_type))]
+            if score_field is not None:
+                extras.append(pa.array(best_v, type=pa.float64()))
+            yield _rb_append(rb, out_arrow, extras)
+
+    return vectors.mapInArrow(score_arrow, out_schema)
 
 
 def argmax_centroid_numpy(
@@ -454,6 +596,7 @@ def argmax_centroid_numpy(
     routed_payload: str = "f64",
     routed_probe_margin: "float | str | None" = "auto",
     resolved_out: "dict | None" = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Best-centroid argmax (similarity form of assign_partitions_numpy):
     blocked ``E @ C.T`` GEMMs with a running (best_csim, best_cid) argmax —
@@ -521,6 +664,7 @@ def argmax_centroid_numpy(
             n_vectors=n_vectors,
             payload=routed_payload,
             probe_margin=routed_probe_margin,
+            engine=engine,
         )
     collected = None
     if routed == "auto":
@@ -543,6 +687,7 @@ def argmax_centroid_numpy(
         out_field=T.StructField(cid_col, T.LongType()),
         score_field="csim",
         _collected=collected,
+        engine=engine,
     )
 
 
@@ -555,6 +700,7 @@ def route_queries_numpy(
     query_vec_col: str = "qv",
     pid_col: str = "partition_id",
     centroid_vec_col: str = "centroid",
+    engine: str = "arrow",
 ) -> DataFrame:
     """O22 top-``nprobe`` centroid routing as a blocked GEMM — the
     large-nlist kernel behind ``knn.route_queries(kernel='numpy'|'auto')``.
@@ -566,6 +712,7 @@ def route_queries_numpy(
     expression kernel: round-9 distances, (distance, pid) ascending.
     Returns ``(query_id, qv, partition_id, probe_rank)``.
     """
+    _check_engine(engine)
     pids, cmat = _collect_centroids(centroids, pid_col, centroid_vec_col)
     bc = queries.sparkSession.sparkContext.broadcast((pids, cmat))
     out_schema = T.StructType(
@@ -577,49 +724,93 @@ def route_queries_numpy(
         ]
     )
 
-    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bpids, bC = bc.value
+    def _route_topn_core(qmat: "np.ndarray", bpids: "np.ndarray", bC: "np.ndarray"):
+        """Numeric core — both engines call EXACTLY this. Returns the
+        (b, take) int32 pid matrix in exact (d, pid) lexicographic order
+        per row."""
+        b = qmat.shape[0]
         k = len(bpids)
         take = min(nprobe, k)
+        cblock = max(take, min(k, _TILE_ELEMS // max(b, 1)))
+        cand_d: list[np.ndarray] = []
+        cand_p: list[np.ndarray] = []
+        for s in range(0, k, cblock):
+            dblk = 1.0 - qmat @ bC[s : s + cblock].T  # b x cblock
+            np.round(dblk, 9, out=dblk)
+            t = min(take, dblk.shape[1])
+            # Stable per-block (distance, pid) truncation: column index
+            # ascends with pid (bpids is pid-sorted, the block slice is
+            # contiguous) and a stable argsort keeps ascending-column
+            # order among equal distances — so a boundary tie can never
+            # evict a smaller-pid centroid before the global (d, pid)
+            # lexsort below sees it. argpartition picked an arbitrary
+            # member among >t boundary ties, diverging from the expr
+            # kernel exactly at the reference's nlist=31,622 design
+            # point (neighborhood_server.py:181-185 routing order).
+            idx = np.argsort(dblk, axis=1, kind="stable")[:, :t]  # b x t
+            cand_d.append(np.take_along_axis(dblk, idx, axis=1))
+            cand_p.append(bpids[s + idx])
+        dall = np.concatenate(cand_d, axis=1)  # b x (t*blocks)
+        pall = np.concatenate(cand_p, axis=1)
+        # Exact (d, pid) lexicographic order over the candidate pool.
+        order = np.lexsort((pall, dall), axis=1)[:, :take]
+        return np.take_along_axis(pall, order, axis=1).astype(np.int32)
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bpids, bC = bc.value
+        take = min(nprobe, len(bpids))
         for pdf in batches:
             b = len(pdf)
             if not b:
                 continue
             qmat = np.array(list(pdf[query_vec_col]), dtype=np.float64)  # b x d
-            cblock = max(take, min(k, _TILE_ELEMS // b))
-            cand_d: list[np.ndarray] = []
-            cand_p: list[np.ndarray] = []
-            for s in range(0, k, cblock):
-                dblk = 1.0 - qmat @ bC[s : s + cblock].T  # b x cblock
-                np.round(dblk, 9, out=dblk)
-                t = min(take, dblk.shape[1])
-                # Stable per-block (distance, pid) truncation: column index
-                # ascends with pid (bpids is pid-sorted, the block slice is
-                # contiguous) and a stable argsort keeps ascending-column
-                # order among equal distances — so a boundary tie can never
-                # evict a smaller-pid centroid before the global (d, pid)
-                # lexsort below sees it. argpartition picked an arbitrary
-                # member among >t boundary ties, diverging from the expr
-                # kernel exactly at the reference's nlist=31,622 design
-                # point (neighborhood_server.py:181-185 routing order).
-                idx = np.argsort(dblk, axis=1, kind="stable")[:, :t]  # b x t
-                cand_d.append(np.take_along_axis(dblk, idx, axis=1))
-                cand_p.append(bpids[s + idx])
-            dall = np.concatenate(cand_d, axis=1)  # b x (t*blocks)
-            pall = np.concatenate(cand_p, axis=1)
-            # Exact (d, pid) lexicographic order over the candidate pool.
-            order = np.lexsort((pall, dall), axis=1)[:, :take]
+            sel = _route_topn_core(qmat, bpids, bC)
             out_rows = {
                 query_id_col: np.repeat(pdf[query_id_col].to_numpy(), take),
                 query_vec_col: [
                     v for v in pdf[query_vec_col] for _ in range(take)
                 ],
-                pid_col: np.take_along_axis(pall, order, axis=1).ravel().astype(np.int32),
+                pid_col: sel.ravel(),
                 "probe_rank": np.tile(np.arange(1, take + 1, dtype=np.int64), b),
             }
             yield pd.DataFrame(out_rows)
 
-    return queries.select(query_id_col, query_vec_col).mapInPandas(route, out_schema)
+    if engine == "pandas":
+        return queries.select(query_id_col, query_vec_col).mapInPandas(
+            route, out_schema
+        )
+
+    out_arrow = to_arrow_schema(out_schema)
+
+    def route_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bpids, bC = bc.value
+        take = min(nprobe, len(bpids))
+        for rb in batches:
+            b = rb.num_rows
+            if not b:
+                continue
+            qmat = _list_matrix(rb.column(1))
+            sel = _route_topn_core(qmat, bpids, bC)
+            # The query id/vector columns replicate via Arrow take on a
+            # repeated row index — no per-row Python list of vectors (the
+            # pandas path's one remaining boxing site).
+            rep = pa.array(np.repeat(np.arange(b, dtype=np.int64), take))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    _pa_cast(rb.column(0), out_arrow.field(0).type).take(rep),
+                    _pa_cast(rb.column(1), out_arrow.field(1).type).take(rep),
+                    pa.array(sel.ravel(), type=pa.int32()),
+                    pa.array(
+                        np.tile(np.arange(1, take + 1, dtype=np.int64), b),
+                        type=pa.int64(),
+                    ),
+                ],
+                schema=out_arrow,
+            )
+
+    return queries.select(query_id_col, query_vec_col).mapInArrow(
+        route_arrow, out_schema
+    )
 
 
 #: knn_join_numpy collects the query side to the driver to build the
@@ -639,6 +830,7 @@ def knn_join_numpy(
     query_vec_col: str = "qv",
     corpus_id_col: str = "vec_id",
     corpus_vec_col: str = "embedding",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Exact top-k cosine join with a BLAS inner loop.
     Returns ``(query_id, neighbor_id, distance, rank)`` like ``knn_join``.
@@ -649,6 +841,7 @@ def knn_join_numpy(
     the distributed alternative rather than OOMing the driver. The
     bound is checked with a ``limit(cap+1)`` probe — one cheap scan
     that stops early, never a full count of an oversized side."""
+    _check_engine(engine)
     cap = KNN_JOIN_NUMPY_MAX_QUERIES
     probe = queries.select(query_id_col, query_vec_col).limit(cap + 1)
     qrows = probe.collect()
@@ -666,29 +859,59 @@ def knn_join_numpy(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # q x d
 
+    def _knn_block_core(emb: "np.ndarray", ids: "np.ndarray"):
+        """Numeric core — both engines call EXACTLY this. Per corpus
+        batch: local top-k per query (argpartition, O(b) per query).
+        Returns flat (query_id, neighbor_id, distance) arrays."""
+        dist = 1.0 - emb @ qmat.T  # b x q
+        top = min(k, emb.shape[0])
+        out_q, out_n, out_d = [], [], []
+        for j in range(len(qids)):
+            idx = np.argpartition(dist[:, j], top - 1)[:top]
+            out_q.append(np.full(top, qids[j]))
+            out_n.append(ids[idx])
+            out_d.append(np.round(dist[idx, j], 9))
+        return (
+            np.concatenate(out_q),
+            np.concatenate(out_n),
+            np.concatenate(out_d),
+        )
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             emb = np.array(list(pdf[corpus_vec_col]), dtype=np.float64)  # b x d
             ids = pdf[corpus_id_col].to_numpy(dtype=np.int64)
-            dist = 1.0 - emb @ qmat.T  # b x q
-            top = min(k, len(pdf))
-            out_q, out_n, out_d = [], [], []
-            for j in range(len(qids)):
-                idx = np.argpartition(dist[:, j], top - 1)[:top]
-                out_q.append(np.full(top, qids[j]))
-                out_n.append(ids[idx])
-                out_d.append(np.round(dist[idx, j], 9))
+            oq, on, od = _knn_block_core(emb, ids)
             yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "distance": np.concatenate(out_d),
-                }
+                {"query_id": oq, "neighbor_id": on, "distance": od}
             )
 
-    cands = corpus.select(corpus_id_col, corpus_vec_col).mapInPandas(score, _CAND_SCHEMA)
+    cand_arrow = to_arrow_schema(_CAND_SCHEMA)
+
+    def score_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            emb = _list_matrix(rb.column(1))
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            oq, on, od = _knn_block_core(emb, ids)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(oq, type=pa.int64()),
+                    pa.array(on, type=pa.int64()),
+                    pa.array(od, type=pa.float64()),
+                ],
+                schema=cand_arrow,
+            )
+
+    proj = corpus.select(corpus_id_col, corpus_vec_col)
+    cands = (
+        proj.mapInArrow(score_arrow, _CAND_SCHEMA)
+        if engine == "arrow"
+        else proj.mapInPandas(score, _CAND_SCHEMA)
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
     return (
         cands.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -703,6 +926,7 @@ def pq_encode_numpy(
     m: int,
     sub_dim: int,
     vec_col: str = "embedding",
+    engine: str = "arrow",
 ) -> DataFrame:
     """PQ encoding as blocked GEMMs — the large-codebook kernel behind
     ``quantization.pq_encode(kernel='numpy'|'auto')``.
@@ -715,6 +939,7 @@ def pq_encode_numpy(
     no shuffle, no row expansion. At a real 256-code book this replaces
     m x 256 x sub_dim interpreted multiply-adds per row.
     """
+    _check_engine(engine)
     rows = codebooks.select("code", "mean_vec").orderBy("code").collect()
     codes = np.array([r[0] for r in rows], dtype=np.int64)
     cmat = np.array([r[1] for r in rows], dtype=np.float64)  # k x dim
@@ -724,6 +949,22 @@ def pq_encode_numpy(
         + [T.StructField(f"pq_code_{s}", T.IntegerType()) for s in range(m)]
     )
 
+    def _pq_codes_core(emb: "np.ndarray", bcodes, bC):
+        """Numeric core — both engines call EXACTLY this. Returns the m
+        per-subspace int32 code arrays."""
+        out = []
+        for s in range(m):
+            sub = emb[:, s * sub_dim : (s + 1) * sub_dim]
+            csub = bC[:, s * sub_dim : (s + 1) * sub_dim]
+            d = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ csub.T)
+                + (csub * csub).sum(axis=1)[None, :]
+            )
+            np.round(d, 9, out=d)
+            out.append(bcodes[d.argmin(axis=1)].astype(np.int32))
+        return out
+
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bcodes, bC = bc.value
         for pdf in batches:
@@ -731,16 +972,26 @@ def pq_encode_numpy(
                 continue
             emb = np.array(list(pdf[vec_col]), dtype=np.float64)  # b x dim
             out = pdf.copy()
-            for s in range(m):
-                sub = emb[:, s * sub_dim : (s + 1) * sub_dim]
-                csub = bC[:, s * sub_dim : (s + 1) * sub_dim]
-                d = (
-                    (sub * sub).sum(axis=1)[:, None]
-                    - 2.0 * (sub @ csub.T)
-                    + (csub * csub).sum(axis=1)[None, :]
-                )
-                np.round(d, 9, out=d)
-                out[f"pq_code_{s}"] = bcodes[d.argmin(axis=1)].astype(np.int32)
+            for s, col in enumerate(_pq_codes_core(emb, bcodes, bC)):
+                out[f"pq_code_{s}"] = col
             yield out
 
-    return corpus.mapInPandas(enc, out_schema)
+    if engine == "pandas":
+        return corpus.mapInPandas(enc, out_schema)
+
+    out_arrow = to_arrow_schema(out_schema)
+    vec_idx = [f.name for f in corpus.schema.fields].index(vec_col)
+
+    def enc_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bcodes, bC = bc.value
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            emb = _list_matrix(rb.column(vec_idx))
+            extras = [
+                pa.array(col, type=pa.int32())
+                for col in _pq_codes_core(emb, bcodes, bC)
+            ]
+            yield _rb_append(rb, out_arrow, extras)
+
+    return corpus.mapInArrow(enc_arrow, out_schema)

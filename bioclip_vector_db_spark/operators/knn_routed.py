@@ -80,6 +80,8 @@ from .knn_numpy import (
     ROUTE_PROBES,
     _SUPER_KMEANS_ITERS,
     _invert_top_to_rows,
+    _list_matrix,
+    _pa_cast,
     _super_centroids,
     _tiled_top_groups,
 )
@@ -209,36 +211,6 @@ _CAND_SCHEMA = T.StructType(
 )
 
 
-def _list_matrix(col: "pa.Array | pa.ChunkedArray") -> "np.ndarray":
-    """(n, d) float64 matrix from an Arrow list<float|double> column with
-    NO per-row Python boxing — the r14 dist_payload stress leg proved the
-    routed tier's cogroup term is Arrow<->pandas ROW-boxing-bound (f32
-    halved the shuffle bytes for a ~flat wall): the pandas path's
-    ``np.array(list(pdf[col]))`` materializes one Python ndarray object
-    per row on BOTH sides of every stage. flatten() honors slice offsets,
-    so this reads the values buffer directly; a ragged or null-bearing
-    vector column fails the reshape loudly, exactly like the object-array
-    failure mode of the pandas path (the embedding contract is fixed-d,
-    non-null)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = len(col)
-    vals = col.flatten().to_numpy(zero_copy_only=False)
-    if n == 0:
-        return np.empty((0, 0), dtype=np.float64)
-    return vals.astype(np.float64, copy=False).reshape(n, -1)
-
-
-def _pa_cast(arr: "pa.Array | pa.ChunkedArray", typ: "pa.DataType") -> "pa.Array":
-    """Column coerced to the target Arrow type (combining chunks): list
-    child-field NAMES differ between hand-built arrays ('item') and
-    Spark's schema ('element'), and Spark's Arrow-UDF boundary checks the
-    declared schema — the cast is metadata-only for same-layout types."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    return arr if arr.type == typ else arr.cast(typ)
-
-
 def _sample_router_matrix(
     centroids: DataFrame, id_col: str, cvec_col: str, k: int
 ) -> "np.ndarray":
@@ -331,6 +303,32 @@ _CALIBRATE_VECTOR_SAMPLE_CAP = 4096
 #: any sample/router size (<= a few seconds of dgemm at the caps).
 _CALIBRATE_MADDS_BUDGET = 2e10
 
+#: Memoized margin calibrations: (session id, vector-plan semanticHash,
+#: centroid-plan semanticHash, k, probes) -> (router signature,
+#: vec_sample, margin). The signature (digest of S + live) guards the
+#: one input the plan key cannot see — the ROUTER is also a function of
+#: module tunables (sample cap, Lloyd budgets), so a same-plan call
+#: under different knobs must recalibrate (it still reuses the cached
+#: vec_sample: the sample depends only on the vector plan, and the
+#: Spark collect is the cost the cache exists to skip). Small FIFO —
+#: each entry is <= cap x d floats (~16 MB at 512-d), and a serving
+#: session cycles few distinct corpora.
+_MARGIN_CACHE: "dict[tuple, tuple]" = {}
+_MARGIN_CACHE_MAX = 16
+
+
+def _router_sig(S: "np.ndarray", live: "np.ndarray") -> bytes:
+    """Cheap deterministic digest of the built router (anchor matrix +
+    live-group ids): ~0.2 s at the 268 MB router cap, negligible next to
+    the calibration it guards."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(repr((S.shape, S.dtype.str, live.shape, live.dtype.str)).encode())
+    h.update(np.ascontiguousarray(S))
+    h.update(np.ascontiguousarray(live))
+    return h.digest()
+
 
 def _sample_vector_matrix(
     vectors: DataFrame, vec_id_col: str, vec_col: str, n: int
@@ -360,6 +358,7 @@ def _calibrate_probe_margin(
     cent_sample: "np.ndarray",
     S: "np.ndarray",
     probes: int,
+    live: "np.ndarray | None" = None,
 ) -> "float | None":
     """Data-derived probe margin (r14 verdict item 2) — driver-side,
     deterministic, madds-bounded.
@@ -389,15 +388,35 @@ def _calibrate_probe_margin(
     quantile. Vectors whose winner group is OUTSIDE the fixed top-p set
     are excluded — fixed probing misses those too; the margin decides
     which of the fixed probes to drop, so its contract is relative to
-    fixed probing, not to exactness."""
+    fixed probing, not to exactness.
+
+    ``live`` (r15 ADVICE): production routing selects top-p and applies
+    the margin over LIVE groups only (``_route_core`` scores S[live]) —
+    when dead groups exist they can outrank a winner's group in the FULL
+    matrix, excluding exactly the large-gap queries from the quantile
+    population (margin under-estimate) or inflating each row's max
+    (over-estimate). Gaps and in-probe membership are therefore measured
+    against S[live] with the winner group mapped into live-index space;
+    a winner's group is live by construction (it owns that centroid),
+    the guard below only protects against a caller passing mismatched
+    tables. None keeps the full-matrix behavior (every group live)."""
     if vec_sample.size == 0 or cent_sample.size == 0:
         return None
     s, d = cent_sample.shape
-    g = S.shape[0]
+    # Winner-group assignment below uses the FULL router (that is what
+    # assign_groups does); the gap statistics use the LIVE-group view
+    # (that is what _route_core scores).
+    grp_full = _tiled_argmax_group(cent_sample, S)
+    if live is None:
+        live = np.arange(S.shape[0], dtype=np.int64)
+    g = len(live)
     p = min(probes, g)
     if p >= g or len(vec_sample) < 64:
         return None
-    grp = _tiled_argmax_group(cent_sample, S)
+    live_pos = np.full(S.shape[0], -1, dtype=np.int64)
+    live_pos[live] = np.arange(g, dtype=np.int64)
+    S = S[live]
+    grp = live_pos[grp_full]
     n_q = int(
         min(
             len(vec_sample),
@@ -422,6 +441,12 @@ def _calibrate_probe_margin(
         best_v[upd] = v[upd]
         best_j[upd] = c0 + j[upd]
     wg = grp[best_j]
+    # A winner's group is live by construction; drop any -1 defensively
+    # (mismatched caller tables) rather than let it index column -1.
+    ok = wg >= 0
+    q, wg, n_q = q[ok], wg[ok], int(ok.sum())
+    if n_q < 64:
+        return None
     r = q @ S.T
     np.round(r, 9, out=r)
     rw = r[np.arange(n_q), wg]
@@ -632,15 +657,6 @@ def routed_best_centroid_distributed(
             _n_vec_cache[0] = vectors.count()
         return _n_vec_cache[0]
 
-    vec_sample: "np.ndarray | None" = None
-    if probe_margin == "auto":
-        t0 = time.perf_counter()
-        vec_sample = _sample_vector_matrix(vectors, vec_id_col, vec_col, _n_vec())
-        probe_margin = _calibrate_probe_margin(vec_sample, sample, S, probes)
-        if inst is not None:
-            inst["margin_calibrate_s"] = time.perf_counter() - t0
-    if inst is not None:
-        inst["probe_margin"] = probe_margin
     bc_router = spark.sparkContext.broadcast(S)
 
     # -- bottom tier: centroid -> group, map-side, never collected -------
@@ -707,6 +723,58 @@ def routed_best_centroid_distributed(
     if inst is not None:
         inst["member_group_s"] = time.perf_counter() - t0
     bc_live = spark.sparkContext.broadcast(live)
+
+    # Margin calibration runs AFTER the live-group collect (r15 ADVICE:
+    # the gap quantile must be measured in the regime the margin governs
+    # — top-p over S[live], not the full router matrix) and is memoized
+    # per (session, vector plan, centroid plan, k, probes): a serving
+    # session re-running semantic_dedup over the same corpus (api.py's
+    # pattern) pays the sample collect + driver GEMMs once, not per call
+    # (r15 verdict item 6). Same staleness contract as knn._KERNEL_CACHE:
+    # the key is the canonicalized PLAN, so rewriting the files behind an
+    # identical plan within one session would serve a stale margin —
+    # sizing/pruning only, never correctness of what IS scored.
+    vec_sample: "np.ndarray | None" = None
+    if probe_margin == "auto":
+        mkey = (
+            id(spark),
+            vectors._jdf.queryExecution().analyzed().semanticHash(),
+            centroids._jdf.queryExecution().analyzed().semanticHash(),
+            int(k),
+            int(probes),
+            # The cached vec_sample is a function of this cap too — a
+            # runtime-retuned cap must not serve the old sample size.
+            int(_CALIBRATE_VECTOR_SAMPLE_CAP),
+        )
+        hit = _MARGIN_CACHE.get(mkey)
+        sig = _router_sig(S, live)
+        if hit is not None and hit[0] == sig:
+            vec_sample, probe_margin = hit[1], hit[2]
+            if inst is not None:
+                inst["margin_calibrate_s"] = 0.0
+                inst["margin_cache_hit"] = True
+        else:
+            t0 = time.perf_counter()
+            if hit is not None:
+                # Same plans, different router (a tunable changed): the
+                # vector sample is still valid — recalibrate only the
+                # driver-side quantile, skip the Spark collect.
+                vec_sample = hit[1]
+            else:
+                vec_sample = _sample_vector_matrix(
+                    vectors, vec_id_col, vec_col, _n_vec()
+                )
+            probe_margin = _calibrate_probe_margin(
+                vec_sample, sample, S, probes, live=live
+            )
+            if len(_MARGIN_CACHE) >= _MARGIN_CACHE_MAX:
+                _MARGIN_CACHE.pop(next(iter(_MARGIN_CACHE)))
+            _MARGIN_CACHE[mkey] = (sig, vec_sample, probe_margin)
+            if inst is not None:
+                inst["margin_calibrate_s"] = time.perf_counter() - t0
+                inst["margin_cache_hit"] = False
+    if inst is not None:
+        inst["probe_margin"] = probe_margin
 
     salts_arr: "np.ndarray | None" = None
     if group_salts is None:
@@ -847,34 +915,52 @@ def routed_best_centroid_distributed(
             emb = _list_matrix(vec_arr)
             vids = rb.column(i_vid).to_numpy(zero_copy_only=False)
             row_idx, vids_r, gids_r = _route_core(emb, vids, S_live, blive, p)
-            take = pa.array(row_idx, type=pa.int64())
-            if narrow:
-                # Narrow ONCE here (routing above always scores f64, so
-                # f32 -> f64 -> f32 round-trips exactly); the shipped
-                # list is built straight from the gathered values buffer
-                # — uniform width d, offsets are an arange.
-                vals32 = emb.astype(np.float32)[row_idx].ravel()
-                d = emb.shape[1]
-                offsets = pa.array(
-                    np.arange(len(row_idx) + 1, dtype=np.int32) * d
-                )
-                ship = pa.ListArray.from_arrays(offsets, pa.array(vals32))
-            else:
-                # f64 payload = passthrough: gather the ORIGINAL list
-                # rows (exact input values AND element type), zero
-                # Python boxing.
-                ship = _pa_cast(vec_arr, routed_arrow.field(1).type).take(take)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    _pa_cast(rb.column(i_vid), routed_arrow.field(0).type).take(
+            salts_r = _salt_of(vids_r, gids_r)
+            d = max(1, emb.shape[1])
+            # Emit in slices whose exploded values stay under int32 list
+            # offsets (r15 ADVICE: an int32 arange * d silently WRAPS once
+            # len(row_idx) * d exceeds 2^31, feeding ListArray.from_arrays
+            # corrupt non-monotonic offsets — and the wide path's take()
+            # hits the same bound in its output ListArray). One slice in
+            # any realistic batch (d=512 -> ~4.2M exploded rows/slice);
+            # the loop is the overflow guard, not a hot path.
+            step = max(1, (2**31 - 64) // d)
+            for s0 in range(0, len(row_idx), step):
+                sl = slice(s0, s0 + step)
+                ri = row_idx[sl]
+                take = pa.array(ri, type=pa.int64())
+                if narrow:
+                    # Narrow ONCE here (routing above always scores f64,
+                    # so f32 -> f64 -> f32 round-trips exactly); the
+                    # shipped list is built straight from the gathered
+                    # values buffer — uniform width d, offsets are an
+                    # arange (int64-computed, cast down only after the
+                    # slice bound guarantees it fits).
+                    vals32 = emb.astype(np.float32)[ri].ravel()
+                    offsets = pa.array(
+                        (np.arange(len(ri) + 1, dtype=np.int64) * d).astype(
+                            np.int32
+                        )
+                    )
+                    ship = pa.ListArray.from_arrays(offsets, pa.array(vals32))
+                else:
+                    # f64 payload = passthrough: gather the ORIGINAL list
+                    # rows (exact input values AND element type), zero
+                    # Python boxing.
+                    ship = _pa_cast(vec_arr, routed_arrow.field(1).type).take(
                         take
-                    ),
-                    _pa_cast(ship, routed_arrow.field(1).type),
-                    pa.array(gids_r.astype(np.int32), type=pa.int32()),
-                    pa.array(_salt_of(vids_r, gids_r), type=pa.int32()),
-                ],
-                schema=routed_arrow,
-            )
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        _pa_cast(
+                            rb.column(i_vid), routed_arrow.field(0).type
+                        ).take(take),
+                        _pa_cast(ship, routed_arrow.field(1).type),
+                        pa.array(gids_r[sl].astype(np.int32), type=pa.int32()),
+                        pa.array(salts_r[sl], type=pa.int32()),
+                    ],
+                    schema=routed_arrow,
+                )
 
     routed_v = (
         vectors.select(vec_id_col, vec_col).mapInArrow(route_arrow, routed_schema)

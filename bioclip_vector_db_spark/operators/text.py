@@ -1690,11 +1690,25 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNICODE_TAINT = " é x​\x07"
 
 
-def unicode_clean(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+def unicode_clean(
+    df: DataFrame, *, text_col: str = "text", engine: str = "arrow"
+) -> DataFrame:
     """Unicode hygiene — the text-normalization pass every LLM corpus gets
     before tokenization: NFC composition (decomposed accents fold to
     their composed forms), zero-width/control characters stripped, NBSP
     mapped to plain space.
+
+    ``engine='arrow'`` (default, r15 verdict item 7) runs the stage as
+    ``mapInArrow``: the strip class, NBSP fold, and both length counts
+    are Arrow C++ kernels (RE2 ``replace_substring_regex``,
+    ``utf8_length``) with no pandas Series on either side; NFC itself
+    stays Python's ``unicodedata`` — pyarrow 16's ``utf8_normalize``
+    does NOT compose (measured: 'e'+U+0301 survives form='NFC', so it
+    cannot be parity-twinned with unicodedata or DuckDB's
+    nfc_normalize) — behind a C-level ``is_normalized`` quick-check
+    that skips the per-row call for already-NFC text (the overwhelming
+    path on real corpora). ``engine='pandas'`` keeps the original
+    byte-identical twin (gated: tests/test_knn_arrow_engines.py).
 
     NFC has no Catalyst builtin, so this is the one text stage that runs
     as an Arrow ``mapInPandas`` (vectorized pandas string ops per batch —
@@ -1734,9 +1748,69 @@ def unicode_clean(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 }
             )
 
-    return df.select("doc_id", text_col).mapInPandas(
-        _clean, "doc_id long, clean_text string, orig_len long, clean_len long"
-    )
+    out_ddl = "doc_id long, clean_text string, orig_len long, clean_len long"
+    proj = df.select("doc_id", text_col)
+    if engine == "pandas":
+        return proj.mapInPandas(_clean, out_ddl)
+    if engine != "arrow":
+        raise ValueError(f"engine must be 'arrow' or 'pandas', got {engine!r}")
+
+    _STRIP_RE = "[\u200b\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+    def _clean_arrow(batches):
+        import unicodedata
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            txt = rb.column(1)
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            # orig_len BEFORE any rewrite — both utf8_length and Python's
+            # len() count codepoints, so the twin lengths agree exactly.
+            orig_len = pc.cast(pc.utf8_length(txt), pa.int64())
+            # NFC: quick-check skips the per-row normalize for text that
+            # is already composed (C-level, no allocation) — only rows
+            # that actually carry decomposed sequences pay the Python
+            # call. Nulls pass through as None.
+            vals = txt.to_pylist()
+            if not all(
+                t is None or unicodedata.is_normalized("NFC", t) for t in vals
+            ):
+                s = pa.array(
+                    [
+                        None
+                        if t is None
+                        else (
+                            t
+                            if unicodedata.is_normalized("NFC", t)
+                            else unicodedata.normalize("NFC", t)
+                        )
+                        for t in vals
+                    ],
+                    type=pa.string(),
+                )
+            else:
+                s = txt
+            # Strip class + NBSP fold as Arrow C++ kernels (RE2 / literal
+            # replace) — same classes as the pandas twin (RE2 rejects a
+            # bare \x00 inside a class, hence the alternation).
+            s = pc.replace_substring_regex(s, pattern=_STRIP_RE, replacement="")
+            s = pc.replace_substring(s, pattern="\u00a0", replacement=" ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(rb.column(0), pa.int64()),
+                    s,
+                    orig_len,
+                    pc.cast(pc.utf8_length(s), pa.int64()),
+                ],
+                names=["doc_id", "clean_text", "orig_len", "clean_len"],
+            )
+
+    return proj.mapInArrow(_clean_arrow, out_ddl)
 
 
 @register(
