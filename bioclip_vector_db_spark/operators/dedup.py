@@ -33,6 +33,10 @@ slice of itself — exactly what an idempotent ingest job sees on retry.
 from __future__ import annotations
 
 import hashlib
+import math
+import time
+
+import numpy as np
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -2186,6 +2190,7 @@ def semantic_dedup(
     decide_cap: "int | str | None" = "auto",
     routed_payload: str = "f64",
     routed_probe_margin: "float | str | None" = "auto",
+    decide_kernel: str = "auto",
 ) -> DataFrame:
     """Cluster-partitioned semantic dedup over an embedding corpus — the
     public SemDeDup method (Abbas et al. 2023, arXiv:2303.09540): assign
@@ -2308,6 +2313,28 @@ def semantic_dedup(
     sample, r14 verdict item 2; ``None`` opts out); both are ignored by
     every other kernel.
 
+    ``decide_kernel`` (r15 verdict item 2 — the merge-tail lever): the
+    keep/drop DECISION over the ranked clusters. ``'expr'`` is the
+    original pair-join form: the a x b equi-join on cid materializes one
+    row PER QUALIFYING ORDERED PAIR carrying BOTH 512-d embedding
+    payloads through the join and scores each with the interpreted
+    higher-order dot fold — pair count is the intrinsic work, but this
+    form also pays pair-row materialization and per-pair interpreted
+    arithmetic. ``'arrow'`` runs the identical exists-form decision as a
+    per-cluster cogroup GEMM (``applyInArrow``): each cluster's rows
+    shuffle ONCE (no pair rows exist anywhere), the witness side is
+    depth-capped exactly like the expr cap path, and the threshold test
+    is one tiled round-9 BLAS product — the same rebuild the routed
+    assignment tier got in r15. Same decision rule, same round-9 scale;
+    BLAS summation order can differ from the fold in the last ulp, so
+    like every numpy-family kernel it backs the approximate/scale tiers,
+    not the hash-exact oracle rows. ``'auto'`` engages 'arrow' exactly
+    where decide_cap='auto' engages the cap — on the approximate routed
+    tiers — and keeps 'expr' on the advertised-exact paths, so every
+    oracle-gated plan below ROUTED_K_THRESHOLD is byte-unchanged.
+    Removed-set equality with the expr form is gated per fixture
+    (tests/test_semantic_dedup_cap.py).
+
     Producing the centroids at scale: the seed rule here exists for the
     exact SQL twin; production callers pass
     ``centroids=indexing.train_kmeans_centroids(vectors, k,
@@ -2410,7 +2437,29 @@ def semantic_dedup(
             # nondeterministic plan the two resolutions could disagree,
             # capping a run that took the exact flat kernel (r14 ADVICE).
             decide_cap = SEMDEDUP_DECIDE_CAP if resolved.get("routed") else None
-        return _semantic_dedup_decide(assigned, threshold, depth_cap=decide_cap)
+        if _DECIDE_INSTRUMENT is not None:
+            # Pin the assignment MERGE term (the distributed tier's
+            # global struct-merge + join-back; the in-memory tiers' map
+            # stage) separately from the decide tail: with the routed
+            # instrument active the candidate table is already
+            # persisted, so this count executes exactly the merge.
+            assigned = transient_persist(assigned)
+            _t0 = time.perf_counter()
+            _DECIDE_INSTRUMENT["assign_rows"] = assigned.count()
+            _DECIDE_INSTRUMENT["assign_merge_s"] = time.perf_counter() - _t0
+        if decide_kernel == "auto":
+            # Same engagement rule as the cap: the routed tiers are both
+            # where the pair volume lives and already non-hash-exact, so
+            # the GEMM decide changes no advertised-exact result.
+            decide_kernel = "arrow" if resolved.get("routed") else "expr"
+        return _semantic_dedup_decide(
+            assigned,
+            threshold,
+            depth_cap=decide_cap,
+            kernel=decide_kernel,
+            n_hint=n_vec,
+            k_hint=n_cents,
+        )
     # Assignment argmax INSIDE the scan, zero row expansion — the same
     # collapsed-struct fold knn.assign_partitions uses (knn.py O19): the
     # centroid table becomes ONE row holding an array of (cid, cvec)
@@ -2452,16 +2501,162 @@ def semantic_dedup(
             F.col("_best.csim").alias("csim"),
         )
     )
-    # The expr kernel is the flat exact path — 'auto' resolves to None
-    # here so the oracle-gated rows keep their byte-identical plan; an
-    # explicit int still engages the cap for callers who want it.
+    # The expr kernel is the flat exact path — 'auto' resolves to None /
+    # 'expr' here so the oracle-gated rows keep their byte-identical
+    # plan; explicit values still engage for callers who want them.
     return _semantic_dedup_decide(
-        assigned, threshold, depth_cap=None if decide_cap == "auto" else decide_cap
+        assigned,
+        threshold,
+        depth_cap=None if decide_cap == "auto" else decide_cap,
+        kernel="expr" if decide_kernel == "auto" else decide_kernel,
+        n_hint=n_vec,
+        k_hint=n_cents,
     )
 
 
+#: Opt-in stage-wall sink for the SemDeDup tail (tools/scale_stress.py
+#: dist_decompose leg; r15 verdict item 2 — decompose merge_tail): when a
+#: dict is installed here, semantic_dedup's decide tail records per-stage
+#: driver walls and row counts into it and force-materializes between
+#: stages so the assignment-merge, rank window, pair/decide work, and
+#: final join are separable. None (default) = zero overhead, no extra
+#: action, identical plan.
+_DECIDE_INSTRUMENT: "dict | None" = None
+
+#: Auto salt sizing for the arrow decide's per-(cluster, salt) cogroup
+#: key: the applyInArrow full-key materialization bound is the same one
+#: the routed assignment tier sizes to (knn_routed.
+#: _TARGET_ROWS_PER_GROUP_TASK) — a cluster deeper than this many rows
+#: splits its a-side across ceil(depth/target) salts, with the (capped)
+#: witness side replicated per salt.
+_DECIDE_TARGET_ROWS_PER_TASK = 100_000
+
+
+def _decide_removed_arrow(
+    ranked: DataFrame,
+    threshold: float,
+    depth_cap: "int | None",
+    n_hint: "int | None",
+    k_hint: "int | None",
+) -> DataFrame:
+    """Exists-form removal decision as a per-cluster cogroup GEMM (r15
+    verdict item 2): a vector is removed iff SOME better-ranked
+    same-cluster member scores round-9 dot > threshold against it —
+    exactly _semantic_dedup_decide's rule (rank is a strict total order,
+    so the pair form and the exists form name the same removed set).
+
+    Shape: the a-side (every ranked row) and the witness side (rows with
+    rank <= depth_cap when capped, all rows when exact) cogroup on
+    (cid, salt); each key runs ONE tiled ``A @ W.T`` BLAS product with
+    the threshold-and-rank mask folded in numpy — no pair row is ever
+    materialized, each embedding crosses the shuffle once per side
+    (plus witness x salts replicas), and per-pair arithmetic leaves the
+    interpreted expression domain. Early-exits witness tiles once every
+    a-row is decided.
+
+    Memory: applyInArrow materializes each key's whole a-side fan-in
+    before the kernel runs — the same binding bound as the routed
+    assignment cogroup — so when the caller's (n, k) hints predict mean
+    cluster depth above _DECIDE_TARGET_ROWS_PER_TASK, the a-side salts
+    by vec_id into ceil(depth/target)-way keys and the witness side
+    replicates per salt (each a-row still meets every witness exactly
+    once, so no distinct is needed and results are salt-invariant —
+    gated). The witness side itself is bounded by depth_cap on the
+    capped tiers; an UNCAPPED skewed cluster keeps the witness fan-in
+    bound at the cluster depth, the same exposure the expr form has
+    through its join key."""
+    import pyarrow as pa
+
+    from .knn_numpy import _TILE_ELEMS, _list_matrix
+
+    salts = 1
+    if n_hint and k_hint and n_hint > 0 and k_hint > 0:
+        salts = max(
+            1, math.ceil((n_hint / k_hint) / _DECIDE_TARGET_ROWS_PER_TASK)
+        )
+    a = ranked.select("cid", "vec_id", "embedding", "rank")
+    # Witness columns renamed: both cogroup sides derive from the same
+    # ranked Dataset, and shared attribute ids trip Spark's ambiguous-
+    # self-join analysis (the expr path dodges it the same way with its
+    # a_*/b_* renames).
+    w = ranked.select(
+        F.col("cid").alias("w_cid"),
+        F.col("embedding").alias("w_emb"),
+        F.col("rank").alias("w_rank"),
+    )
+    if depth_cap is not None:
+        w = w.filter(F.col("w_rank") <= depth_cap)
+    if salts > 1:
+        a = a.withColumn(
+            "_sd_salt", F.pmod(F.col("vec_id"), F.lit(salts)).cast("int")
+        )
+        w = w.withColumn(
+            "_sd_salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("int"), F.lit(int(salts - 1)).cast("int")
+                )
+            ),
+        )
+    else:
+        a = a.withColumn("_sd_salt", F.lit(0))
+        w = w.withColumn("_sd_salt", F.lit(0))
+
+    out_arrow = pa.schema([pa.field("vec_id", pa.int64())])
+
+    def decide(left: pa.Table, right: pa.Table) -> pa.Table:
+        if not left.num_rows or not right.num_rows:
+            # witness-only keys decide nothing; a-only keys impossible
+            # (the witness side is a filter of the same ranked table,
+            # and rank 1 always survives any cap) except under a cap
+            # with salts where a salt replica can meet an empty... no:
+            # witnesses replicate to EVERY salt, so a live cluster has
+            # witnesses in every key. Guard stays for empty-input calls.
+            return out_arrow.empty_table()
+        A = _list_matrix(left.column("embedding"))
+        a_rank = (
+            left.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        a_id = (
+            left.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        W = _list_matrix(right.column("w_emb"))
+        w_rank = (
+            right.column("w_rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        n_rows = A.shape[0]
+        removed = np.zeros(n_rows, dtype=bool)
+        wblock = max(1, _TILE_ELEMS // max(n_rows, 1))
+        for s in range(0, W.shape[0], wblock):
+            blk = A @ W[s : s + wblock].T  # a x wblock
+            np.round(blk, 9, out=blk)
+            hit = (blk > threshold) & (
+                w_rank[s : s + wblock][None, :] < a_rank[:, None]
+            )
+            removed |= hit.any(axis=1)
+            if removed.all():
+                break
+        return pa.Table.from_arrays(
+            [pa.array(a_id[removed], type=pa.int64())], schema=out_arrow
+        )
+
+    cands = (
+        a.groupBy("cid", "_sd_salt")
+        .cogroup(w.groupBy("w_cid", "_sd_salt"))
+        .applyInArrow(decide, "vec_id long")
+    )
+    # Each a-row lives in exactly one (cid, salt) key and emits <= 1 row
+    # — already distinct by construction.
+    return cands.withColumn("_removed", F.lit(True))
+
+
 def _semantic_dedup_decide(
-    assigned: DataFrame, threshold: float, depth_cap: "int | None" = None
+    assigned: DataFrame,
+    threshold: float,
+    depth_cap: "int | None" = None,
+    kernel: str = "expr",
+    n_hint: "int | None" = None,
+    k_hint: "int | None" = None,
 ) -> DataFrame:
     """Shared SemDeDup tail over an assigned ``(vec_id, embedding, cid,
     csim)`` table: cluster-keyed exemplar rank, within-cluster pair join,
@@ -2488,11 +2683,43 @@ def _semantic_dedup_decide(
     removed_exact — the cap can only keep extra rows, never drop a
     unique. Per-cluster pair work falls from O(depth^2) to
     O(depth * R); the b-side shrinks to at most k*R rows total.
-    Both properties are gated in tests/test_semantic_dedup_cap.py."""
+    Both properties are gated in tests/test_semantic_dedup_cap.py.
+
+    ``kernel='arrow'`` computes the SAME removed set (capped or exact)
+    as a per-cluster cogroup GEMM — see _decide_removed_arrow; 'expr'
+    (default) keeps the original pair join. ``n_hint``/``k_hint`` size
+    the arrow kernel's salting; sizing-only, never correctness."""
+    if kernel not in ("expr", "arrow"):
+        raise ValueError(f"decide kernel must be 'expr' or 'arrow', got {kernel!r}")
+    inst = _DECIDE_INSTRUMENT
     rw = Window.partitionBy("cid").orderBy(F.col("csim").desc(), F.col("vec_id").asc())
     ranked = transient_persist(
         assigned.withColumn("rank", F.row_number().over(rw).cast("bigint"))
     )
+    if inst is not None:
+        t0 = time.perf_counter()
+        inst["rank_rows"] = ranked.count()
+        inst["rank_s"] = time.perf_counter() - t0
+    if kernel == "arrow":
+        if depth_cap is not None and depth_cap < 1:
+            raise ValueError(
+                f"depth_cap must be a positive int or None, got {depth_cap!r}"
+            )
+        removed = _decide_removed_arrow(
+            ranked, threshold, depth_cap, n_hint, k_hint
+        )
+        if inst is not None:
+            removed = transient_persist(removed)
+            t0 = time.perf_counter()
+            inst["removed_rows"] = removed.count()
+            inst["decide_s"] = time.perf_counter() - t0
+            inst["decide_kernel"] = kernel
+        return ranked.join(removed, "vec_id", "left").select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            "rank",
+            F.coalesce(~F.col("_removed"), F.lit(True)).alias("kept"),
+        )
     a = ranked.select(
         "cid",
         F.col("vec_id").alias("a_id"),
@@ -2535,6 +2762,12 @@ def _semantic_dedup_decide(
             .distinct()
             .withColumn("_removed", F.lit(True))
         )
+    if inst is not None:
+        removed = transient_persist(removed)
+        t0 = time.perf_counter()
+        inst["removed_rows"] = removed.count()
+        inst["decide_s"] = time.perf_counter() - t0
+        inst["decide_kernel"] = kernel
     return ranked.join(removed, "vec_id", "left").select(
         "vec_id",
         F.col("cid").cast("bigint").alias("cluster_id"),

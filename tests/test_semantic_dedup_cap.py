@@ -154,11 +154,13 @@ def test_auto_policy_engages_on_routed_tiers_only(spark, monkeypatch):
     k <= ROUTED_K_THRESHOLD). Spied at the decide call — no
     materialization needed, the tail is built eagerly."""
     seen = []
+    kernels = []
     real = dd._semantic_dedup_decide
 
-    def spy(assigned, threshold, depth_cap=None):
+    def spy(assigned, threshold, depth_cap=None, kernel="expr", **kw):
         seen.append(depth_cap)
-        return real(assigned, threshold, depth_cap=depth_cap)
+        kernels.append(kernel)
+        return real(assigned, threshold, depth_cap=depth_cap, kernel=kernel, **kw)
 
     monkeypatch.setattr(dd, "_semantic_dedup_decide", spy)
     rng = np.random.default_rng(3)
@@ -174,11 +176,16 @@ def test_auto_policy_engages_on_routed_tiers_only(spark, monkeypatch):
     semantic_dedup(corpus, k=8, kernel="numpy", routed=False)  # flat GEMM
     semantic_dedup(corpus, centroids=cents, kernel="numpy")  # probe: k=8
     assert seen == [None, None, None]
+    # decide_kernel='auto' follows the same policy: expr on exact paths.
+    assert kernels == ["expr", "expr", "expr"]
 
     seen.clear()
+    kernels.clear()
     semantic_dedup(corpus, k=8, kernel="numpy", routed=True)
     semantic_dedup(corpus, k=8, kernel="numpy", routed="distributed")
     assert seen == [SEMDEDUP_DECIDE_CAP, SEMDEDUP_DECIDE_CAP]
+    # ... and the arrow cogroup decide on the approximate routed tiers.
+    assert kernels == ["arrow", "arrow"]
 
     seen.clear()  # explicit values override the policy in both directions
     semantic_dedup(corpus, k=8, kernel="numpy", routed=True, decide_cap=None)
@@ -192,3 +199,131 @@ def test_cap_validates(spark, crafted):
         semantic_dedup(
             corpus, centroids=cents, kernel="expr", decide_cap=0
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# arrow cogroup decide (r15 verdict item 2)
+# ---------------------------------------------------------------------------
+
+
+def _run_kernel(corpus, cents, cap, kernel):
+    return {
+        r["vec_id"]: (r["cluster_id"], r["rank"], r["kept"])
+        for r in semantic_dedup(
+            corpus,
+            centroids=cents,
+            kernel="expr",
+            threshold=0.5,
+            decide_cap=cap,
+            decide_kernel=kernel,
+        ).collect()
+    }
+
+
+def test_arrow_decide_identical_on_crafted(crafted):
+    """The cogroup-GEMM decide must reproduce the expr pair join's full
+    decision table — exact mode and both cap regimes (witness pruned /
+    witness visible)."""
+    corpus, cents = crafted
+    for cap in (None, 2, 3):
+        assert _run_kernel(corpus, cents, cap, "arrow") == _run_kernel(
+            corpus, cents, cap, "expr"
+        ), f"cap={cap}"
+
+
+def test_arrow_decide_identical_on_random_corpus(spark):
+    """Unengineered data, many over-threshold pairs at every rank: the
+    removed SETS must be identical between kernels, capped and exact."""
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(240, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(240)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def run(cap, kernel):
+        return {
+            r["vec_id"]: r["kept"]
+            for r in semantic_dedup(
+                corpus,
+                kernel="expr",
+                threshold=0.2,
+                decide_cap=cap,
+                decide_kernel=kernel,
+            ).collect()
+        }
+
+    for cap in (None, 2, 240):
+        assert run(cap, "arrow") == run(cap, "expr"), f"cap={cap}"
+
+
+def test_arrow_decide_salt_invariance(spark, monkeypatch):
+    """Force the deep-cluster salting path (target rows per task shrunk
+    far below the fixture's cluster depth, hints supplied): each a-row
+    still meets every witness exactly once, so the decision table is
+    byte-identical to the unsalted run — and the plan actually cogroups
+    in Arrow."""
+    rng = np.random.default_rng(13)
+    mat = rng.normal(size=(240, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(240)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = corpus.limit(4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned_args = dict(
+        centroids=cents, kernel="expr", threshold=0.2, decide_kernel="arrow"
+    )
+    base = {
+        r["vec_id"]: (r["cluster_id"], r["rank"], r["kept"])
+        for r in semantic_dedup(corpus, **assigned_args).collect()
+    }
+    # hints flow only through the non-centroids path; exercise salting
+    # directly at the decide layer instead.
+    monkeypatch.setattr(dd, "_DECIDE_TARGET_ROWS_PER_TASK", 8)
+    from bioclip_vector_db_spark.operators.dedup import _semantic_dedup_decide
+
+    # Rebuild the assigned table the same way semantic_dedup does.
+    v = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    from bioclip_vector_db_spark.functions.vector import dot_product
+
+    cents1 = cents.groupBy().agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cvec"))).alias("_cents")
+    ).filter(F.size("_cents") > 0)
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda x: F.struct(
+                F.round(dot_product(F.col("embedding"), x["cvec"]), 9).alias(
+                    "csim"
+                ),
+                (-x["cid"]).alias("nc"),
+                x["cid"].alias("cid"),
+            ),
+        )
+    )
+    assigned_df = (
+        v.join(F.broadcast(cents1))
+        .withColumn("_best", best)
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.csim").alias("csim"),
+        )
+    )
+    salted = _semantic_dedup_decide(
+        assigned_df, 0.2, kernel="arrow", n_hint=240, k_hint=4
+    )
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInArrow" in plan
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["rank"], r["kept"])
+        for r in salted.collect()
+    }
+    assert got == base

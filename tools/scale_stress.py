@@ -406,7 +406,9 @@ def main() -> None:
 
                 k_sd = max(SEMDEDUP_K_MIN, -(-n_emb // SEMDEDUP_TARGET_CLUSTER))
                 stage: dict = {}
+                tail: dict = {}
                 knn_routed._INSTRUMENT = stage
+                D._DECIDE_INSTRUMENT = tail
                 try:
                     t0 = time.perf_counter()
                     sd = transient_persist(
@@ -416,8 +418,16 @@ def main() -> None:
                     wall = time.perf_counter() - t0
                 finally:
                     knn_routed._INSTRUMENT = None
+                    D._DECIDE_INSTRUMENT = None
                 accounted = sum(
                     v for kk, v in stage.items() if kk.endswith("_s")
+                )
+                # r15 verdict item 2: merge_tail decomposed further by the
+                # dedup-side instrument — assignment merge (global struct-
+                # merge + join-back), rank window, decide (pair/GEMM), and
+                # the residual final join + output.
+                tail_accounted = sum(
+                    v for kk, v in tail.items() if kk.endswith("_s")
                 )
                 emit(
                     "dist_decompose",
@@ -431,9 +441,100 @@ def main() -> None:
                     member_group_s=round(stage.get("member_group_s", 0), 2),
                     route_cogroup_s=round(stage.get("route_cogroup_s", 0), 2),
                     merge_tail_s=round(wall - accounted, 2),
+                    assign_merge_s=round(tail.get("assign_merge_s", 0), 2),
+                    rank_s=round(tail.get("rank_s", 0), 2),
+                    decide_s=round(tail.get("decide_s", 0), 2),
+                    final_tail_s=round(wall - accounted - tail_accounted, 2),
+                    decide_kernel=tail.get("decide_kernel"),
+                    removed_rows=tail.get("removed_rows"),
                     g=stage.get("g"),
                     salts=stage.get("salts"),
                     cand_rows=stage.get("cand_rows"),
+                )
+
+            if "decide_ab" in ops:
+                # r15 verdict item 2 A/B: the decide tail's expr pair join
+                # vs the arrow cogroup GEMM on the SAME distributed
+                # assignment (persisted once, so only the decide differs).
+                # removed sets must be identical; walls attribute the cut.
+                from bioclip_vector_db_spark.operators.dedup import (
+                    SEMDEDUP_DECIDE_CAP,
+                    SEMDEDUP_K_MIN,
+                    SEMDEDUP_TARGET_CLUSTER,
+                    SEMDEDUP_TAU,
+                    _semantic_dedup_decide,
+                )
+                from bioclip_vector_db_spark.operators.knn_numpy import (
+                    argmax_centroid_numpy,
+                )
+
+                k_sd = max(SEMDEDUP_K_MIN, -(-n_emb // SEMDEDUP_TARGET_CLUSTER))
+                vv = emb.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("embedding"),
+                )
+                cents = vv.filter(F.col("vec_id") < k_sd).select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec"),
+                )
+                assigned = transient_persist(
+                    argmax_centroid_numpy(
+                        vv,
+                        cents,
+                        routed="distributed",
+                        n_centroids=k_sd,
+                        n_vectors=n_emb,
+                    )
+                )
+                assigned.count()  # pin assignment untimed
+
+                def run_decide(kern):
+                    t0 = time.perf_counter()
+                    out = transient_persist(
+                        _semantic_dedup_decide(
+                            assigned,
+                            SEMDEDUP_TAU,
+                            depth_cap=SEMDEDUP_DECIDE_CAP,
+                            kernel=kern,
+                            n_hint=n_emb,
+                            k_hint=k_sd,
+                        )
+                    )
+                    # Set identity via a distributed checksum (count, sum,
+                    # hash-sum) — a million-row removed set must not be
+                    # collected to the driver at big decades; pytest gates
+                    # exact set equality at fixture scale.
+                    chk = (
+                        out.filter(~F.col("kept"))
+                        .agg(
+                            F.count("*").alias("n"),
+                            F.sum(F.col("vec_id").cast("decimal(38,0)")).alias(
+                                "s"
+                            ),
+                            # bit_xor: order-independent, overflow-free
+                            # (a plain sum of xxhash64 trips ANSI long
+                            # overflow immediately).
+                            F.expr("bit_xor(xxhash64(vec_id))").alias("h"),
+                        )
+                        .collect()[0]
+                    )
+                    return (
+                        (chk["n"], chk["s"], chk["h"]),
+                        time.perf_counter() - t0,
+                    )
+
+                rm_e, w_e = run_decide("expr")
+                rm_a, w_a = run_decide("arrow")
+                emit(
+                    "decide_ab",
+                    m,
+                    n_emb,
+                    w_e + w_a,
+                    k=k_sd,
+                    wall_expr_s=round(w_e, 2),
+                    wall_arrow_s=round(w_a, 2),
+                    removed_rows=rm_e[0],
+                    removed_identical=bool(rm_e == rm_a),
                 )
 
             if "dist_deep" in ops:
