@@ -515,7 +515,7 @@ def routed_best_centroid_distributed(
     """Two-tier argbest with a DISTRIBUTED bottom tier (module docstring
     has the full shape). Requires ``vec_id_col`` to be unique per input
     row — the global merge keys on it and the result is joined back by
-    it (the in-memory kernels are pure mapInPandas and need no key; the
+    it (the in-memory kernels are pure map stages and need no key; the
     distributed tier's cogroup does).
 
     ``n_centroids``: the centroid count when the caller knows it

@@ -90,8 +90,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ID_STRIDE = 10_000_000
 
 
-def build_corpora(workdir: str, m: int) -> tuple[str, str]:
-    """Write the M-times replicated embeddings/documents parquet files."""
+def build_corpora(
+    workdir: str, m: int, need_docs: bool = True
+) -> tuple[str, str]:
+    """Write the M-times replicated embeddings/documents parquet files.
+    ``need_docs=False`` skips the documents replica (the per-token Python
+    rewrite dominates corpus build at big decades — minutes of driver
+    time an embeddings-only ladder never reads)."""
     emb_path = os.path.join(workdir, f"embeddings_m{m}.parquet")
     doc_path = os.path.join(workdir, f"documents_m{m}.parquet")
     if not os.path.exists(emb_path):
@@ -123,7 +128,7 @@ def build_corpora(workdir: str, m: int) -> tuple[str, str]:
             ]
         )
         pq.write_table(pa.Table.from_pandas(out, schema=schema, preserve_index=False), emb_path)
-    if not os.path.exists(doc_path):
+    if need_docs and not os.path.exists(doc_path):
         base = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pandas()
         parts = []
         for c in range(m):
@@ -188,16 +193,33 @@ def main() -> None:
         rec = {"op": op, "m": m, "n_input": n, "wall_s": round(wall, 2), **counts}
         results.append(rec)
         print(json.dumps(rec), flush=True)
+        # Merge incrementally: a ladder leg that crashes the JVM (r16:
+        # the expr decide twin OOMed at M=2048) must not lose every
+        # PRIOR leg's committed row — end-of-run-only merging did.
+        _merge_results(results)
 
     try:
         for m in args.m:
-            emb_path, doc_path = build_corpora(workdir, m)
+            need_docs = bool(ops & {"mp_join", "triangles", "minhash_pairs", "skew_shingle", "skew_winnow"})
+            emb_path, doc_path = build_corpora(workdir, m, need_docs=need_docs)
             emb = spark.read.parquet(emb_path).select("vec_id", "embedding")
-            docs = spark.read.parquet(doc_path).select("doc_id", "text")
+            docs = (
+                spark.read.parquet(doc_path).select("doc_id", "text")
+                if need_docs
+                else None
+            )
             n_emb = emb.count()
-            n_doc = docs.count()
-            keys = transient_persist(embedding_band_keys(emb))
-            keys.count()  # build the LSH index untimed, like bench.py
+            n_doc = docs.count() if need_docs else 0
+            keys = None
+            if ops & {"mp_join", "triangles"}:
+                # Build the LSH band-key index untimed, like bench.py —
+                # but ONLY for the ops that read it: the per-vector
+                # simhash banding is a full-corpus pass, and on the
+                # single-row-group replicated parquet it runs as ONE task
+                # (minutes of dead preamble for a dist-tier ladder that
+                # never touches `keys`; found hung at M=256, r16).
+                keys = transient_persist(embedding_band_keys(emb))
+                keys.count()
 
             if "mp_join" in ops or "triangles" in ops:
                 t0 = time.perf_counter()
@@ -523,19 +545,37 @@ def main() -> None:
                         time.perf_counter() - t0,
                     )
 
-                rm_e, w_e = run_decide("expr")
                 rm_a, w_a = run_decide("arrow")
-                emit(
-                    "decide_ab",
-                    m,
-                    n_emb,
-                    w_e + w_a,
-                    k=k_sd,
-                    wall_expr_s=round(w_e, 2),
-                    wall_arrow_s=round(w_a, 2),
-                    removed_rows=rm_e[0],
-                    removed_identical=bool(rm_e == rm_a),
-                )
+                # The expr twin runs SECOND and guarded: its pair join
+                # OOMed the fixture JVM at M=2048 (r16) — record the
+                # arrow leg plus the failure instead of losing the leg.
+                try:
+                    rm_e, w_e = run_decide("expr")
+                except Exception as e:  # noqa: BLE001 — leg-level record
+                    emit(
+                        "decide_ab",
+                        m,
+                        n_emb,
+                        w_a,
+                        k=k_sd,
+                        wall_expr_s=None,
+                        wall_arrow_s=round(w_a, 2),
+                        removed_rows=rm_a[0],
+                        removed_identical=None,
+                        expr_error=type(e).__name__,
+                    )
+                else:
+                    emit(
+                        "decide_ab",
+                        m,
+                        n_emb,
+                        w_e + w_a,
+                        k=k_sd,
+                        wall_expr_s=round(w_e, 2),
+                        wall_arrow_s=round(w_a, 2),
+                        removed_rows=rm_e[0],
+                        removed_identical=bool(rm_e == rm_a),
+                    )
 
             if "dist_deep" in ops:
                 # r13 verdict item 1, the DELIBERATELY SKEWED leg: k is
@@ -1218,6 +1258,12 @@ def main() -> None:
         if not args.keep_workdir:
             shutil.rmtree(workdir, ignore_errors=True)
 
+    _merge_results(results)
+
+
+def _merge_results(results: "list[dict]") -> None:
+    """Merge emitted rows into SCALE_STRESS.json by (op, m). Called after
+    every emit AND at end-of-run — idempotent, last-writer-wins per key."""
     out_path = os.path.join(REPO, "SCALE_STRESS.json")
     merged: dict[tuple, dict] = {}
     if os.path.exists(out_path):
