@@ -202,7 +202,7 @@ def test_pq_encode_kernels_agree_with_tied_codebooks(spark, sf_dir):
         for r in pq_encode(emb, tied_books, kernel="expr").select(*cols).collect()
     }
     auto = pq_encode(emb, tied_books)  # auto -> numpy at this size
-    assert "MapInPandas" in _plan(auto)
+    assert "MapInArrow" in _plan(auto)  # r16: the numpy kernels run Arrow-native
     blas = {r[0]: tuple(r[1:]) for r in auto.select(*cols).collect()}
     assert blas == expr and len(blas) == 64
     # Every tie must land in the first duplicate block of the codebook.
@@ -230,29 +230,30 @@ def test_pick_kernel_probe_memoized(spark, sf_dir):
 
 
 def test_auto_assignment_uses_blas_at_large_nlist(spark, sf_dir):
-    """kernel='auto' must put large-nlist assignment on the mapInPandas
-    GEMM — no interpreted per-row fold, no broadcast-nested-loop join —
-    while small-k assignment stays on the expression path."""
+    """kernel='auto' must put large-nlist assignment on the blocked-GEMM
+    map stage (mapInArrow since r16) — no interpreted per-row fold, no
+    broadcast-nested-loop join — while small-k assignment stays on the
+    expression path."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = knn.assign_partitions(emb, _big_centroids(spark))
     plan = _plan(out)
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "Window" not in plan
     assert out.count() == emb.count()
     small = knn.assign_partitions(emb, knn.fixture_centroids(spark, sf_dir))
-    assert "MapInPandas" not in _plan(small)
+    assert "MapInArrow" not in _plan(small)
 
 
 def test_auto_routing_uses_blas_at_large_nlist(spark, sf_dir):
-    """kernel='auto' routing above the threshold: mapInPandas, no window,
-    no row expansion; exactly nprobe ranked rows per query."""
+    """kernel='auto' routing above the threshold: one Arrow map stage,
+    no window, no row expansion; exactly nprobe ranked rows per query."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     out = knn.route_queries(queries, _big_centroids(spark), 3)
     plan = _plan(out)
-    assert "MapInPandas" in plan and "Window" not in plan
+    assert "MapInArrow" in plan and "Window" not in plan
     rows = out.collect()
     assert len(rows) == 4 * 3
     assert {(r.query_id, r.probe_rank) for r in rows} == {
@@ -295,9 +296,9 @@ def test_semantic_dedup_numpy_kernel_matches_expr(spark, sf_dir):
     }
     assert expr == via_numpy
     # And the numpy plan really is the map-side kernel: no broadcast
-    # centroid fold, one MapInPandas, no n x k expansion anywhere.
+    # centroid fold, one Arrow map stage, no n x k expansion anywhere.
     plan = dedup.semantic_dedup(emb, kernel="numpy")._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     assert "array_max" not in plan
 
 
@@ -311,10 +312,10 @@ def test_semantic_dedup_auto_kernel_resolves_by_k(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     small = dedup.semantic_dedup(emb, k=8, kernel="auto")
     plan_small = small._jdf.queryExecution().executedPlan().toString()
-    assert "array_max" in plan_small and "MapInPandas" not in plan_small
+    assert "array_max" in plan_small and "MapInArrow" not in plan_small
     big = dedup.semantic_dedup(emb, k=LARGE_NLIST_THRESHOLD + 1, kernel="auto")
     plan_big = big._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan_big and "array_max" not in plan_big
+    assert "MapInArrow" in plan_big and "array_max" not in plan_big
 
 
 def test_semantic_dedup_empty_centroids_is_empty_out(spark, sf_dir):
