@@ -1025,6 +1025,50 @@ def main() -> None:
                     agree_pct=round(100.0 * n_agree / max(n_emb, 1), 2),
                 )
 
+            if "assign_engine" in ops:
+                # r15 verdict item 1 Done-criteria: same-day A/B of the
+                # blocked-BLAS assignment kernel's two engines at stress
+                # nlist. Both engines call the same _best_centroid_core,
+                # so results must be IDENTICAL rows (checked via an
+                # anti-join count, no driver collect); walls attribute
+                # the Arrow row-boxing cut for the flat kernel.
+                from bioclip_vector_db_spark.operators.knn_numpy import (
+                    assign_partitions_numpy,
+                )
+
+                nlist = max(8, math.ceil(n_emb / 64))
+                cent = emb.filter(F.col("vec_id") < nlist).select(
+                    F.col("vec_id").cast("int").alias("partition_id"),
+                    F.col("embedding").alias("centroid"),
+                ).localCheckpoint()
+
+                def run_assign(engine):
+                    t0 = time.perf_counter()
+                    out = transient_persist(
+                        assign_partitions_numpy(emb, cent, engine=engine)
+                    )
+                    n = out.count()
+                    return out, n, time.perf_counter() - t0
+
+                out_ar, n_ar, w_ar = run_assign("arrow")
+                out_pd, n_pd, w_pd = run_assign("pandas")
+                n_diff = (
+                    out_ar.select("vec_id", "partition_id")
+                    .exceptAll(out_pd.select("vec_id", "partition_id"))
+                    .count()
+                )
+                emit(
+                    "assign_engine",
+                    m,
+                    n_emb,
+                    w_ar + w_pd,
+                    nlist=nlist,
+                    wall_arrow_s=round(w_ar, 2),
+                    wall_pandas_s=round(w_pd, 2),
+                    rows=n_ar,
+                    identical=bool(n_ar == n_pd and n_diff == 0),
+                )
+
             if "knn_brute" in ops:
                 queries = emb.filter(F.col("vec_id") % 97 == 0).select(
                     F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
