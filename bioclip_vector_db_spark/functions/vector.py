@@ -22,6 +22,41 @@ from pyspark.sql import functions as F
 PARITY_SCALE = 9
 
 
+def lit_array(values) -> Column:
+    """Array-literal Column in ONE driver round trip.
+
+    ``F.array(*[F.lit(v) for v in values])`` costs one py4j call per
+    element — ~1.4 ms each, so a 64-element plane costs ~90 ms of pure
+    driver-side Column construction and operators that build dozens of
+    planes per invocation (rp_project, simhash_signature, band keys)
+    spent SECONDS per query call in py4j before any Spark job ran
+    (measured: knn_rp_rescore 2.6 s construction). Parsing one
+    ``array(...)`` SQL string builds the identical expression tree —
+    same schema including containsNull=false, byte-identical optimized
+    plan (gated in tests/test_lit_array.py) — in a single call.
+
+    Supports the literal element types used here: float (emitted as
+    repr + 'D' so the parser yields DOUBLE exactly), bool, int, and str
+    (single quotes escaped by doubling). Floats must be finite: SQL has
+    no inf/nan double literal.
+    """
+    parts = []
+    for v in values:
+        if isinstance(v, bool):
+            parts.append("true" if v else "false")
+        elif isinstance(v, float):
+            if v != v or v in (float("inf"), float("-inf")):
+                raise ValueError("lit_array: non-finite float has no SQL literal")
+            parts.append(repr(v) + "D")
+        elif isinstance(v, int):
+            parts.append(str(v))
+        elif isinstance(v, str):
+            parts.append("'" + v.replace("'", "''") + "'")
+        else:
+            raise TypeError(f"lit_array: unsupported element type {type(v)!r}")
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
 def dot_product(a: Column, b: Column) -> Column:
     """Inner product of two ARRAY<numeric> columns, accumulated in DOUBLE.
 

@@ -41,7 +41,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import dot_product
+from ..functions.vector import dot_product, lit_array
 from ..plans.registry import register, transient_persist
 from ..sources.catalog import load_table
 
@@ -421,10 +421,12 @@ PLANES: list[list[int]] = [_plane_signs(p) for p in range(SIMHASH_PLANES)]
 
 def simhash_signature(vec: Column) -> Column:
     """P-bit signature string: bit p = sign of the projection on plane p."""
+    # F.lit(list): one py4j call per plane instead of 64 (same folded
+    # literal in the optimized plan; pure driver-side construction cost).
     bits = [
         F.when(
             F.round(
-                dot_product(vec, F.array(*[F.lit(float(s)) for s in PLANES[p]])), 9
+                dot_product(vec, lit_array(float(s) for s in PLANES[p])), 9
             )
             >= 0,
             F.lit("1"),
@@ -618,9 +620,9 @@ def _band_key_expr(vec: Column, band: int, width: int) -> Column:
     key = F.lit(0)
     for i in range(width):
         plane = MP_PLANES_LIST[band * width + i]
-        proj = F.round(
-            dot_product(vec, F.array(*[F.lit(float(s)) for s in plane])), 9
-        )
+        # F.lit(list): one py4j call per plane instead of 64 (identical
+        # folded literal; driver-side construction cost only).
+        proj = F.round(dot_product(vec, lit_array(float(s) for s in plane)), 9)
         key = key + F.when(proj >= 0, F.lit(1 << (width - 1 - i))).otherwise(F.lit(0))
     return key.cast("int")
 
@@ -689,7 +691,7 @@ def embedding_threshold_join_multiprobe(
     probes = rows.select(
         F.col("vec_id").alias("a_id"),
         "band",
-        F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
+        F.explode(lit_array(masks)).alias("mask"),
         "key",
     ).select(
         "a_id", "band", F.col("key").bitwiseXOR(F.col("mask")).alias("pkey")
@@ -2839,9 +2841,7 @@ def _semantic_eval_corpus(emb: DataFrame) -> DataFrame:
     d = F.size("embedding")
     return base.select(
         F.col("vec_id"),
-        F.explode(
-            F.array(*[F.lit(c) for c in range(SEMDEDUP_EVAL_REP)])
-        ).alias("copy"),
+        F.explode(lit_array(range(SEMDEDUP_EVAL_REP))).alias("copy"),
         "embedding",
     ).select(
         (F.col("vec_id") * SEMDEDUP_EVAL_REP + F.col("copy"))

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.vector import dot_product
+from ..functions.vector import dot_product, lit_array
 from ..plans.registry import register
 from ..sources.catalog import load_table
 from .knn import (
@@ -1406,7 +1406,7 @@ def q_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = corpus.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n"))
     hot = counts.orderBy(F.col("n").desc(), F.col("partition_id").asc()).limit(1)
-    plane = F.array(*[F.lit(float(s)) for s in _split_plane()])
+    plane = lit_array(float(s) for s in _split_plane())
     members = corpus.join(
         F.broadcast(hot.select("partition_id")), "partition_id"
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.vector import lit_array
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -72,7 +73,7 @@ def language_id(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     en-before-es tiebreak (deterministic)."""
     distinct_words = F.array_distinct(words(F.col(text_col)))
     hits = {
-        lang: F.size(F.array_intersect(distinct_words, F.array(*[F.lit(w) for w in wl])))
+        lang: F.size(F.array_intersect(distinct_words, lit_array(wl)))
         for lang, wl in STOPWORDS.items()
     }
     predicted = (
@@ -295,7 +296,7 @@ def quality_scores(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics + composite score + keep gate —
     the Spark twin of QUALITY_SQL (plus the component columns)."""
     w = words(F.col(text_col))
-    stop_arr = F.array(*[F.lit(s) for s in _ALL_STOPWORDS])
+    stop_arr = lit_array(_ALL_STOPWORDS)
     m = df.select(
         "doc_id",
         F.size(w).alias("n_words"),
@@ -1151,7 +1152,7 @@ def language_id_multi(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     lists; the plan shape is identical)."""
     distinct_words = F.array_distinct(words(F.lower(F.col(text_col))))
     hits = {
-        lang: F.size(F.array_intersect(distinct_words, F.array(*[F.lit(w) for w in wl])))
+        lang: F.size(F.array_intersect(distinct_words, lit_array(wl)))
         for lang, wl in STOPWORDS_MULTI.items()
     }
     langs = sorted(STOPWORDS_MULTI)  # tiebreak order

@@ -1,0 +1,53 @@
+"""lit_array must be a pure construction-cost optimization: the Column it
+builds parses to the IDENTICAL expression tree as the per-element
+``F.array(*[F.lit(v) ...])`` form — same schema (including
+containsNull=false) and byte-identical optimized plan modulo expression
+ids — for every element type the operators use."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bioclip_vector_db_spark.functions.vector import lit_array
+
+
+def _strip_ids(plan: str) -> str:
+    return re.sub(r"#\d+", "#", plan)
+
+
+def _optimized(df) -> str:
+    return _strip_ids(df._jdf.queryExecution().optimizedPlan().toString())
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [1.0, -1.0, 0.5, -0.25, 1e-9],
+        [0, 1, 3, 255, 2**20],
+        ["a", "it's", "b c", ""],
+        [True, False, True],
+    ],
+    ids=["float", "int", "str", "bool"],
+)
+def test_lit_array_matches_per_element_form(spark, values):
+    df = spark.range(1)
+    old = df.select(F.array(*[F.lit(v) for v in values]).alias("x"))
+    new = df.select(lit_array(values).alias("x"))
+    assert old.schema == new.schema
+    assert _optimized(old) == _optimized(new)
+    assert old.collect() == new.collect()
+
+
+def test_lit_array_accepts_generators(spark):
+    df = spark.range(1)
+    a = df.select(lit_array(float(x) for x in range(4)).alias("x"))
+    b = df.select(lit_array([0.0, 1.0, 2.0, 3.0]).alias("x"))
+    assert a.collect() == b.collect()
+
+
+def test_lit_array_rejects_non_finite_floats():
+    with pytest.raises(ValueError):
+        lit_array([float("nan")])
+    with pytest.raises(ValueError):
+        lit_array([float("inf")])
