@@ -305,6 +305,8 @@ def near_dup_clusters(pairs: DataFrame, *, max_rounds: int = 50) -> DataFrame:
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("cluster_id")
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_rounds):
         nbr = (
             edges.join(
@@ -327,6 +329,13 @@ def near_dup_clusters(pairs: DataFrame, *, max_rounds: int = 50) -> DataFrame:
         # Pointer jumping: follow one hop through the label table. The
         # min label is always some member's id, so the left join misses
         # only when mid_label is already a root — keep it then.
+        # The convergence probe rides the eager checkpoint's own job as an
+        # observed metric instead of a second count() job per round —
+        # each round is now exactly one action (r16 optimization; at any
+        # scale this removes one full pass over the label table per
+        # round). sum() over an empty round is NULL -> treated as
+        # converged, same as the old count()==0.
+        obs = Observation()
         jumped = (
             stepped.alias("s")
             .join(
@@ -341,10 +350,20 @@ def near_dup_clusters(pairs: DataFrame, *, max_rounds: int = 50) -> DataFrame:
                 F.col("s.old_label").alias("old_label"),
                 F.coalesce("jlabel", F.col("s.mid_label")).alias("cluster_id"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("cluster_id") < F.col("old_label"), 1).otherwise(0)
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
         labels = jumped.select("id", "cluster_id")
-        if jumped.filter(F.col("cluster_id") < F.col("old_label")).count() == 0:
+        # observed_or: an EMPTY round (empty edge set) never materializes
+        # the metric (functions/observe.py) — converged either way.
+        from ..functions.observe import observed_or
+
+        if not observed_or(obs, "changed", 0):
             break
     return labels
 
@@ -2180,6 +2199,17 @@ SEMDEDUP_TAU = 0.3
 #: seed-saturated deep-cluster regime, SCALING.md section 2.1).
 SEMDEDUP_DECIDE_CAP = 4 * SEMDEDUP_TARGET_CLUSTER
 
+#: decide_kernel='auto' crossover (optimization round 16): the arrow
+#: cogroup decide engages on routed tiers only when the corpus (known
+#: n, or k x target-cluster estimate) is at least this many rows. Below
+#: it the expr pair join is cheaper than the cogroup's two extra Python
+#: stages (measured: the 8.5k-row eval corpus pays ~1 s for the arrow
+#: stages where the pair join is ~0.1 s); above it the GEMM decide's
+#: measured ladder advantage (5.6x at n~1e6, 28x at n~8.4e6) dominates.
+#: The bound sits an order of magnitude below the smallest decade where
+#: that advantage was measured.
+DECIDE_ARROW_MIN_ROWS = 100_000
+
 
 def semantic_dedup(
     vectors: DataFrame,
@@ -2450,10 +2480,35 @@ def semantic_dedup(
             _DECIDE_INSTRUMENT["assign_rows"] = assigned.count()
             _DECIDE_INSTRUMENT["assign_merge_s"] = time.perf_counter() - _t0
         if decide_kernel == "auto":
-            # Same engagement rule as the cap: the routed tiers are both
+            # Same engagement rule as the cap — the routed tiers are both
             # where the pair volume lives and already non-hash-exact, so
-            # the GEMM decide changes no advertised-exact result.
-            decide_kernel = "arrow" if resolved.get("routed") else "expr"
+            # the GEMM decide changes no advertised-exact result — now
+            # additionally SCALE-GATED (optimization round 16): the arrow
+            # cogroup decide adds two Python stages whose fixed cost
+            # (~0.5 s each at local fixture scale) exceeds the whole expr
+            # pair join below ~1e5 rows, while at the M>=256 ladder
+            # decades (n >= 1e6) it is 5.6-28x faster and the only kernel
+            # that survives M=2048 under ladder memory pressure
+            # (SCALE_STRESS decide_ab). Engage 'arrow' only when the
+            # known corpus size (or its k-contract estimate) clears
+            # DECIDE_ARROW_MIN_ROWS; with no size signal at all, keep
+            # 'arrow' — an explicitly routed caller without hints is the
+            # at-scale library path. Both kernels compute the identical
+            # removed set (gated in tests/test_semantic_dedup_cap.py), so
+            # this flips no result anywhere.
+            if resolved.get("routed"):
+                if n_vec is not None:
+                    big = n_vec >= DECIDE_ARROW_MIN_ROWS
+                elif n_cents is not None:
+                    big = (
+                        n_cents * SEMDEDUP_TARGET_CLUSTER
+                        >= DECIDE_ARROW_MIN_ROWS
+                    )
+                else:
+                    big = True
+                decide_kernel = "arrow" if big else "expr"
+            else:
+                decide_kernel = "expr"
         return _semantic_dedup_decide(
             assigned,
             threshold,

@@ -666,12 +666,41 @@ def delete_ids(
     corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
         F.col("partition_id").isin([int(p) for p in touched])
     )
-    n_before = corpus.count()
+    # n_before rides the rewrite checkpoint's own scan as an observed
+    # metric instead of a separate count() job — one fewer full pass over
+    # the touched partitions (r16 optimization; at scale that pass is
+    # corpus-partition-sized IO).
+    from pyspark.sql import Observation
+
+    n_before_obs = Observation()
+    corpus = corpus.observe(n_before_obs, F.count(F.lit(1)).alias("n"))
     kept = corpus.drop("faiss_id").join(F.broadcast(del_ids), "vec_id", "left_anti")
     # Materialize BEFORE overwriting the directories the plan reads from
     # (same self-read-write hazard as append_to_index/compact_index).
     rewritten = with_faiss_ids(kept).localCheckpoint(eager=True)
-    n_after = rewritten.count()
+    from ..functions.observe import observed_or
+
+    n_before = observed_or(n_before_obs, "n", None)
+    if n_before is None:
+        # Every row of the touched partitions was deleted: the checkpoint
+        # produced an empty result and the observed metric never
+        # materialized (see functions/observe.py) — fall back to the
+        # explicit count, paid only on this edge case.
+        n_before = (
+            spark.read.parquet(f"{index_dir}/corpus")
+            .filter(F.col("partition_id").isin([int(p) for p in touched]))
+            .count()
+        )
+    # One job over the checkpointed rows yields BOTH the survivor count
+    # and the surviving-partition set (previously a count() plus a
+    # distinct().collect()).
+    part_counts = {
+        int(r["partition_id"]): r["n"]
+        for r in rewritten.groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_after = sum(part_counts.values())
     # The surviving mapping rows keep their EXISTING metadata and
     # created_at (ingestion provenance — TTL/audit queries key on it);
     # only faiss_id changes, joined in from the renumbered corpus.
@@ -697,17 +726,29 @@ def delete_ids(
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        rewritten.write.mode("overwrite").partitionBy("partition_id").parquet(
-            f"{index_dir}/corpus"
-        )
-        new_mapping.write.mode("overwrite").partitionBy("partition_id").parquet(
-            f"{index_dir}/id_mapping"
-        )
+        # Both tables are eagerly checkpointed and independent of each
+        # other — run the two dynamic-partition overwrites concurrently,
+        # the same pattern append_to_index uses for its table writes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            futs = [
+                pool.submit(
+                    lambda: rewritten.write.mode("overwrite")
+                    .partitionBy("partition_id")
+                    .parquet(f"{index_dir}/corpus")
+                ),
+                pool.submit(
+                    lambda: new_mapping.write.mode("overwrite")
+                    .partitionBy("partition_id")
+                    .parquet(f"{index_dir}/id_mapping")
+                ),
+            ]
+            for f in futs:
+                f.result()
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    kept_parts = {
-        r["partition_id"] for r in rewritten.select("partition_id").distinct().collect()
-    }
+    kept_parts = set(part_counts)
     for p in set(touched) - kept_parts:
         for table in ("corpus", "id_mapping"):
             shutil.rmtree(
@@ -732,7 +773,13 @@ def delete_ids(
                 .collect()
             }
 
-        c_counts, m_counts = _disk_counts("corpus"), _disk_counts("id_mapping")
+        # Independent read-back jobs — overlap them like the writes above.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            c_fut = pool.submit(_disk_counts, "corpus")
+            m_fut = pool.submit(_disk_counts, "id_mapping")
+            c_counts, m_counts = c_fut.result(), m_fut.result()
         if c_counts != m_counts:
             bad = {
                 p: (c_counts.get(p), m_counts.get(p))

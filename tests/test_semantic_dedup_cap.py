@@ -184,8 +184,25 @@ def test_auto_policy_engages_on_routed_tiers_only(spark, monkeypatch):
     semantic_dedup(corpus, k=8, kernel="numpy", routed=True)
     semantic_dedup(corpus, k=8, kernel="numpy", routed="distributed")
     assert seen == [SEMDEDUP_DECIDE_CAP, SEMDEDUP_DECIDE_CAP]
-    # ... and the arrow cogroup decide on the approximate routed tiers.
-    assert kernels == ["arrow", "arrow"]
+    # On the approximate routed tiers decide_kernel='auto' is additionally
+    # SCALE-GATED (r16 optimization): k_hint=8 estimates the corpus far
+    # below DECIDE_ARROW_MIN_ROWS, so the cheap expr pair join runs.
+    assert kernels == ["expr", "expr"]
+
+    seen.clear()
+    kernels.clear()
+    # Above the crossover the same routed tiers take the arrow cogroup
+    # decide — exercised by shrinking the bound rather than building a
+    # 1e5-row corpus (the policy reads the module constant at call time).
+    monkeypatch.setattr(dd, "DECIDE_ARROW_MIN_ROWS", 1)
+    semantic_dedup(corpus, k=8, kernel="numpy", routed=True)
+    semantic_dedup(corpus, k=8, kernel="numpy", routed="distributed")
+    # A routed caller with NO size signal (explicit centroids) is the
+    # at-scale library path — arrow engages regardless of the bound.
+    monkeypatch.setattr(dd, "DECIDE_ARROW_MIN_ROWS", 100_000)
+    semantic_dedup(corpus, centroids=cents, kernel="numpy", routed=True)
+    assert kernels == ["arrow", "arrow", "arrow"]
+    assert seen == [SEMDEDUP_DECIDE_CAP] * 3
 
     seen.clear()  # explicit values override the policy in both directions
     semantic_dedup(corpus, k=8, kernel="numpy", routed=True, decide_cap=None)
