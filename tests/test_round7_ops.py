@@ -74,6 +74,20 @@ def test_triangle_counts_canonicalizes_messy_input(spark):
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
 
 
+def test_triangle_counts_assume_canonical_identical(spark):
+    """assume_canonical=True must equal the defensive default on an
+    already-canonical (distinct, a<b, no self-loop) edge set, while its
+    plan skips the canonicalize aggregation entirely (the r16 exchange
+    trim for callers like the LSH threshold joins)."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(k4 + [(0, 5), (4, 5)], "a_id long, b_id long")
+    default = {
+        (r.vec_id, r.n_triangles) for r in triangle_counts(edges).collect()
+    }
+    fast = triangle_counts(edges, assume_canonical=True)
+    assert {(r.vec_id, r.n_triangles) for r in fast.collect()} == default
+
+
 def test_compaction_plan_matches_naive_cumsum(spark):
     """Block-decomposed prefix sum == naive cumulative bin assignment,
     including an oversized file occupying its own bin."""
