@@ -360,10 +360,13 @@ def near_dup_clusters(pairs: DataFrame, *, max_rounds: int = 50) -> DataFrame:
         )
         labels = jumped.select("id", "cluster_id")
         # observed_or: an EMPTY round (empty edge set) never materializes
-        # the metric (functions/observe.py) — converged either way.
+        # the metric (functions/observe.py) — converged either way. The
+        # empty_check verifies that precondition on jumped's checkpointed
+        # rows: a metric lost for any OTHER reason re-raises instead of
+        # silently declaring convergence (r16 VERDICT item 6).
         from ..functions.observe import observed_or
 
-        if not observed_or(obs, "changed", 0):
+        if not observed_or(obs, "changed", 0, empty_check=jumped.isEmpty):
             break
     return labels
 

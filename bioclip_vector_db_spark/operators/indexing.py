@@ -680,6 +680,9 @@ def delete_ids(
     rewritten = with_faiss_ids(kept).localCheckpoint(eager=True)
     from ..functions.observe import observed_or
 
+    # No empty_check here: the None default routes to the explicit count
+    # below, which is correct on EVERY failure path (conservative branch),
+    # not just the documented empty-plan edge.
     n_before = observed_or(n_before_obs, "n", None)
     if n_before is None:
         # Every row of the touched partitions was deleted: the checkpoint
