@@ -37,8 +37,13 @@ def lit_array(values) -> Column:
 
     Supports the literal element types used here: float (emitted as
     repr + 'D' so the parser yields DOUBLE exactly), bool, int, and str
-    (single quotes escaped by doubling). Floats must be finite: SQL has
-    no inf/nan double literal.
+    (single quotes escaped by doubling, backslashes doubled — Spark SQL's
+    default parser treats backslash as a C-style escape inside string
+    literals, so an unescaped one would parse to a DIFFERENT value than
+    F.lit; r16 ADVICE). Floats must be finite: SQL has no inf/nan double
+    literal. Empty input raises: the element type of F.expr("array()")
+    differs from any typed per-element form (r16 ADVICE) and no call
+    site needs it.
     """
     parts = []
     for v in values:
@@ -51,9 +56,14 @@ def lit_array(values) -> Column:
         elif isinstance(v, int):
             parts.append(str(v))
         elif isinstance(v, str):
-            parts.append("'" + v.replace("'", "''") + "'")
+            parts.append("'" + v.replace("\\", "\\\\").replace("'", "''") + "'")
         else:
             raise TypeError(f"lit_array: unsupported element type {type(v)!r}")
+    if not parts:
+        raise ValueError(
+            "lit_array: empty input (array() would carry ARRAY<NULL>/"
+            "ARRAY<STRING> depending on version, not the per-element type)"
+        )
     return F.expr("array(" + ",".join(parts) + ")")
 
 

@@ -2506,10 +2506,29 @@ def semantic_dedup(
                 if n_vec is not None:
                     big = n_vec >= DECIDE_ARROW_MIN_ROWS
                 elif n_cents is not None:
+                    # ESTIMATE, valid only under the k ~ n/64 seed
+                    # contract: a caller passing a small explicit k over
+                    # a large corpus would land on 'expr' at a scale
+                    # where the arrow kernel is 5.6-28x faster (correct
+                    # results, severe perf cliff) — make the estimate
+                    # visible so at-scale misconfiguration has a signal
+                    # (r16 ADVICE).
                     big = (
                         n_cents * SEMDEDUP_TARGET_CLUSTER
                         >= DECIDE_ARROW_MIN_ROWS
                     )
+                    if not big:
+                        import logging
+
+                        logging.getLogger(__name__).info(
+                            "semantic_dedup decide_kernel=auto picked 'expr' "
+                            "from the k-contract ESTIMATE (k=%d * %d < %d); "
+                            "pass n_vectors or decide_kernel='arrow' if the "
+                            "corpus is actually large",
+                            n_cents,
+                            SEMDEDUP_TARGET_CLUSTER,
+                            DECIDE_ARROW_MIN_ROWS,
+                        )
                 else:
                     big = True
                 decide_kernel = "arrow" if big else "expr"
