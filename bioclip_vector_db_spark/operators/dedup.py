@@ -3060,8 +3060,24 @@ def triangle_counts(
     """
     # The edge set feeds FOUR consumers (degree counting twice via union,
     # the orientation join, and the closure semi-join). Edges are usually
-    # an expensive subtree (here: the multi-probe LSH join) — persist the
-    # id-pair projection once or every consumer recomputes it.
+    # an expensive subtree (here: the multi-probe LSH join) — materialize
+    # the id-pair projection once or every consumer recomputes it.
+    #
+    # LAZY localCheckpoint, not persist (optimization round 17, guide
+    # §3.3/§5 "materialising an intermediate truncates the plan"): every
+    # DataFrame operation analyzes its WHOLE logical tree eagerly in the
+    # JVM, so the ~20-op graph phase built over the un-truncated LSH
+    # subtree re-ran the analyzer over that large tree per op (measured
+    # 3.0 s of pure driver time at sf0.1), and at execution every AQE
+    # stage round re-planned it again. The lazy checkpoint replaces the
+    # subtree with a leaf BEFORE the graph phase is built — measured
+    # same-session A/B (3 reps each): persist 10.7-11.5 s total vs
+    # checkpoint 6.9-7.7 s, identical 1921 output rows. Storage level is
+    # the same MEMORY_AND_DISK class as persist; the traded property is
+    # lineage (an executor loss mid-query fails the job loudly instead
+    # of recomputing — acceptable for an intra-query intermediate, and
+    # blocks are reclaimed by the ContextCleaner once the DataFrame is
+    # released, so no CacheManager entry leaks either).
     # Canonicalize defensively (least/greatest + distinct + self-loop
     # drop): the math below requires a distinct a<b undirected edge set,
     # and a caller passing symmetrized or duplicated pairs would inflate
@@ -3076,17 +3092,18 @@ def triangle_counts(
     # whole exchange + aggregation pass over the edge set saved at any
     # scale (r16 optimization). Default stays the defensive form.
     if assume_canonical:
-        und = transient_persist(
-            edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        )
+        und = edges.select(
+            F.col(a_col).alias("u"), F.col(b_col).alias("v")
+        ).localCheckpoint(eager=False)
     else:
-        und = transient_persist(
+        und = (
             edges.select(
                 F.least(F.col(a_col), F.col(b_col)).alias("u"),
                 F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .localCheckpoint(eager=False)
         )
     deg = (
         und.select(F.col("u").alias("n"))
@@ -3192,9 +3209,13 @@ def q_documents_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME pair table (no second pipeline run — the pairs DataFrame
     feeds both branches); per-doc top-3 is a WindowGroupLimit-pruned
     rank, shuffling O(pairs), keeping O(docs x 3)."""
-    pairs = transient_persist(
-        near_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
-    )
+    # Lazy localCheckpoint, not persist: truncates the MinHash pipeline's
+    # logical tree before the symmetrize-union + window are built over it
+    # (two consumers x repeated whole-tree analysis per op; same mechanism
+    # and A/B evidence as triangle_counts above).
+    pairs = near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.1
+    ).localCheckpoint(eager=False)
     sym = pairs.select(
         F.col("a_id").alias("doc_id"),
         F.col("b_id").alias("similar_doc_id"),
