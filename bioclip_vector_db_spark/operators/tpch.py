@@ -1477,23 +1477,44 @@ def q_tpch_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant, never corpus-quadratic); marginals broadcast."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    # Posting-list form (optimization round 17, guide §2.3/§2.4): ONE
+    # order-keyed exchange builds each basket's sorted distinct brand set
+    # (collect_set dedups (order, brand) inside the aggregation — partial
+    # map-side, replacing the separate DISTINCT exchange), and the a<b
+    # brand pairs are expanded MAP-SIDE from the sorted array and
+    # partially aggregated before the pair shuffle. The old form
+    # re-shuffled the fact-sized distinct table into an order-keyed
+    # self-join and shuffled RAW pairs to the groupBy; this shuffles the
+    # fact table once and per-(brand_a, brand_b) partials after. Fan-out
+    # stays the per-basket constant (C(brands-per-order, 2) — TPC-H
+    # baskets are bounded), never corpus-quadratic. n_orders and the
+    # marginals are projections of the SAME basket table (no second
+    # fact-table pass).
     from ..plans.registry import transient_persist
 
-    ob = transient_persist(ob)
-    n_orders = ob.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    per_order = transient_persist(
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
-    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
-    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    n_orders = per_order.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    brand_n = (
+        per_order.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda x, i: F.transform(
+                F.slice(F.col("brands"), i + F.lit(2), F.size(F.col("brands"))),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
     pair_n = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        per_order.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.brand_a", "pr.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
         .filter(F.col("c_ab") >= 20)
