@@ -1032,24 +1032,66 @@ def capped_shingles(
     max_shingle_df: "int | None" = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """The exact-Jaccard candidate universe: per-doc shingles with hot
-    shingles (document frequency above ``max_shingle_df``) removed by a
-    shingle-keyed aggregate + left-semi join. Factored out of
-    jaccard_pairs so the adversarial-skew stress instrument
-    (tools/scale_stress.py) measures the OPERATOR'S real post-cap
-    intermediate — if the cap ever stopped being applied here, the
+    shingles (document frequency above ``max_shingle_df``) removed.
+    Factored out of jaccard_pairs so the adversarial-skew stress
+    instrument (tools/scale_stress.py) measures the OPERATOR'S real
+    post-cap intermediate — if the cap ever stopped being applied, the
     measured worst bucket would exceed the cap in the record — instead
     of recomputing the cap itself (a tautology that could not detect
     such a regression)."""
+    if max_shingle_df is None:
+        return doc_shingles(df, text_col=text_col, id_col=id_col, width=shingle_width)
+    # Exploded view of the posting table jaccard_pairs actually consumes
+    # (r17: the cap moved from aggregate+semi-join to a size filter on
+    # the grouped posting lists) — the instrument keeps measuring the
+    # operator's REAL intermediate, not an independent recomputation.
+    return shingle_postings(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_width=shingle_width,
+        max_shingle_df=max_shingle_df,
+    ).select(F.explode("ids").alias("doc_id"), "shingle")
+
+
+def shingle_postings(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_width: int = SHINGLE_WIDTH,
+    max_shingle_df: "int | None" = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Per-shingle posting lists ``(shingle, ids)`` with the hot-shingle
+    cap as a size filter: ONE shingle-keyed exchange builds the sorted
+    distinct doc list per shingle AND applies the document-frequency cap
+    (``size(ids) <= max_shingle_df`` — same predicate the old
+    aggregate + left-semi join enforced in a second pass over the
+    exploded rows). The cap bounds every list at ``max_shingle_df`` ids,
+    so downstream map-side pair expansion is C(cap, 2)-bounded per
+    shingle — the skew discipline is unchanged, it just rides the same
+    exchange now (guide §2.3/§2.4)."""
     sh = doc_shingles(df, text_col=text_col, id_col=id_col, width=shingle_width)
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_shingle_df)
-            .select("shingle")
+        postings = postings.filter(F.size("ids") <= max_shingle_df)
+    return postings
+
+
+def _posting_pairs(ids: Column) -> Column:
+    """All ordered (a < b) pairs of a SORTED distinct id array, expanded
+    map-side (no self-join): struct array of (a_id, b_id)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
         )
-        sh = sh.join(keep, "shingle", "left_semi")
-    return sh
+    )
 
 
 def jaccard_pairs(
@@ -1065,22 +1107,45 @@ def jaccard_pairs(
     over the capped shingle universe.
 
     Blocking is the shingle itself: a pair is formed only when two docs
-    SHARE a shingle (equi-join on shingle), so disjoint documents never
-    meet. Sub-quadratic whenever shingles are selective; hot shingles are
-    the skew risk, removed up front by the ``max_shingle_df`` cap (one
-    extra shingle-keyed aggregation + semi-join, reusing the same
-    partitioning as the intersection join that follows). MinHash-LSH
-    (near_dup_pairs) remains the scale path; this is the recall-1
-    reference the LSH recall gate measures against.
+    SHARE a shingle, so disjoint documents never meet. Sub-quadratic
+    whenever shingles are selective; hot shingles are the skew risk,
+    removed by the ``max_shingle_df`` cap.
+
+    Capped form (optimization round 17, guide §2.3/§2.4): posting lists.
+    ONE shingle-keyed exchange groups each shingle's sorted distinct doc
+    set and applies the cap as a size filter (shingle_postings); the a<b
+    doc pairs expand MAP-SIDE from each C(cap,2)-bounded list and
+    partially aggregate before the pair shuffle. The old form shuffled
+    the capped shingle table into a self-join (plus a separate cap
+    aggregation + semi-join pass) and shuffled raw joined rows to the
+    pair groupBy. Uncapped (``max_shingle_df=None``, the recall-gate /
+    eval configuration) keeps the self-join: an UNBOUNDED posting list
+    would concentrate a hot shingle's whole posting set in one row —
+    the join form spreads it across tasks and AQE's skew split handles
+    it, which is the right at-scale shape when no cap bounds the list.
+    MinHash-LSH (near_dup_pairs) remains the scale path; this is the
+    recall-1 reference the LSH recall gate measures against.
     """
-    sh = transient_persist(
-        capped_shingles(
-            df,
-            text_col=text_col,
-            id_col=id_col,
-            shingle_width=shingle_width,
-            max_shingle_df=max_shingle_df,
+    if max_shingle_df is not None:
+        postings = transient_persist(
+            shingle_postings(
+                df,
+                text_col=text_col,
+                id_col=id_col,
+                shingle_width=shingle_width,
+                max_shingle_df=max_shingle_df,
+            )
         )
+        inter = (
+            postings.select(F.explode(_posting_pairs(F.col("ids"))).alias("pr"))
+            .select("pr.a_id", "pr.b_id")
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sh = postings.select(F.explode("ids").alias("doc_id"), "shingle")
+        return _score_jaccard(inter, sh, threshold)
+    sh = transient_persist(
+        doc_shingles(df, text_col=text_col, id_col=id_col, width=shingle_width)
     )
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b"))

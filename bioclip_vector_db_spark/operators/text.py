@@ -2150,13 +2150,26 @@ def capped_fingerprints(wn: DataFrame) -> DataFrame:
     adversarial-skew stress instrument measures the OPERATOR'S real
     post-cap intermediate instead of recomputing the cap itself — see
     dedup.capped_shingles for the tautology this avoids."""
-    kept = (
+    return fingerprint_postings(wn).select(
+        "fingerprint", F.explode("ids").alias("doc_id")
+    ).select("doc_id", "fingerprint")
+
+
+def fingerprint_postings(wn: DataFrame) -> DataFrame:
+    """Per-fingerprint posting lists ``(fingerprint, ids)`` with the
+    hot-fingerprint cap as a size filter: one fingerprint-keyed exchange
+    groups each fingerprint's sorted distinct doc set and applies
+    ``WINNOW_MAX_DF`` (same predicate the old aggregate + left-semi join
+    enforced over the exploded rows; collect_set also absorbs the
+    (doc_id, fingerprint) DISTINCT the overlap query ran as a separate
+    exchange). Every list is bounded by the cap, so map-side pair
+    expansion is C(cap, 2)-bounded per fingerprint — dedup.shingle_postings
+    is the same shape with the same skew argument (guide §2.3/§2.4)."""
+    return (
         wn.groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= WINNOW_MAX_DF)
-        .select("fingerprint")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= WINNOW_MAX_DF)
     )
-    return wn.join(kept, "fingerprint", "left_semi")
 
 
 @register(
@@ -2208,18 +2221,21 @@ def q_documents_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     document-frequency cap kills hot-fingerprint quadratic buckets, and
     the per-doc fingerprint count is winnowing's density guarantee
     (~2/(w+1) of positions) — constant bytes per document."""
-    wn = q_documents_winnowing(spark, sf_dir).select(
-        "doc_id", "fingerprint"
-    ).distinct()
-    from ..plans.registry import transient_persist
+    # Posting-list form (optimization round 17): the (doc_id, fingerprint)
+    # DISTINCT, the cap aggregation + semi-join, and the fingerprint-keyed
+    # self-join all collapse into ONE fingerprint-keyed exchange
+    # (collect_set dedups positions map-side); a<b pairs expand map-side
+    # from each C(WINNOW_MAX_DF, 2)-bounded list and partially aggregate
+    # before the pair shuffle. Single linear plan — the old persisted wn
+    # fed two consumers (cap agg + semi join), this feeds one, so the
+    # persist goes too.
+    from ..operators.dedup import _posting_pairs
 
-    wn = transient_persist(wn)
-    pruned = capped_fingerprints(wn)
-    a = pruned.select(F.col("doc_id").alias("a_id"), "fingerprint")
-    b = pruned.select(F.col("doc_id").alias("b_id"), "fingerprint")
+    wn = q_documents_winnowing(spark, sf_dir).select("doc_id", "fingerprint")
     return (
-        a.join(b, "fingerprint")
-        .filter(F.col("a_id") < F.col("b_id"))
+        fingerprint_postings(wn)
+        .select(F.explode(_posting_pairs(F.col("ids"))).alias("pr"))
+        .select("pr.a_id", "pr.b_id")
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
