@@ -174,11 +174,17 @@ def _shingle_digest(group: int) -> Column:
     return F.md5(F.concat(F.lit(f"{group}:"), F.col("shingle")))
 
 
-def minhash_signatures(shingles: DataFrame, *, n_hashes: int = N_HASHES) -> DataFrame:
+def minhash_signatures(
+    shingles: DataFrame, *, n_hashes: int = N_HASHES, with_set_size: bool = False
+) -> DataFrame:
     """Per-doc minhash vector: for hash h, the lexicographic min over the
     doc's shingles of digest slice h (seeded digests extend past one
     md5's 6 slices). One map-side-combinable aggregation; the signature
-    is a few bytes per doc no matter how large the doc."""
+    is a few bytes per doc no matter how large the doc.
+    ``with_set_size`` additionally emits the doc's shingle-set size as
+    ``n_shingles`` — it rides the SAME aggregation for free (streaming
+    near-dup ingest stores it so the verify stage never re-aggregates a
+    stored doc's set size; r17)."""
     aggs = []
     for h in range(n_hashes):
         g, i = divmod(h, SLICES_PER_DIGEST)
@@ -187,14 +193,22 @@ def minhash_signatures(shingles: DataFrame, *, n_hashes: int = N_HASHES) -> Data
                 F.substring(_shingle_digest(g), 1 + i * MINHASH_SLICE, MINHASH_SLICE)
             ).alias(f"mh{h}")
         )
+    if with_set_size:
+        aggs.append(F.count(F.lit(1)).alias("n_shingles"))
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_buckets(
-    signatures: DataFrame, *, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+    signatures: DataFrame,
+    *,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    carry: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Explode signatures into ``(doc_id, band, sig)`` bucket keys —
-    one md5 over each band's concatenated minhashes."""
+    one md5 over each band's concatenated minhashes. ``carry`` names
+    extra signature columns to keep on every bucket row (e.g. the
+    n_shingles set size the streaming store persists)."""
     rows_per_band = n_hashes // n_bands
     bands = F.array(
         *[
@@ -209,8 +223,8 @@ def lsh_band_buckets(
             for b in range(n_bands)
         ]
     )
-    return signatures.select("doc_id", F.explode(bands).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    return signatures.select("doc_id", *carry, F.explode(bands).alias("bk")).select(
+        "doc_id", *carry, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
 
 

@@ -217,13 +217,17 @@ def stream_near_dup_ingest(
     O12 generalized to near-duplicates), flagged pairs land in a pairs
     table, then the batch's docs + band buckets join the store.
 
-    Per batch: signatures/buckets are computed once for the batch (the
-    store's buckets were computed when THEIR batch arrived — signatures
-    are never recomputed for stored docs); the candidate join keys on
-    (band, sig) exactly like the batch pipeline; the exact-Jaccard verify
-    re-shingles ONLY the candidate stored docs (bounded by candidate
-    count, not store size). In-batch pairs are NOT flagged — the check is
-    against the store, mirroring the reference's per-id existence check.
+    Per batch: signatures/buckets/shingle-set sizes are computed once for
+    the batch (the store's buckets and sizes were computed when THEIR
+    batch arrived — signatures and set sizes are never recomputed for
+    stored docs: each doc's ``n_shingles`` rides the minhash aggregation
+    for free and persists on its bucket rows); the candidate join keys
+    on (band, sig) exactly like the batch pipeline and carries both
+    sides' set sizes, so the Jaccard denominator needs NO size joins;
+    the exact-Jaccard verify re-shingles ONLY the candidate stored docs
+    (bounded by candidate count, not store size). In-batch pairs are NOT
+    flagged — the check is against the store, mirroring the reference's
+    per-id existence check.
 
     Replay contract (foreachBatch is at-least-once): every store table
     (pairs, docs, buckets) is PARTITIONED BY batch_id and written with
@@ -243,44 +247,75 @@ def stream_near_dup_ingest(
     def _process(batch: DataFrame, _batch_id: int) -> None:
         # No localCheckpoint needed: nothing below writes a path that the
         # batch plan reads (pairs derive from the PREVIOUS batches' store,
-        # and the store appends run after the pairs land), so plain
-        # persists suffice — two fewer materialization jobs per batch.
+        # and the store writes land in partitions the pairs plan's
+        # batch_id < current partition filter prunes at planning), so
+        # plain persists suffice — two fewer materialization jobs per
+        # batch.
         batch = batch.select("doc_id", "text")
         sh_b = doc_shingles(batch).persist()
-        buckets_b = lsh_band_buckets(minhash_signatures(sh_b)).persist()
+        # The bucket rows carry each doc's shingle-set size: n_shingles
+        # rides the minhash aggregation for FREE (same per-doc exchange)
+        # and lands in the stored buckets table, so the verify stage
+        # reads every candidate's set size off the candidate join itself
+        # — the old per-batch sz_a re-aggregation over the re-shingled
+        # candidates and BOTH post-verify size joins are gone (r16
+        # VERDICT item 2).
+        buckets_b = lsh_band_buckets(
+            minhash_signatures(sh_b, with_set_size=True), carry=("n_shingles",)
+        ).persist()
         _batch_persists = [sh_b, buckets_b]
         docs_path = f"{store_dir}/docs"
         buckets_path = f"{store_dir}/buckets"
         pairs_path = f"{store_dir}/pairs"
-        if os.path.exists(buckets_path):
+        # Materialize the shared persisted chain with ONE tiny action
+        # BEFORE the concurrent writes: cold caches raced by concurrent
+        # jobs are each computed per job (the cache only lands after the
+        # first computation finishes), so without this the shingle
+        # explode ran up to 3x per batch.
+        buckets_b.count()
+
+        def _write_pairs() -> None:
             # batch_id < current: earlier arrivals only — a replayed
             # batch must not join against its own (possibly partial)
             # prior attempt, and a full-checkpoint-loss replay must not
-            # see batches that arrived later in the original run.
+            # see batches that arrived later in the original run. The
+            # filter is a PARTITION filter, so the concurrent writes to
+            # this batch's own partitions are pruned at planning and
+            # never raced.
             stored_buckets = spark.read.parquet(buckets_path).filter(
                 F.col("batch_id") < F.lit(_batch_id)
             )
+            # Candidate pairs carry both sides' set sizes from the bucket
+            # rows (constant per pair, so the distinct's cardinality is
+            # unchanged).
             cands = (
                 stored_buckets.select(
-                    F.col("doc_id").alias("a_id"), "band", "sig"
+                    F.col("doc_id").alias("a_id"),
+                    F.col("n_shingles").alias("a_sz"),
+                    "band",
+                    "sig",
                 )
                 .join(
-                    buckets_b.select(F.col("doc_id").alias("b_id"), "band", "sig"),
+                    buckets_b.select(
+                        F.col("doc_id").alias("b_id"),
+                        F.col("n_shingles").alias("b_sz"),
+                        "band",
+                        "sig",
+                    ),
                     ["band", "sig"],
                 )
-                .select("a_id", "b_id")
+                .select("a_id", "b_id", "a_sz", "b_sz")
                 .distinct()
             )
-            cand_docs = (
-                spark.read.parquet(docs_path)
-                .filter(F.col("batch_id") < F.lit(_batch_id))
-                .join(
-                    cands.select(F.col("a_id").alias("doc_id")).distinct(), "doc_id"
-                )
+            cand_ids = cands.select(F.col("a_id").alias("doc_id")).distinct()
+            stored_docs = spark.read.parquet(docs_path).filter(
+                F.col("batch_id") < F.lit(_batch_id)
             )
-            sh_a = doc_shingles(cand_docs).persist()
-            _batch_persists.append(sh_a)
-            inter = (
+            # Candidates are re-shingled for the INTERSECTION only; their
+            # set sizes came off the bucket index above.
+            cand_docs = stored_docs.select("doc_id", "text").join(cand_ids, "doc_id")
+            sh_a = doc_shingles(cand_docs)
+            pairs = (
                 cands.join(
                     sh_a.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id"
                 )
@@ -293,13 +328,13 @@ def stream_near_dup_ingest(
                     & (F.col("shingle") == F.col("shingle_b")),
                 )
                 .groupBy("a_id", "b_id")
-                .agg(F.count(F.lit(1)).alias("inter"))
-            )
-            sz_a = sh_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("a_sz"))
-            sz_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("b_sz"))
-            pairs = (
-                inter.join(sz_a.withColumnRenamed("doc_id", "a_id"), "a_id")
-                .join(sz_b.withColumnRenamed("doc_id", "b_id"), "b_id")
+                .agg(
+                    F.count(F.lit(1)).alias("inter"),
+                    # Constant within each (a_id, b_id) group — max is the
+                    # deterministic way to carry them through.
+                    F.max("a_sz").alias("a_sz"),
+                    F.max("b_sz").alias("b_sz"),
+                )
                 .select(
                     "a_id",
                     "b_id",
@@ -312,22 +347,24 @@ def stream_near_dup_ingest(
                 .filter(F.col("jaccard") >= threshold)
             )
             _write_batch_partition(pairs, _batch_id, pairs_path)
-        # The two store appends are independent — run them concurrently
-        # (same pattern as append_to_index's table writes).
+
+        # ALL per-batch writes are independent jobs — the pairs table
+        # derives from the PREVIOUS batches' store partitions only, so it
+        # runs concurrently with this batch's docs/buckets appends (one
+        # write's latency saved per batch; same pattern as
+        # append_to_index's table writes). Crash-consistency is unchanged
+        # in kind: any table may land first, and a replayed batch rewrites
+        # exactly its own partitions.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(2) as pool:
-            futs = [
-                pool.submit(
-                    lambda: _write_batch_partition(batch, _batch_id, docs_path)
-                ),
-                pool.submit(
-                    lambda: _write_batch_partition(
-                        buckets_b, _batch_id, buckets_path
-                    )
-                ),
-            ]
-            for f in futs:
+        writes = [
+            lambda: _write_batch_partition(batch, _batch_id, docs_path),
+            lambda: _write_batch_partition(buckets_b, _batch_id, buckets_path),
+        ]
+        if os.path.exists(buckets_path):
+            writes.append(_write_pairs)
+        with ThreadPoolExecutor(len(writes)) as pool:
+            for f in [pool.submit(w) for w in writes]:
                 f.result()
         # Per-batch persists are dead once the batch commits; release
         # them eagerly instead of leaning on LRU eviction across a
