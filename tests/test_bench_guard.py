@@ -49,6 +49,31 @@ def test_bench_strict_fails_on_regression(tmp_path):
     assert "BENCH-REGRESSION taxon_parse" in proc.stderr
 
 
+def test_scale_leg_disabled_returns_empty(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_M", "0")
+    assert bench.run_scale_leg(None, {"semantic_dedup": lambda s, d: None}) == {}
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_M", "1")
+    assert bench.run_scale_leg(None, {"semantic_dedup": lambda s, d: None}) == {}
+
+
+def test_scale_leg_times_replicated_corpus(spark, monkeypatch):
+    """The data-proportional leg stages an M-replicated corpus in a fresh
+    temp dir, times the leg queries with the sweep's min-of-2 count()
+    protocol, and returns the separate scale_leg record (never touching
+    the headline timings)."""
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_M", "2")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setattr(bench, "SCALE_LEG_QUERIES", ("dedup_near_minhash",))
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    rec = bench.run_scale_leg(spark, {"dedup_near_minhash": qs["dedup_near_minhash"]})
+    assert "error" not in rec, rec
+    assert rec["m"] == 2
+    assert rec["queries"]["dedup_near_minhash"] > 0
+    assert rec["total"] == rec["queries"]["dedup_near_minhash"]
+
+
 def test_wipe_durable_gates_skips_locked_dirs(tmp_path, monkeypatch):
     """A bench run concurrent with another process mid-stream on the same
     gate must NOT rmtree its checkpoint out from under it: wipe takes the
