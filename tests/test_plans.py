@@ -256,11 +256,62 @@ def test_filtered_search_prefilters_the_corpus_scan(spark, sf_dir):
     before any ranking instead of post-filtering a fixed top-k."""
     plan = _plan(QUERIES["ivf_filtered_search"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # the label predicate rides the in-memory corpus scan's filter list
-    scan_lines = [
-        l for l in plan.splitlines() if "InMemoryTableScan" in l and "label" in l
+    # The label predicate must sit ON the corpus leaf itself: either in
+    # the in-memory scan's filter list (persist-backed cache) or as a
+    # Filter whose immediate child is the checkpointed corpus leaf
+    # (r17: _cached serves a lazy localCheckpoint).
+    lines = plan.splitlines()
+    on_scan = [l for l in lines if "InMemoryTableScan" in l and "label" in l]
+    on_leaf = [
+        i
+        for i, l in enumerate(lines)
+        if "Filter" in l
+        and "label" in l
+        and i + 1 < len(lines)
+        and ("Scan ExistingRDD" in lines[i + 1] or "InMemoryTableScan" in lines[i + 1])
     ]
-    assert scan_lines, plan[:2000]
+    assert on_scan or on_leaf, plan[:2000]
+
+
+def test_derived_cache_builder_plans_keep_their_shape(spark, sf_dir):
+    """r17: _cached serves lazy localCheckpoints, so the prebuilt-index
+    BUILD plans no longer appear inside any consumer query's plan or
+    fingerprint — pin their shapes directly at the source instead.
+
+    - centroid build: exactly the two-level aggregation's exchanges
+      (per-(label, pos) mean, then per-label array assembly — both
+      partial-aggregated, both (nlist x dim)-sized), no join anywhere;
+    - corpus assignment: map-side argmax against the one-row collapsed
+      centroid array — zero hash exchange over the corpus, the only
+      nested-loop is that one-row broadcast;
+    - simhash signatures / multi-probe band keys: pure projections,
+      zero exchange."""
+    from bioclip_vector_db_spark.operators.dedup import (
+        embedding_band_keys,
+        embedding_signatures,
+    )
+    from bioclip_vector_db_spark.operators.knn import (
+        _fixture_centroids,
+        assign_partitions,
+    )
+    from bioclip_vector_db_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_plan = _plan(_fixture_centroids(spark, sf_dir))
+    assert cent_plan.count("Exchange hashpartitioning") == 2, cent_plan
+    assert "Join" not in cent_plan, cent_plan
+    assigned_plan = _plan(
+        assign_partitions(emb, _fixture_centroids(spark, sf_dir))
+    )
+    assert "CartesianProduct" not in assigned_plan, assigned_plan
+    # the corpus side must not shuffle: assignment adds ZERO hash
+    # exchanges beyond the inlined centroid build's own
+    assert assigned_plan.count("Exchange hashpartitioning") == cent_plan.count(
+        "Exchange hashpartitioning"
+    ), assigned_plan
+    for build in (embedding_signatures, embedding_band_keys):
+        plan = _plan(build(emb.select("vec_id", "embedding")))
+        assert "Exchange" not in plan, (build.__name__, plan)
 
 
 def test_semantic_dedup_pairs_are_cluster_keyed(spark, sf_dir):
