@@ -3402,10 +3402,16 @@ def q_vector_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision = semantic_dedup(emb)
     removed = decision.filter(~F.col("kept")).select("vec_id")
     # kept feeds BOTH the centroid rebuild and the partition assignment —
-    # persist it or the whole SemDeDup subtree runs twice (at real scale
-    # this materialization is the cleaned-corpus write between stages).
-    kept = transient_persist(emb.join(removed, "vec_id", "left_anti"))
-    cents = transient_persist(centroids_from(kept))
+    # materialize it or the whole SemDeDup subtree runs twice (at real
+    # scale this materialization is the cleaned-corpus write between
+    # stages). LAZY localCheckpoint, not persist (r17): the downstream
+    # centroid/assign/search stages are ~30 DataFrame ops that each
+    # re-analyzed the whole SemDeDup subtree (r16 A/B'd the EAGER
+    # checkpoint — a wash, it only moved the work; the lazy form
+    # truncates the analyzed tree without materializing anything early —
+    # same mechanism and evidence as triangle_counts).
+    kept = emb.join(removed, "vec_id", "left_anti").localCheckpoint(eager=False)
+    cents = centroids_from(kept).localCheckpoint(eager=False)
     assigned = assign_partitions(kept, cents)
     return ivf_search(
         _fixture_queries(spark, sf_dir),
