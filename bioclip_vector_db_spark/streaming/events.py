@@ -48,11 +48,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str, **reader_opts: str) -> 
     whatever unit the fixture's ts carries (the regenerated testdata has
     switched between timestamp[ns]-read-as-long and timestamp[us]), batch
     and stream read it identically and ``convert_event_ts`` normalizes."""
-    from ..sources.catalog import convert_event_ts, set_events_confs
+    from ..sources.catalog import (
+        convert_event_ts,
+        infer_events_schema,
+        set_events_confs,
+    )
 
     set_events_confs(spark)
     glob_pat = reader_opts.get("pathGlobFilter", "events.parquet")
-    schema = spark.read.option("pathGlobFilter", glob_pat).parquet(sf_dir).schema
+    schema = infer_events_schema(spark, sf_dir, glob_pat)
+    if schema is None:
+        schema = spark.read.option("pathGlobFilter", glob_pat).parquet(sf_dir).schema
     reader = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
