@@ -758,7 +758,8 @@ def embedding_threshold_join_multiprobe(
             "b_id",
         )
         .withColumn(
-            "similarity", F.round(dot_product(F.col("a_vec"), F.col("b_vec")), 9)
+            "similarity",
+            F.round(dot_product("a_vec", "b_vec", dim=_EMB_DIM), 9),
         )
         .filter(F.col("similarity") > threshold)
         .select("a_id", "b_id", "similarity")

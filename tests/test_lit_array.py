@@ -81,3 +81,50 @@ def test_lit_array_pathological_strings_round_trip(spark):
     new = df.select(lit_array(values).alias("x"))
     assert old.schema == new.schema
     assert old.collect() == new.collect()
+
+
+def test_dot_product_dim_fast_path_matches_fold(spark):
+    """The dim-hinted straight-line dot product must be value-identical to
+    the fold on every input shape: matching dim (fast branch), equal-but-
+    shorter arrays (falls back via the size guard), length mismatch (both
+    forms null the total), null elements, and null arrays (r17)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bioclip_vector_db_spark.functions.vector import dot_product
+
+    rows = [
+        ([1.0, 2.0, 3.0, 4.0], [0.5, 0.25, -1.0, 2.0]),  # == dim
+        ([0.1] * 4, [0.3] * 4),                          # float-noise accumulation
+        ([1.0, 2.0], [3.0, 4.0]),                        # equal length != dim
+        ([1.0, 2.0, 3.0], [1.0, 2.0]),                   # mismatch -> NULL
+        ([1.0, None, 3.0, 4.0], [1.0, 1.0, 1.0, 1.0]),   # null element -> NULL
+        (None, [1.0, 2.0, 3.0, 4.0]),                    # null array -> NULL
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = df.select(
+        dot_product(F.col("a"), F.col("b")).alias("fold"),
+        dot_product("a", "b", dim=4).alias("fast"),
+    ).collect()
+    for r in got:
+        if r["fold"] is None:
+            assert r["fast"] is None
+        else:
+            # bit-identical, not approximately equal: same op order
+            assert math.isclose(r["fast"], r["fold"], rel_tol=0.0, abs_tol=0.0)
+
+
+def test_dot_product_dim_fast_path_guards():
+    import pytest
+
+    from bioclip_vector_db_spark.functions.vector import dot_product
+
+    from pyspark.sql import functions as F
+
+    with pytest.raises(TypeError):
+        dot_product(F.col("a"), F.col("b"), dim=4)  # Columns: py4j-per-node trap
+    with pytest.raises(ValueError):
+        dot_product("a", "b", dim=0)
+    with pytest.raises(ValueError):
+        dot_product("a`b", "b", dim=4)
