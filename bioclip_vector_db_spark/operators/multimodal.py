@@ -282,48 +282,60 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_BYTES = 64
 
 
-def _payload_bytes_expr(text_col: str) -> "F.Column":
-    return F.array(
-        *[F.ascii(F.substring(F.col(text_col), i, 1)) for i in range(1, PHASH_BYTES + 1)]
-    )
-
-
-def payload_ahash(df: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """``(doc_id, ahash)`` — average-hash fingerprints over the binary
-    corpus: bit i is payload byte i vs the mean of the PHASH_BYTES-byte
-    window (exactly the public image aHash on the container's
+def payload_ahash(
+    df: DataFrame, *, text_col: str = "text", extra: "dict[str, F.Column] | None" = None
+) -> DataFrame:
+    """``(doc_id, ahash[, extra...])`` — average-hash fingerprints over the
+    binary corpus: bit i is payload byte i vs the mean of the PHASH_BYTES-
+    byte window (exactly the public image aHash on the container's
     deterministic fake pixels; a real decode swaps the byte source, not
     the dataflow). The mean divides an integer sum by 64.0 — a power of
     two, so the division is exact in both engines and the hash is
     hash-gateable bit-for-bit. Docs shorter than the window are excluded
     (the decode-error path).
 
-    Shape: posexplode -> mean aggregate -> join back -> bit concat. A
-    pure-expression form (mean as an F.aggregate fold captured inside the
-    bit-transform lambda) was tried and REVERTED: interpreted HOF lambdas
-    re-evaluate captured expressions PER ELEMENT with no CSE — the
-    64-byte array and its fold were recomputed 64x per row (measured
-    6.2s vs 0.5s at sf0.1). The exploded form keeps every stage inside
-    whole-stage codegen; the per-doc group is a constant 64 rows."""
-    b = df.filter(F.length(text_col) >= PHASH_BYTES).select(
-        "doc_id", F.posexplode(_payload_bytes_expr(text_col)).alias("pos", "val")
+    Shape (r17, third variant): TWO stacked narrow projections — the mean
+    once as a column, then the 64 bit-cases referencing it — so the whole
+    hash is per-row codegen'd work with ZERO shuffles. History of the
+    other two forms, kept because each failure mode is a repo-wide lesson:
+    - posexplode -> mean aggregate -> join back -> bit concat (r9–r16):
+      correct and codegen'd, but costs two corpus-sized exchanges plus a
+      join for per-row arithmetic — at 100 TB that is two full shuffles
+      of the payload table for nothing (guide §2.4). Measured at sf0.1:
+      the consuming query ran 9 Exchanges / 5 Joins vs 1 / 1 now,
+      bit-identical output.
+    - single giant expression with the mean INLINED into all 64 branches:
+      ~12k-node tree; analyzer/optimizer/codegen walk it per plan op —
+      measured 3.5–4.2 s vs 1.2–1.4 s for the whole query (worse than the
+      exchanges it removed). Same trap as a lambda-captured fold, one
+      layer up: catalyst does not CSE across the copies at plan level.
+      The two-projection split keeps one copy of the mean (~700 nodes
+      total) and CollapseProject's duplicate-expression guard keeps it
+      from being re-inlined.
+
+    ``extra``: additional named expressions over the input row (e.g. a
+    payload fingerprint) computed in the SAME projection — the caller
+    would otherwise need a corpus self-join to re-attach the payload
+    (exactly the join this form deletes)."""
+    if "`" in text_col:
+        raise ValueError("payload_ahash: text_col must not contain backticks")
+    bs = [
+        f"ascii(substr(`{text_col}`, {i}, 1))" for i in range(1, PHASH_BYTES + 1)
+    ]
+    mean_e = F.expr("(" + " + ".join(bs) + f") / {float(PHASH_BYTES)!r}D")
+    bits_e = F.expr(
+        "concat("
+        + ", ".join(f"CASE WHEN {b} >= `_mean` THEN '1' ELSE '0' END" for b in bs)
+        + ")"
     )
-    stats = b.groupBy("doc_id").agg(
-        (F.sum("val") / F.lit(float(PHASH_BYTES))).alias("mean")
-    )
-    bits = b.join(stats, "doc_id").select(
+    extra = extra or {}
+    stage1 = df.filter(F.length(text_col) >= PHASH_BYTES).select(
         "doc_id",
-        "pos",
-        F.when(F.col("val") >= F.col("mean"), F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+        F.col(text_col),
+        mean_e.alias("_mean"),
+        *[e.alias(n) for n, e in extra.items()],
     )
-    return bits.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "bit"))), lambda x: x["bit"]
-            ),
-            "",
-        ).alias("ahash")
-    )
+    return stage1.select("doc_id", bits_e.alias("ahash"), *extra.keys())
 
 
 @register(
@@ -366,9 +378,11 @@ def q_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("doc_id") + 40000
         )
     ).filter(F.length("text") >= PHASH_BYTES)
-    hashed = payload_ahash(corpus).join(corpus, "doc_id").select(
-        "doc_id", "ahash", F.md5("text").alias("_fp")
-    )
+    # The fingerprint rides the hash projection (extra=): the old
+    # payload_ahash(corpus).join(corpus, "doc_id") re-shuffled the whole
+    # corpus just to re-attach the payload it had dropped (r17; guide
+    # §2.4 — query plan went 9 Exchanges / 5 Joins -> 1 / 1).
+    hashed = payload_ahash(corpus, extra={"_fp": F.md5("text")})
     a = hashed.select(
         F.col("doc_id").alias("a_id"), "ahash", F.col("_fp").alias("a_fp")
     )
