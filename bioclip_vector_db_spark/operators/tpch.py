@@ -989,12 +989,16 @@ def q_tpch_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no partsupp/comment, so lineitem's distinct (part, supplier)
     pairs are the relationship table).
 
-    Scale notes: the pair-distinct and the count-distinct both key on
-    partkey/suppkey — under AQE the distinct's hash partitioning is
-    reused by the downstream join; the supplier blacklist is a
-    broadcast anti join (6 rows); part dim broadcasts. Top-20 via
-    TakeOrderedAndProject with full tiebreaks."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    Scale notes: NO standalone pair-distinct (r17) — the count-distinct
+    aggregate dedups (brand, size, suppkey) itself with map-side partial
+    aggregation, so a prior DISTINCT over (partkey, suppkey) was a whole
+    extra exchange + aggregation pass over the fact table for an
+    identical result (guide §2.4; Exchange 10->8, HashAggregate 12->8,
+    rows proven equal). The supplier blacklist is a broadcast anti join
+    (6 rows); part dim broadcasts — so the only fact-table shuffle left
+    is the aggregate's own. Top-20 via TakeOrderedAndProject with full
+    tiebreaks."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
