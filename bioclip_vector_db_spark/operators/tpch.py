@@ -1129,12 +1129,19 @@ def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECORRELATED into a per-part min aggregate joined back on
     (part, min-value), with a deterministic min-name tiebreak.
 
-    Scale notes: the distinct part-supplier pair set keys on partkey for
-    both the min aggregate and the join back, so AQE reuses one hash
-    partitioning across distinct -> agg -> join; the region-filtered
-    supplier side broadcasts twice (probe + verify) rather than
-    shuffling the pair set twice."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    Scale notes: NO standalone pair DISTINCT (r17) — every consumer of
+    the pair set is duplicate-insensitive (min(s_acctbal) per part, the
+    min-value join back, min(s_name) in the final aggregate), so the
+    DISTINCT was one extra full exchange + aggregation pass over the
+    fact projection in EACH of the two pair subtrees for a provably
+    identical result (collected rows equal; Exchange 28->23,
+    HashAggregate 11->4). Duplicate (part, supplier) rows now ride to
+    the partkey-keyed aggregates, whose map-side partial aggregation
+    collapses them before any shuffle — fewer shuffled bytes at any
+    duplication factor the fixture or TPC-H exhibits. The
+    region-filtered supplier side broadcasts twice (probe + verify)
+    rather than shuffling the pair set twice."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
