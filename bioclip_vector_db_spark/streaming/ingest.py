@@ -274,17 +274,36 @@ def stream_near_dup_ingest(
         # explode ran up to 3x per batch.
         buckets_b.count()
 
-        def _write_pairs() -> None:
-            # batch_id < current: earlier arrivals only — a replayed
-            # batch must not join against its own (possibly partial)
-            # prior attempt, and a full-checkpoint-loss replay must not
-            # see batches that arrived later in the original run. The
-            # filter is a PARTITION filter, so the concurrent writes to
-            # this batch's own partitions are pruned at planning and
-            # never raced.
-            stored_buckets = spark.read.parquet(buckets_path).filter(
+        # batch_id < current: earlier arrivals only — a replayed batch
+        # must not join against its own (possibly partial) prior attempt,
+        # and a full-checkpoint-loss replay must not see batches that
+        # arrived later in the original run. The filter is a PARTITION
+        # filter, so EXECUTION never touches this batch's own partitions.
+        # Both store reads are constructed HERE, before the concurrent
+        # writes launch: DataFrameReader.parquet lists the store and reads
+        # a footer for schema inference AT ANALYSIS TIME, and on a replay
+        # the sibling thread's dynamic overwrite deletes the old files of
+        # exactly this batch's partition — inference racing that delete
+        # saw FileNotFoundException (caught once under load by
+        # test_near_dup_ingest_replay_is_idempotent). Analyzing against
+        # the quiescent store closes the window; the captured file list
+        # stays valid under the concurrent writes because the overwrite
+        # only replaces partitions the filter prunes.
+        if os.path.exists(buckets_path):
+            stored_buckets_pre = spark.read.parquet(buckets_path).filter(
                 F.col("batch_id") < F.lit(_batch_id)
             )
+            # A missing docs table with buckets present is a corrupt
+            # store — this read raises the same PATH_NOT_FOUND the old
+            # in-thread read did, just sequentially.
+            stored_docs_pre = spark.read.parquet(docs_path).filter(
+                F.col("batch_id") < F.lit(_batch_id)
+            )
+        else:
+            stored_buckets_pre = stored_docs_pre = None
+
+        def _write_pairs() -> None:
+            stored_buckets = stored_buckets_pre
             # Candidate pairs carry both sides' set sizes from the bucket
             # rows (constant per pair, so the distinct's cardinality is
             # unchanged).
@@ -308,9 +327,7 @@ def stream_near_dup_ingest(
                 .distinct()
             )
             cand_ids = cands.select(F.col("a_id").alias("doc_id")).distinct()
-            stored_docs = spark.read.parquet(docs_path).filter(
-                F.col("batch_id") < F.lit(_batch_id)
-            )
+            stored_docs = stored_docs_pre
             # Candidates are re-shingled for the INTERSECTION only; their
             # set sizes came off the bucket index above.
             cand_docs = stored_docs.select("doc_id", "text").join(cand_ids, "doc_id")
@@ -361,7 +378,7 @@ def stream_near_dup_ingest(
             lambda: _write_batch_partition(batch, _batch_id, docs_path),
             lambda: _write_batch_partition(buckets_b, _batch_id, buckets_path),
         ]
-        if os.path.exists(buckets_path):
+        if stored_buckets_pre is not None:
             writes.append(_write_pairs)
         with ThreadPoolExecutor(len(writes)) as pool:
             for f in [pool.submit(w) for w in writes]:
